@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline catalog queries and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Each query is executed with a full materialization (count + collect of a
+bounded result) so the measured time covers the whole plan, not lazy
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the scale-relevant plans (big scans/joins/shuffles), not the
+# tiny-dimension lookups.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "j3_adjacency_region_revenue",
+    "a1_entity_assembly",
+    "j1_timestamp_join",
+    "d0_d1_version_delta",
+    "j6_canonical_map",
+    "a8_t4_prefix_date_dedup",
+    "j5_t1_blocking_topk",
+    "j7_interval_overlap",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.catalog import QUERIES
+
+    spark = get_session("opensanctions-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # full materialization without driver-side transfer of big results
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

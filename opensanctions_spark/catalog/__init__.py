@@ -1,0 +1,76 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Each entry pairs a PySpark DataFrame plan (``QUERIES[name](spark, sf_dir)``)
+with an ANSI-SQL oracle (``ORACLES[name]``) that DuckDB runs over the same
+parquet tables — the correctness contract of the build harness. Keys are
+named after SURVEY.md §2 operator ids (a1_, j5_, d1_, f3_, ...) so coverage
+is auditable line-by-line.
+
+Cross-engine determinism rules used throughout (see tools/check_oracle.py):
+- money sums go through DECIMAL so they are exact and order-independent,
+  then cast back to DOUBLE,
+- hashing is md5 (DuckDB 1.0 has no sha1),
+- every output is given an explicit alias on both sides,
+- ties in any top-k are broken by a unique id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query and (optionally) its DuckDB oracle SQL."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    The events parquet carries nanosecond timestamps, which Spark's reader
+    rejects; read them as raw longs (legacy nanosAsLong) and floor-divide
+    to microseconds — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP view
+    does, so both engines see identical values.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _import_all() -> None:
+    # Importing registers the queries; keep at module bottom.
+    from opensanctions_spark.catalog import (  # noqa: F401
+        pipeline,
+        relational,
+        linkage,
+        text,
+        vectors,
+    )
+
+
+_import_all()

@@ -1,0 +1,450 @@
+"""Pipeline catalog queries: the statement/entity engine on synthetic data.
+
+Exercises the reference-shaped pipeline operators (SURVEY A1/A6/A8, J1/J2/
+J6, D0-D3, P1/P2/P5, F8, T4/T5, F12) against the star-schema test tables
+per FIXTURES.md §F-6: customers/suppliers are melted into the canonical
+statements IR, then every downstream operator is a DataFrame plan whose
+DuckDB oracle is spelled out longhand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.model.melt import melt_customers, melt_suppliers, finish_statements
+from opensanctions_spark.model.registry import common_schema_rank_column
+from opensanctions_spark.operators.assembly import assemble_properties
+from opensanctions_spark.operators.consolidate import drop_prefix_values
+from opensanctions_spark.operators.delta import entity_hash, version_diff
+from opensanctions_spark.operators.resolve import canonical_map
+from opensanctions_spark.operators.timestamps import propagate_first_seen
+
+RUN_TIME = "2026-08-13T00:00:00"
+PREV_TIME = "2026-08-01T00:00:00"
+ALIAS_TIME = "2026-08-12T00:00:00"
+
+
+def _customer_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melted customer statements + Person-schema alias statements for every
+    third entity — exercises multi-valued props and schema widening."""
+    cust = load(spark, sf_dir, "customer")
+    base = melt_customers(cust)
+    alias_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+        F.lit("name").alias("prop"),
+        F.upper(F.col("c_name")).alias("value"),
+    )
+    aliases = finish_statements(alias_rows, dataset="customers", schema_name="Person")
+    aliases = aliases.withColumn("first_seen", F.lit(ALIAS_TIME))
+    return base.unionByName(aliases)
+
+
+_STMTS_SQL = """
+  SELECT 'c-' || c_custkey AS entity_id, 'name' AS prop, c_name AS value,
+         'LegalEntity' AS sch, '{run}' AS first_seen, '{run}' AS last_seen,
+         (c_custkey % 4 = 0) AS external
+  FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, 'country', CAST(c_nationkey AS VARCHAR),
+         'LegalEntity', '{run}', '{run}', (c_custkey % 4 = 0)
+  FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, 'balance', CAST(c_acctbal AS VARCHAR),
+         'LegalEntity', '{run}', '{run}', (c_custkey % 4 = 0)
+  FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, 'segment', c_mktsegment,
+         'LegalEntity', '{run}', '{run}', (c_custkey % 4 = 0)
+  FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, 'name', upper(c_name),
+         'Person', '{alias}', '{run}', (c_custkey % 4 = 0)
+  FROM customer WHERE c_custkey % 3 = 0
+""".format(run=RUN_TIME, alias=ALIAS_TIME)
+
+
+@register(
+    "a1_entity_assembly",
+    oracle=f"""
+WITH stmts AS ({_STMTS_SQL}),
+per_prop AS (
+  SELECT entity_id, prop,
+         string_agg(value, ',' ORDER BY value) AS vals,
+         max(CASE sch WHEN 'Person' THEN 3 ELSE 2 END) AS rank,
+         min(first_seen) AS fs, max(last_seen) AS ls
+  FROM stmts
+  GROUP BY entity_id, prop
+)
+SELECT entity_id AS canonical_id,
+       CASE max(rank) WHEN 3 THEN 'Person' ELSE 'LegalEntity' END AS entity_schema,
+       string_agg(prop || '=' || vals, ';' ORDER BY prop) AS props_str,
+       COUNT(*) AS n_props,
+       min(fs) AS first_seen,
+       max(ls) AS last_seen
+FROM per_prop
+GROUP BY entity_id
+""",
+)
+def a1_entity_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core statement→entity aggregation (A1 + A6 + schema widening).
+
+    LegalEntity base statements plus Person alias statements widen every
+    third entity to Person via the lattice-rank max — the Spark rendering
+    of ``zavod/zavod/store.py:36-74`` + ``zavod/zavod/entity.py:155-162``,
+    one shuffle, no Python in the row path."""
+    per_prop = assemble_properties(_customer_statements(spark, sf_dir))
+    return (
+        per_prop.groupBy("canonical_id")
+        .agg(
+            F.max_by("schema", common_schema_rank_column(F.col("schema"))).alias("entity_schema"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws("=", F.col("prop"), F.array_join(F.col("values"), ","))
+                    )
+                ),
+                ";",
+            ).alias("props_str"),
+            F.count("*").alias("n_props"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+    )
+
+
+@register(
+    "s9_p2_statement_filters",
+    oracle=f"""
+WITH stmts AS ({_STMTS_SQL})
+SELECT prop, COUNT(*) AS n_internal
+FROM stmts
+WHERE NOT external AND value IS NOT NULL AND len(value) > 0
+GROUP BY prop
+""",
+)
+def s9_p2_statement_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-source filters (S9/P2/P5): read the statement store,
+    drop `external` enrichment candidates
+    (``zavod/zavod/archive/__init__.py:292-296``) and empty values."""
+    stmts = _customer_statements(spark, sf_dir).withColumn(
+        "external", F.col("entity_id").substr(F.lit(3), F.lit(99)).cast("long") % 4 == 0
+    )
+    return (
+        stmts.filter(~F.col("external"))
+        .filter(F.col("value").isNotNull() & (F.length("value") > 0))
+        .groupBy("prop")
+        .agg(F.count("*").alias("n_internal"))
+    )
+
+
+@register(
+    "p1_target_filter",
+    oracle="""
+SELECT 'c-' || c_custkey AS entity_id,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 'sanction'
+                         WHEN 'AUTOMOBILE' THEN 'crime' ELSE 'other' END AS topic,
+       c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS is_target
+FROM customer
+""",
+)
+def p1_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived target flag (P1): topics ∩ RISK_TOPICS ≠ ∅
+    (``zavod/zavod/entity.py:164-167``), with topics synthesized from the
+    market segment. The array_intersect runs JVM-side."""
+    cust = load(spark, sf_dir, "customer")
+    topic = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "sanction")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "crime")
+        .otherwise("other")
+    )
+    risks = F.array(F.lit("sanction"), F.lit("crime"))
+    return cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+        topic.alias("topic"),
+        (F.size(F.array_intersect(F.array(topic), risks)) > 0).alias("is_target"),
+    )
+
+
+@register(
+    "j1_timestamp_join",
+    oracle=f"""
+SELECT o_orderkey AS entity_id,
+       CASE WHEN o_orderkey % 10 <> 0 THEN '{PREV_TIME}' ELSE '{RUN_TIME}' END AS first_seen,
+       (o_orderkey % 10 = 0) AS is_new
+FROM orders
+""",
+)
+def j1_timestamp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_seen propagation (J1): current statements left-join the
+    previous version's (id → first_seen) index, coalescing misses to the
+    run time (``zavod/zavod/runtime/timestamps.py:26-56``). Every tenth
+    order is "new" in this synthetic previous version."""
+    orders = load(spark, sf_dir, "orders")
+    sid = F.md5(F.concat_ws("|", F.lit("orders"), F.col("o_orderkey")))
+    curr = orders.select(F.col("o_orderkey").alias("entity_id"), sid.alias("id"))
+    prev = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(sid.alias("id"), F.lit(PREV_TIME).alias("first_seen"))
+    )
+    out = propagate_first_seen(curr, prev, run_time=RUN_TIME)
+    return out.select(
+        "entity_id", "first_seen", (F.col("first_seen") == RUN_TIME).alias("is_new")
+    )
+
+
+@register(
+    "d0_d1_version_delta",
+    oracle="""
+WITH classified AS (
+  SELECT 'p-' || p_partkey AS entity_id,
+    CASE WHEN p_partkey % 7 = 0 AND p_partkey % 11 <> 0 THEN 'ADD'
+         WHEN p_partkey % 11 = 0 AND p_partkey % 7 <> 0 THEN 'DEL'
+         WHEN p_partkey % 5 = 0 AND p_partkey % 7 <> 0 AND p_partkey % 11 <> 0 THEN 'MOD'
+    END AS op
+  FROM part
+)
+SELECT entity_id, op FROM classified WHERE op IS NOT NULL
+""",
+)
+def d0_d1_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity content hash + ADD/MOD/DEL version diff (D0/D1):
+    ``zavod/zavod/runtime/delta.py:46-102``. prev = parts w/o every 7th,
+    curr = parts w/o every 11th with every 5th price bumped; the full-outer
+    hash compare must recover exactly that closed form."""
+    part = load(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+
+    def hashed(df: DataFrame, price_col) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("p-"), F.col("p_partkey")).alias("canonical_id"),
+            entity_hash(
+                F.col("p_partkey").cast("string"),
+                F.col("p_name"),
+                F.col("p_brand"),
+                price_col.cast("string"),
+            ).alias("entity_hash"),
+        )
+
+    prev = hashed(part.filter(F.col("p_partkey") % 7 != 0), price)
+    curr_price = F.when(F.col("p_partkey") % 5 == 0, price + 1).otherwise(price)
+    curr = hashed(part.filter(F.col("p_partkey") % 11 != 0), curr_price)
+    return version_diff(prev, curr, key="canonical_id").select(
+        F.col("canonical_id").alias("entity_id"), "op"
+    )
+
+
+@register(
+    "j6_canonical_map",
+    oracle="""
+SELECT 'c-' || c_custkey AS entity_id,
+       'c-' || (c_custkey % 100) AS canonical_id
+FROM customer
+""",
+)
+def j6_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-find canonicalization (J6): connected components over POSITIVE
+    judgement edges (``zavod/zavod/integration/dedupe.py:93-128``).
+    Synthetic decisions chain customers sharing custkey mod 100 (chains of
+    15 — forces multiple propagation rounds); NEGATIVE edges (mod 50) must
+    be ignored. Canonical = min member, oracle = custkey % 100."""
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_custkey") >= 100).select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") - 100).alias("right_id"),
+        F.lit("POSITIVE").alias("judgement"),
+    )
+    neg = cust.filter(F.col("c_custkey") >= 50).select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") - 50).alias("right_id"),
+        F.lit("NEGATIVE").alias("judgement"),
+    )
+    mapping = canonical_map(pos.unionByName(neg))
+    # isolated nodes (none here, but semantics: identity mapping)
+    all_nodes = cust.select(F.col("c_custkey").alias("entity_id"))
+    return (
+        all_nodes.join(mapping, "entity_id", "left")
+        .select(
+            F.concat(F.lit("c-"), F.col("entity_id")).alias("entity_id"),
+            F.concat(
+                F.lit("c-"), F.coalesce(F.col("canonical_id"), F.col("entity_id"))
+            ).alias("canonical_id"),
+        )
+    )
+
+
+@register(
+    "j2_canonical_rekey",
+    oracle="""
+SELECT 'c-' || (o_custkey % 100) AS canonical_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_custkey % 100
+""",
+)
+def j2_canonical_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization join (J2): rewrite foreign keys through the
+    resolver's canonical map (broadcast) then aggregate per canonical
+    entity — ``zavod/zavod/tools/util.py:28-36``."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_custkey") >= 100).select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") - 100).alias("right_id"),
+        F.lit("POSITIVE").alias("judgement"),
+    )
+    mapping = canonical_map(pos)
+    m = F.broadcast(
+        mapping.select(
+            F.col("entity_id").alias("_ck"), F.col("canonical_id").alias("_canon")
+        )
+    )
+    return (
+        orders.join(m, orders.o_custkey == F.col("_ck"), "left")
+        .withColumn("canon_key", F.coalesce(F.col("_canon"), F.col("o_custkey")))
+        .groupBy(F.concat(F.lit("c-"), F.col("canon_key")).alias("canonical_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "d2_d3_union_dedupe",
+    oracle=f"""
+WITH cust_stmts AS ({_STMTS_SQL}),
+supp_stmts AS (
+  SELECT 's-' || s_suppkey AS entity_id, 'name' AS prop, s_name AS value FROM supplier
+  UNION ALL
+  SELECT 's-' || s_suppkey, 'country', CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 's-' || s_suppkey, 'balance', CAST(s_acctbal AS VARCHAR) FROM supplier
+),
+unioned AS (
+  SELECT 'customers' AS dataset,
+         md5('customers' || '|' || entity_id || '|' || prop || '|' || value) AS id
+  FROM cust_stmts
+  UNION ALL
+  SELECT 'suppliers',
+         md5('suppliers' || '|' || entity_id || '|' || prop || '|' || value)
+  FROM supp_stmts
+)
+SELECT dataset, COUNT(DISTINCT id) AS n_statements
+FROM unioned
+GROUP BY dataset
+""",
+)
+def d2_d3_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection union + statement dedupe (D2/D3): union the leaf
+    datasets' statements (``zavod/zavod/archive/__init__.py:299-303``) and
+    collapse duplicate statement ids (``zavod/zavod/tools/util.py:39-62``).
+    The customer alias statements collide with nothing, but upper-cased
+    names equal to existing ids would — dropDuplicates on the content hash
+    is the invariant."""
+    cust_stmts = _customer_statements(spark, sf_dir)
+    supp_stmts = melt_suppliers(load(spark, sf_dir, "supplier"))
+    unioned = cust_stmts.unionByName(supp_stmts).dropDuplicates(["id"])
+    return unioned.groupBy("dataset").agg(F.count("*").alias("n_statements"))
+
+
+@register(
+    "a8_t4_prefix_date_dedup",
+    oracle="""
+WITH vals AS (
+  SELECT DISTINCT 'c-' || o_custkey AS canonical_id,
+    substr(strftime(o_orderdate, '%Y-%m-%d'), 1,
+           CASE WHEN o_orderkey % 3 = 0 THEN 4
+                WHEN o_orderkey % 3 = 1 THEN 7 ELSE 10 END) AS value
+  FROM orders
+)
+SELECT canonical_id, value
+FROM vals v
+WHERE NOT EXISTS (
+  SELECT 1 FROM vals v2
+  WHERE v2.canonical_id = v.canonical_id
+    AND v2.value <> v.value
+    AND starts_with(v2.value, v.value)
+)
+""",
+)
+def a8_t4_prefix_date_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-date simplification (A8/T4): drop ISO prefix dates subsumed
+    by longer values for the same entity
+    (``zavod/zavod/exporters/consolidate.py:48-90``). One desc-ordered
+    window with lag — O(n log n), no self-join; the oracle spells the
+    quadratic NOT EXISTS semantics."""
+    orders = load(spark, sf_dir, "orders")
+    cut = (
+        F.when(F.col("o_orderkey") % 3 == 0, 4)
+        .when(F.col("o_orderkey") % 3 == 1, 7)
+        .otherwise(10)
+    )
+    vals = orders.select(
+        F.concat(F.lit("c-"), F.col("o_custkey")).alias("canonical_id"),
+        F.expr("date_format(o_orderdate, 'yyyy-MM-dd')").substr(F.lit(1), cut).alias("value"),
+    )
+    return drop_prefix_values(vals, keys=["canonical_id"])
+
+
+@register(
+    "f8_deterministic_ids",
+    oracle="""
+SELECT 'c-' || c_custkey AS entity_id,
+       'osp-' || md5('customer' || '|' || c_custkey || '|' || c_name) AS stable_id,
+       lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '-', 'g')) AS slug
+FROM customer
+""",
+)
+def f8_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ids (F8): make_id = prefix + content hash over parts;
+    make_slug (``zavod/zavod/context.py:504-531``)."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+        F.concat(
+            F.lit("osp-"),
+            F.md5(F.concat_ws("|", F.lit("customer"), F.col("c_custkey"), F.col("c_name"))),
+        ).alias("stable_id"),
+        F.lower(F.regexp_replace(F.col("c_name"), "[^a-zA-Z0-9]+", "-")).alias("slug"),
+    )
+
+
+@register(
+    "f12_t5_active_status",
+    oracle="""
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) AS end_us,
+       (MIN(ts) <= TIMESTAMP '2024-01-15 00:00:00'
+        AND MAX(ts) >= TIMESTAMP '2024-01-15 00:00:00') AS active,
+       COALESCE(epoch_us(MAX(CASE WHEN event_type = 'purchase' THEN ts END)),
+                epoch_us(MAX(CASE WHEN event_type = 'click' THEN ts END)),
+                epoch_us(MAX(ts))) AS effective_us
+FROM events
+GROUP BY user_id
+""",
+)
+def f12_t5_active_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanction active-status (F12: min(start) ≤ now ≤ max(end),
+    ``zavod/zavod/helpers/sanctions.py:100-113``) + effective-date
+    precedence chain (T5: coalesce over prioritized date props,
+    ``zavod/zavod/stateful/positions.py:195-201``)."""
+    events = load(spark, sf_dir, "events")
+    now = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    purchase = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    click = F.when(F.col("event_type") == "click", F.col("ts"))
+    return events.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        ((F.min("ts") <= now) & (F.max("ts") >= now)).alias("active"),
+        F.coalesce(
+            F.unix_micros(F.max(purchase)),
+            F.unix_micros(F.max(click)),
+            F.unix_micros(F.max("ts")),
+        ).alias("effective_us"),
+    )

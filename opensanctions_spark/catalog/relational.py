@@ -1,0 +1,398 @@
+"""Relational catalog queries: scans, filters, aggregations, joins, top-k.
+
+These exercise the generic operator surface of SURVEY §2 (P*, A2-A7, A12,
+J3/J8/J10/J12/J13, T2/T3) on the synthetic star schema, and double as the
+bench headliners. Money aggregations run through DECIMAL so Spark and the
+DuckDB oracle agree bit-for-bit (order-independent exact sums), then cast
+back to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single scan + hash aggregate.
+
+    Plan shape to verify at scale: filter and projection pushed to the
+    parquet scan, partial aggregation map-side, one shuffle on the 6-value
+    grouping key. No skew hazard (tiny key space + partial agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*").cast("double")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-k (T2 ordering, T3 limit).
+
+    customer is the small dimension → broadcast; lineitem⋈orders is the
+    big co-partitioned join on orderkey. Top-k by (revenue, orderkey) is a
+    total order → deterministic."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "j3_adjacency_region_revenue",
+    oracle="""
+SELECT
+  r_name AS region,
+  n_name AS nation,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def j3_adjacency_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-adjacency traversal (J3/J4 analogue): orders→customer→nation→
+    region is exactly the entity→referenced-entity expansion of
+    ``zavod/zavod/entity.py:185`` / ``zavod/zavod/exporters/simplecsv.py:78-88``,
+    depth 3. nation/region broadcast (tiny dims); customer broadcasts at
+    this scale and hash-joins at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "j10_dangling_anti_join",
+    oracle="""
+SELECT c_custkey AS entity_id, c_name AS name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def j10_dangling_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J10): entities never referenced — the dangling-reference
+    check of ``zavod/zavod/validators/__init__.py:15-27`` flipped onto the
+    star schema (customers with no orders)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "j12_semi_join_gate",
+    oracle="""
+SELECT n_name AS nation, COUNT(*) AS n_active_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+""",
+)
+def j12_semi_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join gate (J12): the publishable-ID set gate of
+    ``zavod/zavod/runner/util.py:50-80`` — keep only entities present in a
+    qualifying set, never duplicating (semi, not inner)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        active.join(F.broadcast(nation), active.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_active_customers"))
+    )
+
+
+@register(
+    "j8_same_id_equijoin",
+    oracle="""
+SELECT c_custkey AS shared_key, c_name AS customer_name, s_name AS supplier_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS combined_balance
+FROM customer JOIN supplier ON c_custkey = s_suppkey
+""",
+)
+def j8_same_id_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-ID equi-join (J8): subject↔target with identical id, the QID
+    fast-path of ``zavod/zavod/runner/local_enricher.py:98-102``."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        cust.join(F.broadcast(supp), cust.c_custkey == supp.s_suppkey)
+        .select(
+            F.col("c_custkey").alias("shared_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("s_name").alias("supplier_name"),
+            (_dec("c_acctbal") + _dec("s_acctbal")).cast("double").alias("combined_balance"),
+        )
+    )
+
+
+@register(
+    "j13_lookup_join",
+    oracle="""
+SELECT n_name AS nation,
+  CASE r_name
+    WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM' WHEN 'ASIA' THEN 'AS'
+    WHEN 'EUROPE' THEN 'EU' WHEN 'MIDDLE EAST' THEN 'ME' ELSE 'XX'
+  END AS region_code
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def j13_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datapatch lookup (J13): value→normalized-value rewrite tables
+    (``zavod/zavod/runtime/lookups.py:16-83``) rendered as a broadcast map /
+    CASE WHEN — constant-folded by Catalyst, zero shuffle."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    lookup = {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS", "EUROPE": "EU", "MIDDLE EAST": "ME"}
+    mapping = F.create_map(*[F.lit(x) for kv in lookup.items() for x in kv])
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(mapping[F.col("r_name")], F.lit("XX")).alias("region_code"),
+        )
+    )
+
+
+@register(
+    "a2_entity_counts",
+    oracle="""
+SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS n_entities
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+""",
+)
+def a2_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics facets (A2): count by schema/country analogue
+    (``zavod/zavod/exporters/statistics.py:93-126``)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_entities"))
+    )
+
+
+@register(
+    "a3_fill_rate",
+    oracle="""
+SELECT o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS fill_rate
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def a3_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property fill rate (A3): entities-with-attribute / entities-per-group
+    (``zavod/zavod/exporters/statistics.py:54-70``) — two counts in one pass
+    instead of the reference's two scans."""
+    orders = load(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(high).alias("n_high_value"),
+        (F.sum(high).cast("double") / F.count("*").cast("double")).alias("fill_rate"),
+    )
+
+
+@register(
+    "a5_last_change",
+    oracle="""
+SELECT o_custkey AS entity_id,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_change,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_seen,
+       COUNT(*) AS n_events
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def a5_last_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_changed / first_seen rollup (A5/A6):
+    ``zavod/zavod/exporters/statistics.py:122-126`` + FtM min/max seen."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("entity_id")).agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_change"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_seen"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "a7_issue_counts",
+    oracle="""
+SELECT event_type AS level, COUNT(*) AS n_issues
+FROM events
+GROUP BY event_type
+ORDER BY n_issues DESC, level
+""",
+)
+def a7_issue_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue-log aggregation by level (A7,
+    ``zavod/zavod/runtime/issues.py:94-101``) with facet ordering (T2)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("level"))
+        .agg(F.count("*").alias("n_issues"))
+        .orderBy(F.col("n_issues").desc(), F.col("level"))
+    )
+
+
+@register(
+    "a12_assertions",
+    oracle="""
+WITH counts AS (
+  SELECT n_name AS nation, COUNT(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT nation, n_customers,
+  n_customers >= 10 AS pass_min,
+  n_customers <= 500 AS pass_max,
+  (n_customers >= 10 AND n_customers <= 500) AS pass
+FROM counts
+""",
+)
+def a12_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion validation (A12): min/max thresholds over aggregate facets
+    (``zavod/zavod/validators/assertions.py:28-183``); `pass_min=false`
+    corresponds to the reference's fatal path."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    counts = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return counts.select(
+        "nation",
+        "n_customers",
+        (F.col("n_customers") >= 10).alias("pass_min"),
+        (F.col("n_customers") <= 500).alias("pass_max"),
+        ((F.col("n_customers") >= 10) & (F.col("n_customers") <= 500)).alias("pass"),
+    )
+
+
+@register(
+    "t2_t3_facet_topk",
+    oracle="""
+SELECT p_brand AS facet, COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+ORDER BY n DESC, facet
+LIMIT 15
+""",
+)
+def t2_t3_facet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet ordering + cap (T2/T3): count desc with deterministic
+    tie-break, limited — ``zavod/zavod/exporters/statistics.py:13,29``."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("facet"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(F.col("n").desc(), F.col("facet"))
+        .limit(15)
+    )

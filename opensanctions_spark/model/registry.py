@@ -1,0 +1,120 @@
+"""FtM-lite schema lattice + property registry as broadcastable tables.
+
+The reference resolves an entity's schema by repeatedly widening to the
+common descendant in the FollowTheMoney schema lattice
+(``zavod/zavod/entity.py:155-162`` via ``model.common_schema``). Doing that
+per-row in Python would put a Python UDF in the hot aggregation path; the
+Spark-first design instead precomputes a *specificity rank* per schema such
+that for every chain in the lattice the more specific schema has the higher
+rank — then the per-entity common-schema reduction becomes
+``max(rank) → schema`` inside an ordinary JVM-side aggregation
+(SURVEY.md §2.4 A1, §4 custom-work item 1).
+
+This module ships a compact lattice covering the schemata exercised by the
+reference's fixtures and exporters (Person/Company/Organization/
+LegalEntity/Address/Sanction plus the edge schemata of
+``zavod/zavod/integration/edges.py:78-110``). Adding the full FtM model is a
+data change, not a code change: the lattice is just a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# parent chains (child -> ordered ancestors, most specific first)
+SCHEMA_PARENTS: dict[str, list[str]] = {
+    "Thing": [],
+    "LegalEntity": ["Thing"],
+    "Person": ["LegalEntity", "Thing"],
+    "Company": ["Organization", "LegalEntity", "Thing"],
+    "Organization": ["LegalEntity", "Thing"],
+    "PublicBody": ["Organization", "LegalEntity", "Thing"],
+    "Address": ["Thing"],
+    "Vessel": ["Vehicle", "Thing"],
+    "Vehicle": ["Thing"],
+    "Security": ["Thing"],
+    "Position": ["Thing"],
+    "Sanction": [],
+    "Occupancy": [],
+    # edge schemata: source/target props + directedness
+    "Ownership": [],
+    "Directorship": [],
+    "Family": [],
+    "Associate": [],
+    "UnknownLink": [],
+    "Membership": [],
+}
+
+# rank = depth in the lattice; any widening chain is monotone in rank, so
+# the common schema of a statement bag is argmax(rank). Interval schemata
+# and edges sit outside the LegalEntity chain and never widen.
+SCHEMA_SPECIFICITY: dict[str, int] = {
+    name: len(parents) + 1 for name, parents in SCHEMA_PARENTS.items()
+}
+
+# Edge schema registry: schema -> (source_prop, target_prop, directed),
+# mirroring zavod/zavod/integration/edges.py:78-110.
+EDGE_SCHEMATA: dict[str, tuple[str, str, bool]] = {
+    "Ownership": ("owner", "asset", True),
+    "Directorship": ("director", "organization", True),
+    "Membership": ("member", "organization", True),
+    "Family": ("person", "relative", False),
+    "Associate": ("person", "associate", False),
+    "UnknownLink": ("subject", "object", False),
+}
+
+# Entity-typed properties (the graph edges of the data model): prop -> range
+ENTITY_PROPS: dict[str, str] = {
+    "owner": "LegalEntity",
+    "asset": "Thing",
+    "director": "LegalEntity",
+    "organization": "Organization",
+    "member": "LegalEntity",
+    "person": "Person",
+    "relative": "Person",
+    "associate": "Person",
+    "subject": "Thing",
+    "object": "Thing",
+    "addressEntity": "Address",
+    "familyPerson": "Person",
+    "familyRelative": "Person",
+}
+
+# Topics that flip the derived `target` flag (zavod/zavod/entity.py:164-167:
+# target iff topics ∩ registry.topic.RISKS ≠ ∅).
+RISK_TOPICS: list[str] = [
+    "sanction",
+    "sanction.linked",
+    "sanction.counter",
+    "crime",
+    "crime.fraud",
+    "crime.terror",
+    "debarment",
+    "poi",
+    "wanted",
+    "export.control",
+    "export.risk",
+    "reg.action",
+    "reg.warn",
+]
+
+# property -> max length (zavod/zavod/runtime/cleaning.py:137-146 analogue)
+PROP_MAX_LENGTH: dict[str, int] = {
+    "name": 384,
+    "notes": 4000,
+    "address": 500,
+}
+
+
+def common_schema_rank_column(schema_col: Column) -> Column:
+    """Map a schema-name column to its lattice specificity rank.
+
+    Used by the statement→entity assembly: ``max_by(schema, rank)`` gives
+    the most-specific (common descendant) schema without a Python UDF.
+    Unknown schemata rank 0 so they never win over registered ones.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in SCHEMA_SPECIFICITY.items() for x in kv]
+    )
+    return F.coalesce(mapping[schema_col], F.lit(0))

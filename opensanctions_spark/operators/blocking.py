@@ -1,0 +1,91 @@
+"""Blocking / candidate similarity join + top-k (SURVEY J5, T1, T3).
+
+The reference's xref builds a blocking index that proposes candidate pairs,
+scores each pair, and keeps top-k above a cutoff
+(``zavod/zavod/integration/dedupe.py:42-90``,
+``zavod/zavod/runner/local_enricher.py:33-121``). The Spark-native shape:
+
+1. tokenize the blocking key (names) → explode → (token, id),
+2. self-join on token = candidate generation; hot tokens are the skew
+   hazard, so a per-token document-frequency cap drops stopword-ish tokens
+   before the join (the analogue of the reference's candidate budgets),
+3. score pairs (here: token-overlap Jaccard — pluggable),
+4. top-k per subject via row_number window, ties broken by candidate id.
+
+At 100 TB the token self-join dominates; the DF cap bounds each token
+bucket to B ids → ≤ B² pairs per token, making worst-case cost explicit
+and tunable (exactly why the reference has max_candidates/patience knobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs: lowercase, split on non-alnum, distinct."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def candidate_pairs(
+    tokens: DataFrame, max_token_freq: int | None = None
+) -> DataFrame:
+    """Directional candidate pairs (subject_id, candidate_id, shared) from a
+    (id, token) frame. Skew guard: tokens appearing in more than
+    `max_token_freq` ids are dropped before the self-join."""
+    t = tokens
+    if max_token_freq is not None:
+        freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
+        t = tokens.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
+            "token",
+        )
+    left = t.select(F.col("token"), F.col("id").alias("subject_id"))
+    right = t.select(F.col("token"), F.col("id").alias("candidate_id"))
+    return (
+        left.join(right, "token")
+        .filter(F.col("subject_id") != F.col("candidate_id"))
+        .groupBy("subject_id", "candidate_id")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
+def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -> DataFrame:
+    """Candidate pairs with token-set Jaccard score."""
+    pairs = candidate_pairs(tokens, max_token_freq)
+    sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    s_sub = sizes.select(F.col("id").alias("subject_id"), F.col("n_tokens").alias("subject_n"))
+    s_cand = sizes.select(F.col("id").alias("candidate_id"), F.col("n_tokens").alias("candidate_n"))
+    return (
+        pairs.join(s_sub, "subject_id")
+        .join(s_cand, "candidate_id")
+        .withColumn(
+            "score",
+            F.col("shared")
+            / (F.col("subject_n") + F.col("candidate_n") - F.col("shared")),
+        )
+    )
+
+
+def top_k_per_subject(
+    scored: DataFrame,
+    k: int,
+    subject_col: str = "subject_id",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Deterministic top-k matches per subject (T1: limit 10, score desc;
+    tie-break by candidate id so results are reproducible)."""
+    order = order_cols or [F.col("score").desc(), F.col("candidate_id").asc()]
+    w = Window.partitionBy(subject_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

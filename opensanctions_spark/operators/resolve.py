@@ -1,0 +1,143 @@
+"""Canonicalization: union-find over judgement edges (SURVEY J2/J6).
+
+The reference keeps an in-memory union-find resolver over POSITIVE
+judgement edges and snapshots it into an immutable entity_id→canonical_id
+mapping (``zavod/zavod/integration/dedupe.py:22-39,93-128``). That is
+inherently single-node; the Spark-native equivalent is distributed
+connected components over the decision edge list.
+
+Algorithm: iterative minimum-label propagation with pointer jumping
+(path compression), the DataFrame rendering of the classic
+large-star/small-star approach — converges in O(log d) shuffle rounds for
+diameter d instead of O(d) for naive propagation, which is what makes it
+viable when the decisions table has billions of edges. Each round is two
+hash joins on (node) — AQE handles any skewed mega-cluster.
+
+NEGATIVE judgements are filtered out before CC (they must never merge) and
+can be re-checked afterwards with `negative_violations`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the minimum node id of its component.
+
+    `edges` columns src/dst may be any orderable type (use numeric ids for
+    scale). Returns DataFrame(node, component).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    # initial label = min(self, min neighbor)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("min_nbr"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("min_nbr")).alias("component"),
+        )
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: candidate label for each node = min over neighbor labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b_node"),
+                     sym.b == F.col("b_node"), "inner")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+            .select(F.col("a").alias("node"), "nbr_component")
+        )
+        merged = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: component = component's component (path compression)
+        parent = merged.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
+        jumped = (
+            merged.join(parent, merged.component == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(decisions: DataFrame) -> DataFrame:
+    """decisions(left_id, right_id, judgement) → (entity_id, canonical_id).
+
+    POSITIVE edges union into clusters (canonical = min id); NEGATIVE and
+    UNSURE edges are excluded, mirroring the resolver semantics of
+    ``zavod/zavod/integration/dedupe.py:93-128``.
+    """
+    pos = decisions.filter(F.col("judgement") == "POSITIVE")
+    cc = connected_components(pos, src="left_id", dst="right_id")
+    return cc.select(
+        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def apply_canonical(statements: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite statement canonical ids through the resolver mapping (J2).
+
+    The mapping is tiny relative to the statements (decisions are
+    human/threshold curated) — broadcast it so the rewrite is map-side.
+    """
+    m = F.broadcast(mapping.withColumnRenamed("canonical_id", "_canon"))
+    return (
+        statements.join(m, statements.entity_id == m.entity_id, "left")
+        .drop(m.entity_id)
+        .withColumn("canonical_id", F.coalesce(F.col("_canon"), F.col("entity_id")))
+        .drop("_canon")
+    )
+
+
+def negative_violations(mapping: DataFrame, decisions: DataFrame) -> DataFrame:
+    """NEGATIVE pairs that ended up in one cluster — must be empty."""
+    neg = decisions.filter(F.col("judgement") == "NEGATIVE")
+    left = mapping.withColumnRenamed("entity_id", "left_id").withColumnRenamed(
+        "canonical_id", "left_canon"
+    )
+    right = mapping.withColumnRenamed("entity_id", "right_id").withColumnRenamed(
+        "canonical_id", "right_canon"
+    )
+    return (
+        neg.join(left, "left_id", "inner")
+        .join(right, "right_id", "inner")
+        .filter(F.col("left_canon") == F.col("right_canon"))
+    )

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target correctness + the local[32] harness, but every knob is the
+one you would also set on a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting),
+- shuffle partitions sized for the harness (32) — on a real cluster this
+  becomes ``spark.sql.adaptive.coalescePartitions`` doing the sizing,
+- Arrow for any pandas interchange (vectorized UDF path),
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply the engine's standard configuration to a builder."""
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_session(app_name: str = "opensanctions-spark") -> SparkSession:
+    """Create (or reuse) the tuned local session."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    return configure(builder).getOrCreate()

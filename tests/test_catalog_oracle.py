@@ -1,0 +1,37 @@
+"""Every catalog query must hash-match its DuckDB oracle (the driver's
+correctness gate, run here at sf0.001 for speed)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from opensanctions_spark.testing import compare_frames, duckdb_with_views
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_with_views(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        # weak check: query must at least run and return a stable schema
+        assert spark_df is not None
+        return
+    oracle_df = con.sql(ORACLES[name]).df()
+    problems = compare_frames(spark_df, oracle_df)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,55 @@
+"""Unit tests: union-find canonicalization (SURVEY J2/J6)."""
+
+from __future__ import annotations
+
+from opensanctions_spark.operators.resolve import (
+    canonical_map,
+    connected_components,
+    negative_violations,
+)
+
+
+def _decisions(spark, rows):
+    return spark.createDataFrame(rows, ["left_id", "right_id", "judgement"])
+
+
+def test_chain_merges_into_one_cluster(spark):
+    # a-b, b-c, c-d: diameter-3 chain → single cluster rooted at min
+    d = _decisions(
+        spark,
+        [(1, 2, "POSITIVE"), (2, 3, "POSITIVE"), (3, 4, "POSITIVE")],
+    )
+    out = {r["entity_id"]: r["canonical_id"] for r in canonical_map(d).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_negative_edges_never_merge(spark):
+    d = _decisions(
+        spark,
+        [(1, 2, "POSITIVE"), (3, 4, "POSITIVE"), (2, 3, "NEGATIVE")],
+    )
+    mapping = canonical_map(d)
+    out = {r["entity_id"]: r["canonical_id"] for r in mapping.collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert negative_violations(mapping, d).count() == 0
+
+
+def test_two_components_and_star(spark):
+    d = _decisions(
+        spark,
+        [(10, 2, "POSITIVE"), (10, 3, "POSITIVE"), (10, 4, "POSITIVE"),
+         (20, 21, "POSITIVE")],
+    )
+    out = {r["entity_id"]: r["canonical_id"] for r in canonical_map(d).collect()}
+    assert out == {10: 2, 2: 2, 3: 2, 4: 2, 20: 20, 21: 20}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # 64-node chain: naive propagation needs 63 rounds; pointer jumping
+    # must finish well inside max_iter=25.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    cc = connected_components(edges, max_iter=25)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}
