@@ -1,1 +1,389 @@
-"""Text-analysis catalog queries (filled in incrementally)."""
+"""Text-analysis + deduplication catalog queries over the documents table.
+
+The LLM-training-data operator family (BASELINE.json north star): exact
+dedup, n-gram Jaccard near-dup, MinHash-LSH candidate generation, SimHash
+fingerprinting, language-ID heuristic, quality scoring, token counting,
+document fingerprinting, plus the reference's text-cleaning/safety guards
+(F3/F4/F14/F15). Every pipeline is pure JVM column expressions — the same
+code shape that runs over billions of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.functions.text import (
+    exceeds_max_length,
+    looks_unsafe,
+    squash_spaces,
+    token_count,
+)
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+
+
+@register(
+    "f3_f14_f15_text_guards",
+    oracle=r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_len,
+  regexp_matches(text, '(?i)(<\s*script|javascript:|on\w+\s*=|<\s*iframe|<\s*img)') AS has_xss,
+  length(text) > 400 AS too_long
+FROM documents
+""",
+)
+def f3_f14_f15_text_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning + safety guards (F3 token split, F4 space squash,
+    F14 XSS smell ``zavod/zavod/runtime/safety.py``, F15 max-length
+    ``zavod/zavod/runtime/cleaning.py:137-146``)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text"), "[A-Za-z0-9]+").cast("long").alias("n_tokens"),
+        F.length(squash_spaces(F.col("text"))).cast("long").alias("clean_len"),
+        looks_unsafe(F.col("text")).alias("has_xss"),
+        exceeds_max_length(F.col("text"), 400).alias("too_long"),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on content, keeper = min doc id.
+    One shuffle on a uniform hash key — the 100 TB-safe baseline dedup."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+        regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM fp GROUP BY fingerprint
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the sorted distinct token set —
+    catches reordered/whitespace-shuffled duplicates that exact dedup
+    misses, still one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_tokens(F.col("text")))), " ")
+        ).alias("fingerprint"),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(n_alnum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+    + 0.5 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio,
+    combined score — the length/punct/stopword heuristics of a training-
+    data filter, all in one scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_alnum.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            F.lit(0.5) * stop_ratio
+            + F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+        ).alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "es": ["el", "la", "los", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "les", "des", "et"],
+    "zh": ["de", "he", "shi", "zai"],
+}
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            f"x -> x IN ({lst}))) AS s_{lang}"
+        )
+    langs = list(_LANG_MARKERS)
+    case = "CASE WHEN " + " + ".join(f"s_{l}" for l in langs) + " = 0 THEN 'und' "
+    for i, l in enumerate(langs):
+        others = [f"s_{l} >= s_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"WHEN {cond} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_cols)} FROM documents
+)
+SELECT doc_id, {', '.join('s_' + l for l in langs)},
+       {case} AS predicted_lang,
+       ({case}) = lang AS agrees_with_label
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker counts per language, argmax
+    with fixed priority tie-break; 'und' when no marker hits."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def marker_count(words: list[str]):
+        # NB: one-param lambda — a two-param lambda would get (value, index)
+        ws = list(words)
+        return F.size(F.filter(toks, lambda x: x.isin(ws))).cast("long")
+
+    scores = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    df = docs.select("doc_id", "lang", *[scores[l].alias(f"s_{l}") for l in scores])
+    langs = list(_LANG_MARKERS)
+    total = sum(F.col(f"s_{l}") for l in langs)
+    pred = F.when(total == 0, "und")
+    for i, l in enumerate(langs):
+        cond = F.lit(True)
+        for o in langs[i + 1:]:
+            cond = cond & (F.col(f"s_{l}") >= F.col(f"s_{o}"))
+        pred = pred.when(cond, l)
+    return df.select(
+        "doc_id",
+        *[f"s_{l}" for l in langs],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, source, sh AS shingle
+  FROM (
+    SELECT doc_id, source,
+      unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM (SELECT doc_id, source,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM documents)
+  )
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    return (
+        docs.select("doc_id", "source", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS shared
+  FROM shingles a JOIN shingles b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.left_id, p.right_id, p.shared,
+  CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.left_id = sa.doc_id
+JOIN sizes sb ON p.right_id = sb.doc_id
+WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via word-3-gram Jaccard ≥ 0.2, blocked by
+    source. Exact but quadratic-within-block — the accuracy oracle that
+    MinHash-LSH approximates; the shingle equi-join keeps the quadratic
+    term per-shingle, not global."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source"), F.col("shingle"), F.col("doc_id").alias("left_id"))
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("right_id"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.source == b.source_b)
+            & (a.shingle == b.shingle_b)
+            & (a.left_id < b.right_id),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("left_id", "right_id", "shared", "jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+perms AS (SELECT unnest(range(8)) AS k),
+minhash AS (
+  SELECT doc_id, k,
+         MIN(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN perms
+  GROUP BY doc_id, k
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       COUNT(*) AS n_bands
+FROM minhash a JOIN minhash b
+  ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation (8 permutations, band size 1):
+    signature k = min over shingles of md5(k:shingle); docs agreeing on
+    any band become candidates. The scale path of dedup: cost is
+    O(docs × shingles × k) + a self-join on (band, value) buckets —
+    never all-pairs. md5-as-permutation keeps both engines identical."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    mh = (
+        sh.select("doc_id", "shingle", perms)
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+    a = mh.select(F.col("doc_id").alias("left_id"), "k", "mh")
+    b = mh.select(F.col("doc_id").alias("right_id"), F.col("k").alias("k_b"), F.col("mh").alias("mh_b"))
+    return (
+        a.join(b, (a.k == b.k_b) & (a.mh == b.mh_b) & (a.left_id < b.right_id))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def _simhash_oracle() -> str:
+    hexv = (
+        "(4096*(strpos('0123456789abcdef', substr(h,1,1))-1)"
+        " + 256*(strpos('0123456789abcdef', substr(h,2,1))-1)"
+        " + 16*(strpos('0123456789abcdef', substr(h,3,1))-1)"
+        " + (strpos('0123456789abcdef', substr(h,4,1))-1))"
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    recompose = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {hexv} AS v
+  FROM (SELECT doc_id, substr(md5(tok), 1, 4) AS h FROM toks)
+),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document fingerprint: per-bit majority vote over
+    token hashes. Near-dup docs land at small Hamming distance; the
+    fingerprint is a single groupBy over exploded tokens — embarrassingly
+    parallel at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    v = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    hashed = toks.select("doc_id", v.alias("v"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    )
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -1,1 +1,182 @@
-"""Vector similarity catalog queries (filled in incrementally)."""
+"""Vector similarity-search catalog queries over the embeddings table.
+
+ANN over an array<float> column: brute-force cosine top-k as the exactness
+baseline, and an IVF-style bucketed variant as the scale path. All math is
+double-precision with identical left-to-right fold order in Spark
+(``F.aggregate`` over ``zip_with``) and DuckDB (``list_reduce`` over
+``list_transform``), so scores are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+normed AS (
+  SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) AS score
+  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the ANN exactness baseline.
+
+    Query set (broadcast) × candidate scan → score → per-query top-k
+    window. At 100 TB the candidate side stays partitioned and only the
+    query block broadcasts — a single pass, no shuffle of the big side;
+    the window is per-query and tiny after candidate scoring."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    normed = emb.select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
+    q = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_ivf_bucketed",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST(list_position(embedding::DOUBLE[],
+                            list_aggregate(embedding::DOUBLE[], 'max')) AS BIGINT) AS bucket
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, emb, bucket, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) AS score
+  FROM normed q JOIN normed c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, bucket, score, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed ANN: coarse quantizer = argmax dimension (a
+    stand-in for k-means centroids), candidates restricted to the query's
+    bucket. The scale path: the candidate join is an equi-join on bucket,
+    so it shuffles once on the bucket key instead of scanning everything
+    per query — recall trades against the bucket count exactly like IVF
+    nprobe=1."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("emb"),
+    )
+    emb = emb.withColumn(
+        "bucket", F.array_position(F.col("emb"), F.array_max(F.col("emb")))
+    )
+    normed = emb.select("vec_id", "emb", "bucket", norm(F.col("emb")).alias("nrm"))
+    q = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bucket").alias("bucket_c"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("bucket_c")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,0 +1,69 @@
+"""Date parsing column functions (SURVEY F1/F2/P6).
+
+The reference parses messy multi-format dates into ISO *prefix* strings —
+``1990``, ``1990-05``, ``1990-05-01`` — truncated to day precision
+(``zavod/zavod/helpers/dates.py:41-128``,
+``zavod/zavod/runtime/cleaning.py:134-136``). Prefix dates stay strings and
+order lexicographically; only the parser needs real date semantics.
+
+Spark-first: a coalesce chain of ``try_to_timestamp`` attempts (JVM-side,
+null on mismatch — safe under ANSI mode) + regex passthrough for values
+already in ISO-prefix form. Month names are normalized with one
+regexp_replace pass per language table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ISO_PREFIX_RE = r"^\d{4}(-\d{2}(-\d{2})?)?$"
+
+# month-name → number (German sample mirrors the reference's per-dataset
+# month tables, zavod/zavod/meta/dataset.py:108-115)
+MONTHS_DE = {
+    "Januar": "01", "Februar": "02", "März": "03", "April": "04",
+    "Mai": "05", "Juni": "06", "Juli": "07", "August": "08",
+    "September": "09", "Oktober": "10", "November": "11", "Dezember": "12",
+}
+
+
+def normalize_month_names(col: Column, table: dict[str, str] | None = None) -> Column:
+    """Replace localized month names with zero-padded numbers."""
+    out = col
+    for name, num in (table or MONTHS_DE).items():
+        out = F.regexp_replace(out, rf"(?i)\b{name}\b", num)
+    return out
+
+
+def parse_date(col: Column, formats: list[str]) -> Column:
+    """Multi-format parse → ISO day-precision string (F1+F2).
+
+    Values already in ISO prefix form pass through unchanged (the
+    reference keeps year/month precision); otherwise the first matching
+    format wins; unparseable → null.
+    """
+    attempts = [
+        F.date_format(F.try_to_timestamp(col, F.lit(fmt)), "yyyy-MM-dd")
+        for fmt in formats
+    ]
+    return F.when(col.rlike(ISO_PREFIX_RE), col).otherwise(F.coalesce(*attempts))
+
+
+def truncate_day_precision(col: Column) -> Column:
+    """Cut timestamps to day precision, keep shorter prefixes intact
+    (``zavod/zavod/runtime/cleaning.py:134-136``)."""
+    return F.substring(col, 1, 10)
+
+
+def extract_years(col: Column) -> Column:
+    """All plausible years mentioned in a string (fallback parser)."""
+    return F.regexp_extract_all(col, F.lit(r"\b(1[89]\d{2}|20\d{2})\b"), F.lit(1))
+
+
+def within_max_age(col: Column, run_date: str, max_years: int) -> Column:
+    """Recency predicate on prefix dates (P6,
+    ``zavod/zavod/helpers/dates.py:210-229``): lexicographic compare
+    against the cutoff prefix is correct for ISO prefixes."""
+    cutoff = f"{int(run_date[:4]) - max_years}{run_date[4:10]}"
+    return col >= F.lit(cutoff)
