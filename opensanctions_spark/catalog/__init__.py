@@ -70,6 +70,7 @@ def _import_all() -> None:
         linkage,
         text,
         vectors,
+        exporters,
     )
 
 

@@ -1,0 +1,266 @@
+"""Exporter catalog queries (SURVEY §2.2): each sink projection run over
+the synthetic tables end-to-end — melt → assemble → sink — with the oracle
+spelling out the closed form in SQL over the raw tables.
+
+The Spark side deliberately goes through the WHOLE statement pipeline
+(statements → entity assembly → adjacency → sink projection) so the oracle
+checks the composition, not just the final select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.exporters import (
+    adjacent_entities,
+    maritime_export,
+    names_export,
+    nested_entities,
+    reverse_adjacency,
+    securities_export,
+    senzing_records,
+    simple_csv,
+    statistics_facets,
+)
+from opensanctions_spark.model.melt import finish_statements, melt_customers
+from opensanctions_spark.operators.assembly import assemble_entities
+
+# topic synthesized from the market segment (same rule as p1_target_filter)
+_TOPIC_SQL = """CASE c_mktsegment WHEN 'BUILDING' THEN 'sanction'
+                                  WHEN 'AUTOMOBILE' THEN 'crime' ELSE 'other' END"""
+
+
+def _export_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared entity view for exporter queries: customers as
+    LegalEntities (Person for every 3rd via alias widening) with topics and
+    an addressEntity reference; nations as Address entities."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    eid = F.concat(F.lit("c-"), F.col("c_custkey"))
+
+    base = melt_customers(cust)
+    alias_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        eid.alias("entity_id"),
+        F.lit("name").alias("prop"),
+        F.upper(F.col("c_name")).alias("value"),
+    )
+    aliases = finish_statements(alias_rows, dataset="customers", schema_name="Person")
+    topic = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "sanction")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "crime")
+        .otherwise("other")
+    )
+    topics = finish_statements(
+        cust.select(eid.alias("entity_id"), F.lit("topics").alias("prop"), topic.alias("value")),
+        dataset="customers", schema_name="LegalEntity",
+    )
+    addr_ref = finish_statements(
+        cust.select(
+            eid.alias("entity_id"),
+            F.lit("addressEntity").alias("prop"),
+            F.concat(F.lit("n-"), F.col("c_nationkey")).alias("value"),
+        ),
+        dataset="customers", schema_name="LegalEntity",
+    )
+    addr_stmts = finish_statements(
+        nation.select(
+            F.concat(F.lit("n-"), F.col("n_nationkey")).alias("entity_id"),
+            F.expr("stack(2, 'full', n_name || ' HQ', 'country', n_name) as (prop, value)"),
+        ),
+        dataset="geo", schema_name="Address",
+    )
+    stmts = base.unionByName(aliases).unionByName(topics).unionByName(addr_ref).unionByName(addr_stmts)
+    return assemble_entities(stmts)
+
+
+@register(
+    "k3_simple_csv",
+    oracle=f"""
+WITH names AS (
+  SELECT 'c-' || c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, upper(c_name) FROM customer WHERE c_custkey % 3 = 0
+),
+agg_names AS (
+  SELECT id, string_agg(name, ';' ORDER BY name) AS name
+  FROM (SELECT DISTINCT id, name FROM names) GROUP BY id
+)
+SELECT c.id,
+       CASE WHEN c_custkey % 3 = 0 THEN 'Person' ELSE 'LegalEntity' END AS entity_schema,
+       a.name,
+       CAST(c_nationkey AS VARCHAR) AS countries,
+       c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS target,
+       n_name || ' HQ' AS addresses
+FROM (SELECT 'c-' || c_custkey AS id, * FROM customer) c
+JOIN agg_names a ON a.id = c.id
+JOIN nation ON n_nationkey = c_nationkey
+""",
+)
+def k3_simple_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-CSV sink (K3, ``zavod/zavod/exporters/simplecsv.py:12-115``):
+    flatten multi-valued props with sorted ';' joins and pull addresses
+    through the shared adjacency join (the ViewFragment analogue)."""
+    entities = _export_entities(spark, sf_dir)
+    cust = entities.filter(F.col("canonical_id").startswith("c-"))
+    adjacency = adjacent_entities(entities, props=["addressEntity"])
+    return simple_csv(cust, adjacency).drop("first_seen", "last_seen")
+
+
+@register(
+    "k4_nested_json",
+    oracle=f"""
+WITH targets AS (
+  SELECT 'c-' || c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Person' ELSE 'LegalEntity' END AS entity_schema,
+         'addressEntity:n-' || c_nationkey AS link
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+)
+SELECT id, entity_schema, 1 AS n_adjacent, link AS nested FROM targets
+""",
+)
+def k4_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON sink (K4, ``zavod/zavod/exporters/nested.py:6-22``):
+    depth-1 adjacency embedding for target entities, links sorted for
+    deterministic output."""
+    entities = _export_entities(spark, sf_dir)
+    adjacency = adjacent_entities(entities, props=["addressEntity"])
+    return nested_entities(entities, adjacency)
+
+
+@register(
+    "k5_senzing",
+    oracle="""
+SELECT 'c-' || c_custkey AS RECORD_ID,
+       'OPEN_SANCTIONS' AS DATA_SOURCE,
+       CASE WHEN c_custkey % 3 = 0 THEN 'PERSON' ELSE 'GENERIC' END AS RECORD_TYPE,
+       CASE WHEN c_custkey % 3 = 0 AND upper(c_name) < c_name THEN upper(c_name)
+            ELSE c_name END AS NAME_FULL,
+       CAST(c_nationkey AS VARCHAR) AS COUNTRIES
+FROM customer
+""",
+)
+def k5_senzing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Senzing sink (K5, ``zavod/zavod/exporters/senzing.py:65-273``):
+    matchable-schema filter (P4) + record-type mapping + primary name."""
+    entities = _export_entities(spark, sf_dir)
+    return senzing_records(entities.filter(F.col("canonical_id").startswith("c-")))
+
+
+@register(
+    "k6_names_txt",
+    oracle="""
+SELECT name FROM (
+  SELECT c_name AS name FROM customer
+  UNION
+  SELECT upper(c_name) FROM customer WHERE c_custkey % 3 = 0
+)
+""",
+)
+def k6_names_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """names.txt sink (K6/A11, ``zavod/zavod/exporters/names.py:8-29``):
+    distinct names across name-ish props."""
+    entities = _export_entities(spark, sf_dir)
+    return names_export(entities)
+
+
+@register(
+    "k7_statistics",
+    oracle=f"""
+WITH ents AS (
+  SELECT 'c-' || c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Person' ELSE 'LegalEntity' END AS sch,
+         CAST(c_nationkey AS VARCHAR) AS country,
+         c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS target
+  FROM customer
+  UNION ALL
+  SELECT 'n-' || n_nationkey, 'Address', n_name, FALSE FROM nation
+)
+SELECT 'schema' AS facet, sch AS value, COUNT(*) AS n FROM ents GROUP BY sch
+UNION ALL
+SELECT 'country', country, COUNT(*) FROM ents WHERE country IS NOT NULL GROUP BY country
+UNION ALL
+SELECT 'target', CAST(target AS VARCHAR), COUNT(*) FROM ents GROUP BY target
+UNION ALL
+SELECT 'total', 'entities', COUNT(*) FROM ents
+""",
+)
+def k7_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statistics.json sink (K7/A2,
+    ``zavod/zavod/exporters/statistics.py:73-170``): exact facet counts by
+    schema / country / target + grand total, one unioned long table."""
+    entities = _export_entities(spark, sf_dir)
+    return statistics_facets(entities)
+
+
+@register(
+    "k9_securities",
+    oracle="""
+WITH issuers AS (
+  SELECT s_suppkey AS issuer_id, s_name AS issuer_name, s_acctbal < 0 AS risky
+  FROM supplier
+),
+secs AS (
+  SELECT 'p-' || p_partkey AS security_id, MIN(l_suppkey) AS issuer_id
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+  GROUP BY p_partkey
+)
+SELECT security_id, s.issuer_id, issuer_name, risky
+FROM secs s JOIN issuers i ON i.issuer_id = s.issuer_id
+""",
+)
+def k9_securities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """securities.csv sink (K9,
+    ``zavod/zavod/exporters/securities.py:83-154``): issuer-centric risk
+    table — securities resolved to their issuer (min supplier over trade
+    lines) broadcast-joined to the issuer dimension."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    secs = (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey)
+        .groupBy(F.concat(F.lit("p-"), F.col("p_partkey")).alias("security_id"))
+        .agg(F.min("l_suppkey").alias("issuer_id"))
+    )
+    issuers = supplier.select(
+        F.col("s_suppkey").alias("issuer_id"),
+        F.col("s_name").alias("issuer_name"),
+        (F.col("s_acctbal") < 0).alias("risky"),
+    )
+    return securities_export(secs, issuers)
+
+
+@register(
+    "k10_maritime",
+    oracle="""
+SELECT 'IMO' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') AS imo,
+       's-' || s_suppkey AS id,
+       s_name AS vessel_name,
+       n_name AS flag
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey % 5 = 0
+""",
+)
+def k10_maritime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maritime.csv sink (K10, ``zavod/zavod/exporters/maritime.py:41-103``):
+    Vessel-schema filter + imo explode + flag country."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    vessels = supplier.filter(F.col("s_suppkey") % 5 == 0).join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    stmts = finish_statements(
+        vessels.select(
+            F.concat(F.lit("s-"), F.col("s_suppkey")).alias("entity_id"),
+            F.expr(
+                "stack(3, "
+                "'imoNumber', 'IMO' || lpad(cast(s_suppkey as string), 7, '0'), "
+                "'name', s_name, "
+                "'flag', n_name) as (prop, value)"
+            ),
+        ),
+        dataset="maritime", schema_name="Vessel",
+    )
+    return maritime_export(assemble_entities(stmts))

@@ -1,0 +1,368 @@
+"""Exporters (SURVEY §2.2 K1-K12): sink projections over the entity view.
+
+The reference feeds ~10 sinks from ONE shared scan of the entity store
+(``zavod/zavod/exporters/__init__.py:49-84``). The Spark rendering: build
+the entities DataFrame once, ``persist()`` it, then run each sink's write
+action — Catalyst reuses the cached scan, so N sinks still cost one
+assembly shuffle (SURVEY §4 "multi-sink single scan").
+
+Every sink is a pure DataFrame→DataFrame projection (testable, oracle-able)
+plus a thin deterministic writer. Writers ``orderBy`` before writing because
+the reference relies on LevelDB key order for stable golden files
+(SURVEY §4 custom-work item 4).
+
+Scale notes:
+- the entity view is persisted at MEMORY_AND_DISK: at 100 TB the cache
+  spills per-partition, and each sink's projection is a narrow map over the
+  cached partitions — no extra shuffles;
+- adjacency sinks (simplecsv/nested/senzing) share ONE adjacency join
+  (``adjacent_entities``) rather than joining per sink — the reference's
+  ViewFragment LRU cache (``zavod/zavod/exporters/fragment.py:15-65``)
+  becomes a single shuffle reused by every consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opensanctions_spark.model.registry import ENTITY_PROPS, RISK_TOPICS
+
+MATCHABLE_SCHEMATA = ["Person", "Company", "Organization", "LegalEntity", "Vessel", "PublicBody"]
+
+
+def prop_values(properties: Column, prop: str) -> Column:
+    """properties map -> sorted value array for one prop ([] if absent)."""
+    return F.coalesce(properties[prop], F.array().cast("array<string>"))
+
+
+def target_flag(properties: Column) -> Column:
+    """Derived target flag (P1): topics ∩ RISK_TOPICS ≠ ∅
+    (``zavod/zavod/entity.py:164-167``)."""
+    risks = F.array(*[F.lit(t) for t in RISK_TOPICS])
+    return F.size(F.array_intersect(prop_values(properties, "topics"), risks)) > 0
+
+
+# --------------------------------------------------------------------------
+# adjacency (shared by K3/K4/K5) — the ViewFragment analogue
+
+
+def adjacent_entities(entities: DataFrame, props: list[str] | None = None) -> DataFrame:
+    """Forward adjacency (J3): one row per (entity, prop, adjacent entity).
+
+    Explodes the entity-typed properties and self-joins back to the entity
+    view — the declarative form of ``Entity.to_nested_dict``'s neighbour
+    lookup (``zavod/zavod/entity.py:174-198``). Returns columns
+    (canonical_id, prop, adj_id, adj_schema, adj_properties).
+    """
+    props = props or list(ENTITY_PROPS)
+
+    def tag(p: str):
+        # single-arg lambda: F.transform passes (element, index) to 2-arg ones
+        return lambda v: F.struct(F.lit(p).alias("prop"), v.alias("adj_id"))
+
+    refs = entities.select(
+        "canonical_id",
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.transform(prop_values(F.col("properties"), p), tag(p))
+                    for p in props
+                ])
+            )
+        ).alias("ref"),
+    ).select("canonical_id", "ref.prop", "ref.adj_id")
+    adj = entities.select(
+        F.col("canonical_id").alias("adj_id"),
+        F.col("schema").alias("adj_schema"),
+        F.col("properties").alias("adj_properties"),
+    )
+    return refs.join(adj, "adj_id", "inner")
+
+
+def reverse_adjacency(entities: DataFrame, props: list[str] | None = None) -> DataFrame:
+    """Reverse adjacency: who points AT each entity (``get_inverted``,
+    ``zavod/zavod/exporters/fragment.py:33-65``). Columns
+    (canonical_id, rev_prop, rev_id, rev_schema)."""
+    props = props or list(ENTITY_PROPS)
+
+    def tag(p: str):
+        return lambda v: F.struct(F.lit(p).alias("rev_prop"), v.alias("canonical_id"))
+
+    refs = entities.select(
+        F.col("canonical_id").alias("rev_id"),
+        F.col("schema").alias("rev_schema"),
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.transform(prop_values(F.col("properties"), p), tag(p))
+                    for p in props
+                ])
+            )
+        ).alias("ref"),
+    ).select("rev_id", "rev_schema", "ref.rev_prop", F.col("ref.canonical_id"))
+    return refs.join(
+        entities.select("canonical_id"), "canonical_id", "left_semi"
+    )
+
+
+# --------------------------------------------------------------------------
+# K1: FtM entities JSON (zavod/zavod/exporters/ftm.py:7-21)
+
+
+def ftm_entities(entities: DataFrame) -> DataFrame:
+    """One JSON document per entity — map props stay multi-valued arrays."""
+    return entities.select(
+        F.col("canonical_id").alias("id"),
+        F.to_json(
+            F.struct(
+                F.col("canonical_id").alias("id"),
+                F.col("schema"),
+                F.col("properties"),
+                target_flag(F.col("properties")).alias("target"),
+                F.col("first_seen"),
+                F.col("last_seen"),
+            )
+        ).alias("entity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K2: statements CSV (zavod/zavod/exporters/statements.py:9-30)
+
+STATEMENT_CSV_COLUMNS = [
+    "id", "entity_id", "canonical_id", "prop", "schema", "value",
+    "dataset", "lang", "original_value", "external", "first_seen", "last_seen",
+]
+
+
+def statements_csv(statements: DataFrame) -> DataFrame:
+    """Raw granular statement projection in the reference's column order."""
+    cols = [c for c in STATEMENT_CSV_COLUMNS if c in statements.columns]
+    return statements.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# K3: simple CSV (zavod/zavod/exporters/simplecsv.py:12-115)
+
+
+def simple_csv(entities: DataFrame, adjacency: DataFrame | None = None) -> DataFrame:
+    """Flattened target projection: multi-valued props joined ';' after
+    sorting, countries collected from adjacent Address entities (the
+    reference pulls them through the ViewFragment join,
+    ``zavod/zavod/exporters/simplecsv.py:78-109``)."""
+    props = F.col("properties")
+    flat = entities.select(
+        F.col("canonical_id").alias("id"),
+        F.col("schema").alias("entity_schema"),
+        F.array_join(prop_values(props, "name"), ";").alias("name"),
+        F.array_join(prop_values(props, "country"), ";").alias("countries"),
+        target_flag(props).alias("target"),
+        "first_seen",
+        "last_seen",
+    )
+    if adjacency is None:
+        return flat.withColumn("addresses", F.lit(""))
+    addr = (
+        adjacency.filter(F.col("adj_schema") == "Address")
+        .select(
+            "canonical_id",
+            F.explode(prop_values(F.col("adj_properties"), "full")).alias("addr"),
+        )
+        .groupBy("canonical_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("addr")), ";").alias("addresses"))
+        .withColumnRenamed("canonical_id", "id")
+    )
+    return flat.join(addr, "id", "left").withColumn(
+        "addresses", F.coalesce(F.col("addresses"), F.lit(""))
+    )
+
+
+# --------------------------------------------------------------------------
+# K4: nested JSON (zavod/zavod/exporters/nested.py:6-22)
+
+
+def nested_entities(entities: DataFrame, adjacency: DataFrame,
+                    reverse: DataFrame | None = None) -> DataFrame:
+    """Depth-1 graph embedding for target entities: collect adjacent
+    entities (forward via entity props, reverse via pointing edges) into a
+    sorted array — the bounded, cycle-free rendering of ``to_nested_dict``
+    (``zavod/zavod/entity.py:174-198``)."""
+    fwd = adjacency.select(
+        "canonical_id",
+        F.concat_ws(":", F.col("prop"), F.col("adj_id")).alias("link"),
+    )
+    links = fwd
+    if reverse is not None:
+        rev = reverse.select(
+            "canonical_id",
+            F.concat_ws(":", F.concat(F.lit("~"), F.col("rev_prop")), F.col("rev_id")).alias("link"),
+        )
+        links = fwd.unionByName(rev)
+    nested = links.groupBy("canonical_id").agg(
+        F.array_sort(F.collect_set("link")).alias("links")
+    )
+    targets = entities.filter(target_flag(F.col("properties")))
+    return (
+        targets.join(nested, "canonical_id", "left")
+        .select(
+            F.col("canonical_id").alias("id"),
+            F.col("schema").alias("entity_schema"),
+            F.coalesce(F.size("links"), F.lit(0)).alias("n_adjacent"),
+            F.array_join(F.coalesce(F.col("links"), F.array().cast("array<string>")), ";").alias("nested"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K5: Senzing JSON (zavod/zavod/exporters/senzing.py:65-273)
+
+
+def senzing_records(entities: DataFrame, dataset: str = "OPEN_SANCTIONS") -> DataFrame:
+    """Record-linkage vendor projection: matchable schemata only (P4),
+    RECORD_TYPE by schema family, primary name + countries."""
+    props = F.col("properties")
+    record_type = (
+        F.when(F.col("schema") == "Person", "PERSON")
+        .when(F.col("schema").isin("Company", "Organization", "PublicBody"), "ORGANIZATION")
+        .otherwise("GENERIC")
+    )
+    return entities.filter(F.col("schema").isin(MATCHABLE_SCHEMATA)).select(
+        F.col("canonical_id").alias("RECORD_ID"),
+        F.lit(dataset).alias("DATA_SOURCE"),
+        record_type.alias("RECORD_TYPE"),
+        F.element_at(prop_values(props, "name"), 1).alias("NAME_FULL"),
+        F.array_join(prop_values(props, "country"), "|").alias("COUNTRIES"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K6: names.txt (zavod/zavod/exporters/names.py:8-29)
+
+
+def names_export(entities: DataFrame) -> DataFrame:
+    """Distinct sorted names across name-ish props (the reference hashes
+    seen names to dedupe; distinct() is the declarative form)."""
+    props = F.col("properties")
+    name_arrays = F.flatten(
+        F.array(*[prop_values(props, p) for p in ("name", "alias", "weakAlias")])
+    )
+    return (
+        entities.select(F.explode(name_arrays).alias("name"))
+        .filter(F.length("name") > 0)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# K7: statistics.json (zavod/zavod/exporters/statistics.py:73-170)
+
+
+def statistics_facets(entities: DataFrame) -> DataFrame:
+    """Long facet table (facet, value, n) — schema counts, country counts,
+    target counts and the grand total, each an exact groupBy().count()."""
+    props = F.col("properties")
+    base = entities.select(
+        "canonical_id",
+        "schema",
+        prop_values(props, "country").alias("countries"),
+        target_flag(props).alias("target"),
+    )
+    by_schema = base.groupBy(F.col("schema").alias("value")).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("schema").alias("facet"), "value", "n")
+    by_country = (
+        base.select(F.explode("countries").alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("country").alias("facet"), "value", "n")
+    )
+    by_target = base.groupBy(F.col("target").cast("string").alias("value")).agg(
+        F.count("*").alias("n")
+    ).select(F.lit("target").alias("facet"), "value", "n")
+    total = base.agg(F.count("*").alias("n")).select(
+        F.lit("total").alias("facet"), F.lit("entities").alias("value"), "n"
+    )
+    return by_schema.unionByName(by_country).unionByName(by_target).unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# K9: securities.csv (zavod/zavod/exporters/securities.py:83-154)
+
+
+def securities_export(securities: DataFrame, issuers: DataFrame) -> DataFrame:
+    """Issuer-centric risk table: securities joined to their issuer entity
+    with the issuer's risk flag. Inputs are plain DataFrames
+    (security_id, issuer_id[, ...]) and (issuer_id, issuer_name, risky)."""
+    return securities.join(F.broadcast(issuers), "issuer_id", "inner")
+
+
+# --------------------------------------------------------------------------
+# K10: maritime.csv (zavod/zavod/exporters/maritime.py:41-103)
+
+
+def maritime_export(entities: DataFrame) -> DataFrame:
+    """IMO-keyed vessel rows: filter Vessel schema, explode imo values."""
+    props = F.col("properties")
+    return (
+        entities.filter(F.col("schema") == "Vessel")
+        .select(
+            F.explode(prop_values(props, "imoNumber")).alias("imo"),
+            F.col("canonical_id").alias("id"),
+            F.element_at(prop_values(props, "name"), 1).alias("vessel_name"),
+            F.array_join(prop_values(props, "flag"), ";").alias("flag"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K11/K12 + the multi-sink runner
+
+
+def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
+               dataset: str = "default") -> dict[str, int]:
+    """Run every file sink off one persisted entity scan; write the K12
+    metadata index manifest. Returns per-sink row counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    entities = entities.persist()
+    adjacency = adjacent_entities(entities).persist()
+    counts: dict[str, int] = {}
+
+    sinks: dict[str, tuple[DataFrame, list[str]]] = {
+        "entities.ftm.json": (ftm_entities(entities), ["id"]),
+        "statements.csv": (statements_csv(statements), ["id"]),
+        "targets.simple.csv": (simple_csv(entities, adjacency), ["id"]),
+        "targets.nested.json": (
+            nested_entities(entities, adjacency, reverse_adjacency(entities)), ["id"]),
+        "senzing.json": (senzing_records(entities), ["RECORD_ID"]),
+        "names.txt": (names_export(entities), ["name"]),
+        "statistics.json": (statistics_facets(entities), ["facet", "value"]),
+        "maritime.csv": (maritime_export(entities), ["imo"]),
+    }
+    for fname, (df, order) in sinks.items():
+        path = os.path.join(out_dir, fname)
+        ordered = df.orderBy(*order)
+        if fname.endswith(".csv"):
+            ordered.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        elif fname.endswith(".json"):
+            ordered.coalesce(1).write.mode("overwrite").json(path)
+        else:
+            ordered.coalesce(1).write.mode("overwrite").text(path)
+        counts[fname] = df.count()
+
+    # K12: metadata index manifest
+    index = {
+        "dataset": dataset,
+        "entity_count": counts.get("entities.ftm.json", 0),
+        "statement_count": statements.count(),
+        "resources": sorted(counts),
+        "row_counts": counts,
+    }
+    with open(os.path.join(out_dir, "index.json"), "w") as fh:
+        json.dump(index, fh, indent=2, sort_keys=True)
+    adjacency.unpersist()
+    entities.unpersist()
+    return counts
