@@ -71,6 +71,7 @@ def _import_all() -> None:
         text,
         vectors,
         exporters,
+        sources,
     )
 
 

@@ -1,0 +1,145 @@
+"""Source-scan catalog queries (SURVEY §2.1): each parse path exercised as
+serialize → distributed parse → recover, so the DuckDB oracle (which sees
+only the original table) checks that the parser is lossless.
+
+All parsing is JVM-side (from_csv / from_json / from_xml / regex) — no
+Python executes per row in any of these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.sources import (
+    parse_csv_column,
+    parse_html_table,
+    parse_json_column,
+    parse_xml_column,
+    strip_xml_namespaces,
+)
+
+
+@register(
+    "s1_csv_scan",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (S1): rows rendered to CSV lines then parsed back with
+    from_csv — the landed-file DictReader pattern, distributed."""
+    nation = load(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat_ws(",", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")).alias("line")
+    )
+    parsed = lines.select(
+        parse_csv_column(F.col("line"), "nationkey LONG, name STRING, regionkey LONG").alias("r")
+    )
+    return parsed.select("r.nationkey", "r.name", "r.regionkey")
+
+
+@register(
+    "s3_json_scan",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey, o_orderstatus AS status,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+FROM orders
+""",
+)
+def s3_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scan (S3, ``zavod/zavod/context.py:362-402``): documents
+    serialized per-row then parsed with from_json."""
+    orders = load(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            )
+        ).alias("doc")
+    )
+    parsed = docs.select(
+        parse_json_column(F.col("doc"), "orderkey LONG, status STRING, total DECIMAL(18,2)").alias("r")
+    )
+    return parsed.select(
+        "r.orderkey", "r.status", F.col("r.total").cast("double").alias("total")
+    )
+
+
+@register(
+    "s2_xml_scan",
+    oracle="""
+SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name AS name,
+       CAST(s_nationkey AS BIGINT) AS nationkey
+FROM supplier
+""",
+)
+def s2_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (S2, ``zavod/zavod/context.py:480-491``): namespaced XML
+    documents stripped (``zavod/zavod/helpers/xml.py:5``) and parsed with
+    from_xml, all JVM-side."""
+    supplier = load(spark, sf_dir, "supplier")
+    xml = supplier.select(
+        F.concat(
+            F.lit('<ns:supplier xmlns:ns="http://example.com/s"><ns:suppkey>'),
+            F.col("s_suppkey"),
+            F.lit("</ns:suppkey><ns:name>"),
+            F.col("s_name"),
+            F.lit("</ns:name><ns:nationkey>"),
+            F.col("s_nationkey"),
+            F.lit("</ns:nationkey></ns:supplier>"),
+        ).alias("doc")
+    )
+    stripped = xml.select(strip_xml_namespaces(F.col("doc")).alias("doc"))
+    parsed = stripped.select(
+        parse_xml_column(F.col("doc"), "suppkey LONG, name STRING, nationkey LONG").alias("r")
+    )
+    return parsed.select("r.suppkey", "r.name", "r.nationkey")
+
+
+@register(
+    "s5_html_table",
+    oracle="""
+SELECT CAST(r_regionkey AS BIGINT) AS regionkey, n_name AS name
+FROM region JOIN nation ON n_regionkey = r_regionkey
+""",
+)
+def s5_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table scan (S5, ``zavod/zavod/helpers/html.py:58-141``): one
+    landed HTML document per region containing a <table> of its nations;
+    rows+cells recovered via JVM-side regex — the 100 TB path for scraped
+    pages."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    pages = (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat(
+                F.lit("<table>"),
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(
+                                F.lit("<tr><td>"), F.col("n_name"),
+                                F.lit("</td><td><b>"), F.col("n_nationkey"),
+                                F.lit("</b></td></tr>"),
+                            )
+                        )
+                    ),
+                    "",
+                ),
+                F.lit("</table>"),
+            ).alias("html")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    parsed = parse_html_table(pages, "html")
+    return parsed.select(
+        F.col("r_regionkey").cast("long").alias("regionkey"),
+        F.element_at("cells", 1).alias("name"),
+    )

@@ -1,0 +1,138 @@
+"""Sources (SURVEY §2.1 S1-S12): scans into the statement pipeline.
+
+The reference's crawlers fetch + parse source documents driver-side
+(``zavod/zavod/context.py:309-491``). The Spark boundary is the *landed
+file*: HTTP fetching stays an ingestion concern (S8 cache table below);
+parsing is distributed — CSV/JSON via native readers, XML/HTML via
+``from_xml`` / JVM-side regex extraction over a text column, so no Python
+runs per row for any structured format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# S1: CSV scan (crawler DictReader pattern,
+# zavod/zavod/tests/fixtures/testdataset1/testentrypoint1.py:70-74)
+
+
+def read_csv_source(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Header CSV scan with a corrupt-record side channel — bad rows land in
+    ``_corrupt_record`` instead of failing the job (the issue-channel
+    analogue of ``zavod/zavod/runtime/issues.py``)."""
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema + ", _corrupt_record STRING")
+    return reader.csv(path)
+
+
+def parse_csv_column(col: Column, schema: str, sep: str = ",") -> Column:
+    """Parse an embedded CSV line column (from_csv — JVM-side)."""
+    return F.from_csv(col, schema, {"sep": sep})
+
+
+# --------------------------------------------------------------------------
+# S3: JSON scan (zavod/zavod/context.py:362-402)
+
+
+def read_json_source(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    return spark.read.option("multiLine", multiline).json(path)
+
+
+def parse_json_column(col: Column, schema: str) -> Column:
+    """Parse an embedded JSON document column (from_json — JVM-side)."""
+    return F.from_json(col, schema)
+
+
+# --------------------------------------------------------------------------
+# S2: XML scan (zavod/zavod/context.py:480-491; namespace strip
+# zavod/zavod/helpers/xml.py:5)
+
+
+def strip_xml_namespaces(col: Column) -> Column:
+    """Drop xmlns declarations and prefixed tag names — the distributed
+    equivalent of the reference's etree namespace strip."""
+    no_decl = F.regexp_replace(col, r"""\sxmlns(:\w+)?="[^"]*\"""", "")
+    return F.regexp_replace(no_decl, r"(</?)\w+:", r"$1")
+
+
+def parse_xml_column(col: Column, schema: str) -> Column:
+    """Parse an embedded XML document column (from_xml — JVM-side)."""
+    return F.from_xml(col, schema)
+
+
+# --------------------------------------------------------------------------
+# S5: HTML table scan (zavod/zavod/helpers/html.py:58-141)
+
+_ROW_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+_TAG_RE = r"<[^>]+>"
+
+
+def parse_html_table(df: DataFrame, html_col: str) -> DataFrame:
+    """<table> → one row per <tr>, cells as a trimmed string array.
+
+    Entirely JVM-side (regexp_extract_all + transform): the reference's
+    lxml ``parse_html_table`` runs per-document in Python; here a 100 TB
+    pile of landed HTML parses inside whole-stage codegen. Returns the
+    input columns + (row_idx, cells array<string>).
+    """
+    rows = df.withColumn(
+        "_rows", F.expr(f"regexp_extract_all({html_col}, '{_ROW_RE}', 1)")
+    ).select("*", F.posexplode("_rows").alias("row_idx", "_row")).drop("_rows")
+    cells = F.expr(f"regexp_extract_all(_row, '{_CELL_RE}', 1)")
+    cleaned = F.transform(
+        cells, lambda c: F.trim(F.regexp_replace(c, _TAG_RE, ""))
+    )
+    return rows.withColumn("cells", cleaned).drop("_row")
+
+
+# --------------------------------------------------------------------------
+# S6/S7: Excel & PDF — driver-side libs (openpyxl/xlrd/pdfplumber) are not
+# in this container; the Spark-side plumbing is real, the decode is gated.
+
+
+def read_excel_source(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """Excel scan (zavod/zavod/helpers/excel.py:72-210): driver-side pandas
+    parse → createDataFrame. Requires openpyxl at runtime."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
+    except ImportError as exc:  # openpyxl/xlrd missing in this container
+        raise NotImplementedError(
+            "Excel parsing needs openpyxl; land the sheet as CSV instead"
+        ) from exc
+    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+
+
+def read_pdf_tables(spark: SparkSession, path: str) -> DataFrame:
+    """PDF table scan (zavod/zavod/helpers/pdf.py:25-147) — pdfplumber is
+    not installed; out of engine scope per SURVEY §2.1 S7."""
+    raise NotImplementedError("PDF table extraction needs pdfplumber")
+
+
+# --------------------------------------------------------------------------
+# S8: cached HTTP fetch (zavod/zavod/context.py:309-360,458-478) — the
+# cache is a table keyed by request hash with day-granular TTL.
+
+
+def cache_lookup(cache: DataFrame, requests: DataFrame, url_col: str = "url",
+                 max_age_days: int = 14, now: str | None = None) -> DataFrame:
+    """Join requests against the fetch-cache table; rows with a fresh
+    cached response carry it, stale/missing rows have response NULL (the
+    ingestion layer fetches those and appends back)."""
+    now_ts = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    fresh = cache.filter(
+        F.col("fetched_at") >= F.date_sub(now_ts.cast("date"), max_age_days)
+    ).select(
+        F.col("url_hash").alias("_h"), F.col("response"), F.col("fetched_at")
+    )
+    keyed = requests.withColumn("_h", F.md5(F.col(url_col)))
+    return keyed.join(fresh, "_h", "left").drop("_h")

@@ -1,0 +1,99 @@
+"""Versioned statement archive (SURVEY §1.5, §2.1 S9/S10, §2.6 D2).
+
+The reference stores per-run artifacts at ``/artifacts/{dataset}/{version}``
+with a ``versions.json`` history window and backfill fallback to the latest
+successful version (``zavod/zavod/archive/__init__.py:10-231``). The Spark
+rendering: one parquet directory per (dataset, version) + a small JSON
+manifest; reads are plain ``spark.read.parquet`` so partition pruning and
+filter pushdown apply (P2's ``external`` filter reaches the scan).
+
+At cluster scale the base_dir is an object-store prefix; version listing
+reads only the manifest, never the data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VERSION_RE = re.compile(r"^\d{8}-\d{6}$")
+
+
+def new_version_id(now: datetime | None = None) -> str:
+    """Sortable run version id (the reference's version ids sort
+    lexicographically too, ``zavod/zavod/archive/__init__.py:10-66``)."""
+    now = now or datetime.now(timezone.utc)
+    return now.strftime("%Y%m%d-%H%M%S")
+
+
+class StatementArchive:
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+
+    # -- layout ------------------------------------------------------------
+    def _dataset_dir(self, dataset: str) -> str:
+        return os.path.join(self.base_dir, dataset)
+
+    def version_path(self, dataset: str, version: str) -> str:
+        return os.path.join(self._dataset_dir(dataset), version, "statements.parquet")
+
+    def _manifest_path(self, dataset: str) -> str:
+        return os.path.join(self._dataset_dir(dataset), "versions.json")
+
+    # -- manifest (versions.json analogue) ---------------------------------
+    def versions(self, dataset: str) -> list[str]:
+        try:
+            with open(self._manifest_path(dataset)) as fh:
+                return json.load(fh)["versions"]
+        except FileNotFoundError:
+            return []
+
+    def latest(self, dataset: str) -> str | None:
+        versions = self.versions(dataset)
+        return versions[-1] if versions else None
+
+    def _record_version(self, dataset: str, version: str, keep: int = 10) -> None:
+        versions = [v for v in self.versions(dataset) if v != version]
+        versions.append(version)
+        versions = sorted(versions)[-keep:]  # bounded history window
+        os.makedirs(self._dataset_dir(dataset), exist_ok=True)
+        with open(self._manifest_path(dataset), "w") as fh:
+            json.dump({"versions": versions, "last_successful": versions[-1]}, fh)
+
+    # -- write (statements.pack analogue) ----------------------------------
+    def write(self, statements: DataFrame, dataset: str, version: str | None = None) -> str:
+        version = version or new_version_id()
+        if not _VERSION_RE.match(version):
+            raise ValueError(f"bad version id: {version}")
+        statements.write.mode("overwrite").parquet(self.version_path(dataset, version))
+        self._record_version(dataset, version)
+        return version
+
+    # -- read with backfill fallback (S9/S10) ------------------------------
+    def read(self, dataset: str, version: str | None = None,
+             external: bool = False) -> DataFrame:
+        """Read one dataset's statements; version=None falls back to the
+        latest successful run (``zavod/zavod/archive/__init__.py:155-231``).
+        external=False drops enrichment candidates at the scan (P2)."""
+        version = version or self.latest(dataset)
+        if version is None:
+            raise FileNotFoundError(f"no versions for dataset {dataset}")
+        df = self.spark.read.parquet(self.version_path(dataset, version))
+        if not external and "external" in df.columns:
+            df = df.filter(~F.col("external"))
+        return df
+
+    def read_collection(self, datasets: list[str], external: bool = False) -> DataFrame:
+        """Collection scope = union of all leaf datasets' latest statements
+        (D2, ``zavod/zavod/archive/__init__.py:299-303``)."""
+        frames = [self.read(d, external=external) for d in datasets]
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out

@@ -1,0 +1,112 @@
+"""Sources (SURVEY §2.1): scan helpers, the versioned statement archive
+(S9/S10) and the HTTP cache table (S8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensanctions_spark.model.melt import melt_customers, melt_suppliers
+from opensanctions_spark.sources import (
+    cache_lookup,
+    parse_html_table,
+    read_csv_source,
+    read_pdf_tables,
+    strip_xml_namespaces,
+)
+from opensanctions_spark.sources.archive import StatementArchive, new_version_id
+
+
+def test_read_csv_source_corrupt_channel(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\nbad-row-with-no-comma\n2,y\n")
+    df = read_csv_source(spark, str(p), schema="a INT, b STRING")
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["a"], r["b"]) for r in good} == {(1, "x"), (2, "y")}
+    assert len(bad) == 1 and "bad-row" in bad[0]["_corrupt_record"]
+
+
+def test_strip_xml_namespaces(spark):
+    doc = '<ns:a xmlns:ns="http://x" xmlns="http://y"><ns:b>1</ns:b></ns:a>'
+    out = spark.range(1).select(
+        strip_xml_namespaces(F.lit(doc)).alias("x")
+    ).first()["x"]
+    assert out == "<a><b>1</b></a>"
+
+
+def test_parse_html_table_cells(spark):
+    html = "<table><tr><th>H1</th><th>H2</th></tr><tr><td> a </td><td><i>b</i></td></tr></table>"
+    df = spark.createDataFrame([(html,)], "html STRING")
+    rows = parse_html_table(df, "html").orderBy("row_idx").collect()
+    assert rows[0]["cells"] == ["H1", "H2"]
+    assert rows[1]["cells"] == ["a", "b"]
+
+
+def test_pdf_source_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        read_pdf_tables(spark, "/nonexistent.pdf")
+
+
+def test_archive_versioning_and_backfill(spark, sf_dir, tmp_path):
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    supp = melt_suppliers(spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+    v1 = arch.write(cust.limit(100), "customers", "20260801-000000")
+    v2 = arch.write(cust, "customers", "20260812-000000")
+    arch.write(supp, "suppliers", "20260812-000000")
+
+    assert arch.versions("customers") == [v1, v2]
+    assert arch.latest("customers") == v2
+    # default read = latest version (backfill fallback)
+    assert arch.read("customers").count() == cust.count()
+    assert arch.read("customers", version=v1).count() == 100
+    # collection union (D2)
+    both = arch.read_collection(["customers", "suppliers"])
+    assert both.count() == cust.count() + supp.count()
+    with pytest.raises(FileNotFoundError):
+        arch.read("nonexistent")
+    with pytest.raises(ValueError):
+        arch.write(cust, "customers", "not-a-version")
+
+
+def test_archive_external_filter_pushdown(spark, sf_dir, tmp_path):
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    flagged = cust.withColumn(
+        "external", F.col("entity_id").substr(F.lit(3), F.lit(99)).cast("long") % 4 == 0
+    )
+    arch.write(flagged, "customers", "20260813-000000")
+    internal = arch.read("customers")
+    assert internal.filter(F.col("external")).count() == 0
+    # the external filter must reach the parquet scan (P2 pushdown)
+    plan = internal._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "external" in plan
+
+
+def test_cache_lookup_ttl(spark):
+    cache = spark.createDataFrame(
+        [
+            (F.md5(F.lit("http://a")).cast("string"), "resp-a", "2026-08-10"),
+        ],
+        "url_hash STRING, response STRING, fetched_at STRING",
+    ).select(
+        F.md5(F.lit("http://a")).alias("url_hash"),
+        F.lit("resp-a").alias("response"),
+        F.lit("2026-08-10").cast("timestamp").alias("fetched_at"),
+    )
+    reqs = spark.createDataFrame([("http://a",), ("http://b",)], "url STRING")
+    out = cache_lookup(cache, reqs, max_age_days=14, now="2026-08-13 00:00:00")
+    rows = {r["url"]: r["response"] for r in out.collect()}
+    assert rows == {"http://a": "resp-a", "http://b": None}
+    # stale entry misses
+    stale = cache_lookup(cache, reqs, max_age_days=1, now="2026-08-13 00:00:00")
+    assert {r["url"]: r["response"] for r in stale.collect()} == {
+        "http://a": None, "http://b": None,
+    }
+
+
+def test_version_id_sortable():
+    assert new_version_id() > "20260101-000000"
