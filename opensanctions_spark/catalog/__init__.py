@@ -72,6 +72,7 @@ def _import_all() -> None:
         vectors,
         exporters,
         sources,
+        functions,
     )
 
 

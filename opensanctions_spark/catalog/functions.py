@@ -1,0 +1,265 @@
+"""Scalar-function catalog queries (SURVEY §2.8 F1/F5/F6/F7/F10/F11/F13):
+each cleaning family applied to synthetically-dirtied table values, with
+the DuckDB oracle computing the expected clean form directly from the
+source columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.functions.addresses import (
+    compose_address,
+    extract_po_box,
+    normalize_address,
+)
+from opensanctions_spark.functions.crypto import extract_wallets
+from opensanctions_spark.functions.dates import parse_date, within_max_age
+from opensanctions_spark.functions.identifiers import valid_imo, valid_inn
+from opensanctions_spark.functions.names import (
+    clean_name,
+    is_name_regular,
+    reorder_comma_name,
+)
+from opensanctions_spark.functions.numbers import extract_amount, extract_unit, normalize_unit
+from opensanctions_spark.functions.positions import occupancy_status
+
+RUN_DATE = "2026-08-13"
+
+
+@register(
+    "f1_f2_date_parse",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       CASE o_orderkey % 3
+         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+         ELSE strftime(o_orderdate, '%Y')
+       END AS parsed,
+       (CASE o_orderkey % 3
+         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+         ELSE strftime(o_orderdate, '%Y')
+       END) >= CAST(CAST('2026-08-13' AS DATE) - INTERVAL 35 YEAR AS VARCHAR)
+       AS recent
+FROM orders
+""",
+)
+def f1_f2_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date parse → ISO prefix strings (F1/F2) + recency
+    predicate on prefixes (P6). Input dates are rendered in three source
+    formats (German dotted, US slashed, bare year) and must come back as
+    day- or year-precision ISO prefixes."""
+    orders = load(spark, sf_dir, "orders")
+    messy = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy"))
+    )
+    parsed = parse_date(messy, ["dd.MM.yyyy", "MM/dd/yyyy"])
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        parsed.alias("parsed"),
+        within_max_age(parsed, RUN_DATE, 35).alias("recent"),
+    )
+
+
+@register(
+    "f5_name_cleaning",
+    oracle="""
+SELECT 'c-' || c_custkey AS id,
+       CASE WHEN c_custkey % 2 = 0
+            THEN c_name || ' ' || c_mktsegment
+            ELSE c_name END AS cleaned,
+       TRUE AS regular
+FROM customer
+""",
+)
+def f5_name_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name cleaning chain (F5): honorific stripping, comma-form
+    reordering ("SEGMENT, Name" → "Name SEGMENT"), whitespace squashing,
+    plausibility heuristic — regex column fns only."""
+    cust = load(spark, sf_dir, "customer")
+    messy = (
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("Dr.  "), F.col("c_mktsegment"), F.lit(" ,  "), F.col("c_name")),
+        )
+        .otherwise(F.concat(F.lit("Mr. Prof. "), F.col("c_name")))
+    )
+    # comma reorder needs the squashed form: "SEGMENT, Name" (strip first)
+    cleaned = clean_name(reorder_comma_name(clean_name(messy)))
+    return cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("id"),
+        cleaned.alias("cleaned"),
+        is_name_regular(cleaned).alias("regular"),
+    )
+
+
+@register(
+    "f6_number_parse",
+    oracle="""
+SELECT 'p-' || p_partkey AS id,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 1000 AS DOUBLE) AS grams,
+       'g' AS unit
+FROM part
+""",
+)
+def f6_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number + unit normalization (F6): '1234.56 kg' → (1234560.0, 'g')
+    via regex extract, decimal cast, factor-table multiply."""
+    part = load(spark, sf_dir, "part")
+    messy = F.concat(
+        F.col("p_retailprice").cast("decimal(18,2)").cast("string"), F.lit(" kg")
+    )
+    amount = extract_amount(messy)
+    unit = extract_unit(messy)
+    grams, canonical = normalize_unit(amount, unit)
+    return part.select(
+        F.concat(F.lit("p-"), F.col("p_partkey")).alias("id"),
+        grams.alias("grams"),
+        canonical.alias("unit"),
+    )
+
+
+@register(
+    "f7_identifier_checksums",
+    oracle="""
+WITH base AS (
+  SELECT s_suppkey,
+         lpad(CAST((s_suppkey * 37) % 1000000 AS VARCHAR), 6, '0') AS b6
+  FROM supplier
+),
+calc AS (
+  SELECT s_suppkey, b6,
+         (CAST(substr(b6,1,1) AS INT) * 7 + CAST(substr(b6,2,1) AS INT) * 6 +
+          CAST(substr(b6,3,1) AS INT) * 5 + CAST(substr(b6,4,1) AS INT) * 4 +
+          CAST(substr(b6,5,1) AS INT) * 3 + CAST(substr(b6,6,1) AS INT) * 2) % 10
+         AS check_digit
+  FROM base
+)
+SELECT 's-' || s_suppkey AS id,
+       b6 || CAST(CASE WHEN s_suppkey % 2 = 0 THEN check_digit
+                       ELSE (check_digit + 1) % 10 END AS VARCHAR) AS imo,
+       s_suppkey % 2 = 0 AS imo_ok
+FROM calc
+""",
+)
+def f7_identifier_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier checksum validation (F7): synthesize IMO numbers with a
+    correct check digit for even suppliers and a corrupted one for odd —
+    ``valid_imo`` (pure column math) must recover exactly the parity."""
+    supplier = load(spark, sf_dir, "supplier")
+    b6 = F.lpad(((F.col("s_suppkey") * 37) % 1000000).cast("string"), 6, "0")
+    check = sum(
+        F.substring(b6, i, 1).cast("int") * (8 - i) for i in range(1, 7)
+    ) % 10
+    digit = F.when(F.col("s_suppkey") % 2 == 0, check).otherwise((check + 1) % 10)
+    imo = F.concat(b6, digit.cast("string"))
+    return supplier.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("id"),
+        imo.alias("imo"),
+        valid_imo(imo).alias("imo_ok"),
+    )
+
+
+@register(
+    "f10_address_compose",
+    oracle="""
+SELECT 's-' || s_suppkey AS id,
+       s_name || ' Street 5, ' || n_name AS composed,
+       CASE WHEN s_suppkey % 4 = 0 THEN CAST(s_suppkey AS VARCHAR) END AS po_box
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+""",
+)
+def f10_address_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address composition + PO-box split (F10): compose (street, country)
+    with empty-part skipping; extract the box number from 'P.O. Box N'
+    forms every 4th row."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    street = F.concat(F.col("s_name"), F.lit("  Street 5"))
+    composed = normalize_address(
+        compose_address(street, F.lit(""), F.col("n_name"))
+    )
+    with_box = F.when(
+        F.col("s_suppkey") % 4 == 0,
+        F.concat(F.lit("P.O. Box "), F.col("s_suppkey"), F.lit(", "), composed),
+    ).otherwise(composed)
+    return joined.select(
+        F.concat(F.lit("s-"), F.col("s_suppkey")).alias("id"),
+        composed.alias("composed"),
+        extract_po_box(with_box).alias("po_box"),
+    )
+
+
+@register(
+    "f11_crypto_wallets",
+    oracle="""
+SELECT 'c-' || c_custkey AS id,
+       CASE WHEN c_custkey % 3 = 0
+            THEN '0x' || substr(md5(c_name), 1, 32) || substr(md5(c_mktsegment), 1, 8)
+       END AS wallet
+FROM customer
+""",
+)
+def f11_crypto_wallets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-wallet extraction (F11): pull ETH addresses out of free text
+    with regexp_extract_all; rows without a wallet yield null."""
+    cust = load(spark, sf_dir, "customer")
+    addr = F.concat(
+        F.lit("0x"),
+        F.substring(F.md5(F.col("c_name")), 1, 32),
+        F.substring(F.md5(F.col("c_mktsegment")), 1, 8),
+    )
+    text = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.lit("send funds to "), addr, F.lit(" asap")),
+    ).otherwise(F.lit("no wallet here, just 0xZZ and noise"))
+    wallets = extract_wallets(text, "ETH")
+    return cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("id"),
+        F.get(wallets, 0).alias("wallet"),
+    )
+
+
+@register(
+    "f13_occupancy_status",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       CASE
+         WHEN o_orderkey % 4 = 0 THEN            -- has end date
+           CASE
+             WHEN strftime(o_orderdate + INTERVAL 2 YEAR, '%Y-%m-%d') > '2026-08-13'
+               THEN 'current'
+             WHEN CAST(CAST(strftime(o_orderdate + INTERVAL 2 YEAR, '%Y') AS INT) + 5 AS VARCHAR)
+                  || substr(strftime(o_orderdate + INTERVAL 2 YEAR, '%Y-%m-%d'), 5, 6) >= '2026-08-13'
+               THEN 'ended'
+           END
+         WHEN o_orderkey % 4 = 1 THEN 'unknown'  -- no dates at all
+         ELSE 'current'                          -- start in the past, no end
+       END AS status
+FROM orders
+""",
+)
+def f13_occupancy_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEP occupancy state machine (F13): dated-end → current/ended/expired
+    by the after-office grace window; open-ended with past start →
+    current; dateless → unknown. All string comparisons on ISO prefixes."""
+    orders = load(spark, sf_dir, "orders")
+    start = F.when(
+        F.col("o_orderkey") % 4 != 1, F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    end = F.when(
+        F.col("o_orderkey") % 4 == 0,
+        F.date_format(F.expr("o_orderdate + INTERVAL 2 YEAR"), "yyyy-MM-dd"),
+    )
+    status = occupancy_status(start, end, F.lit("gov.national"), RUN_DATE)
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"), status.alias("status")
+    )

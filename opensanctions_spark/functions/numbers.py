@@ -44,5 +44,7 @@ def normalize_unit(amount: Column, unit: Column) -> tuple[Column, Column]:
         *[F.lit(x) for u, (_, f) in UNIT_FACTORS.items() for x in (u, f)]
     )
     canonical = F.coalesce(unit_map[unit], unit)
-    factor = F.coalesce(factor_map[unit], F.lit(1.0))
-    return (amount.cast("double") * factor), canonical
+    # multiply in DECIMAL so the result is exact (a double multiply here
+    # would drift vs exact-decimal engines), cast to double at the end
+    factor = F.coalesce(factor_map[unit], F.lit(1.0)).cast("decimal(18,6)")
+    return (amount * factor).cast("double"), canonical

@@ -1,0 +1,90 @@
+"""Unit tests for the F5/F10/F11/F13 function families (SURVEY §2.8),
+mirroring the reference's helper tests (zavod/zavod/tests/helpers/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opensanctions_spark.functions.addresses import (
+    compose_address,
+    extract_po_box,
+    normalize_address,
+)
+from opensanctions_spark.functions.crypto import extract_all_wallets, extract_wallets
+from opensanctions_spark.functions.names import (
+    clean_name,
+    is_name_regular,
+    make_name,
+    reorder_comma_name,
+    strip_titles,
+)
+from opensanctions_spark.functions.positions import occupancy_status
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("x")).first()["x"]
+
+
+def test_make_name_skips_empty(spark):
+    out = _one(spark, make_name(F.lit(" John "), F.lit(""), F.lit(None), F.lit("Doe")))
+    assert out == "John Doe"
+    assert _one(spark, make_name(F.lit(""), F.lit(None))) is None
+
+
+def test_strip_titles_stacked(spark):
+    assert _one(spark, strip_titles(F.lit("Mr. Prof. Jane Roe"))) == "Jane Roe"
+    assert _one(spark, strip_titles(F.lit("Drummond Lake"))) == "Drummond Lake"
+
+
+def test_reorder_comma_name(spark):
+    assert _one(spark, reorder_comma_name(F.lit("Doe, John"))) == "John Doe"
+    assert _one(spark, reorder_comma_name(F.lit("Acme, Inc, Ltd"))) == "Acme, Inc, Ltd"
+    assert _one(spark, reorder_comma_name(F.lit("NoComma"))) == "NoComma"
+
+
+def test_clean_name_and_regular(spark):
+    assert _one(spark, clean_name(F.lit("  Dr.  Ada   Lovelace "))) == "Ada Lovelace"
+    assert _one(spark, is_name_regular(F.lit("Ada Lovelace"))) is True
+    assert _one(spark, is_name_regular(F.lit("###"))) is False
+    assert _one(spark, is_name_regular(F.lit("x"))) is False
+    assert _one(spark, is_name_regular(F.lit("Müller & Söhne (GmbH)"))) is True
+
+
+def test_compose_and_normalize_address(spark):
+    out = _one(spark, compose_address(F.lit("1 Main St"), F.lit(""), F.lit("Berlin"), F.lit(None)))
+    assert out == "1 Main St, Berlin"
+    assert _one(spark, normalize_address(F.lit("1 Main St ,,  Berlin"))) == "1 Main St, Berlin"
+
+
+def test_po_box(spark):
+    assert _one(spark, extract_po_box(F.lit("P.O. Box 1234, Lagos"))) == "1234"
+    assert _one(spark, extract_po_box(F.lit("po box 99"))) == "99"
+    assert _one(spark, extract_po_box(F.lit("1 Main St"))) is None
+
+
+def test_wallets(spark):
+    text = F.lit(
+        "BTC 1BvBMSEYstWetqTFn5Au4m4GFg7xJaNVN2 and "
+        "ETH 0x52908400098527886E0F7030069857D2E4169EE7 ok"
+    )
+    assert _one(spark, extract_wallets(text, "BTC")) == ["1BvBMSEYstWetqTFn5Au4m4GFg7xJaNVN2"]
+    all_w = _one(spark, extract_all_wallets(text))
+    assert {(w["currency"]) for w in all_w} == {"BTC", "ETH"}
+
+
+def test_occupancy_status_branches(spark):
+    now = "2026-08-13"
+
+    def status(start, end, topic="gov.national"):
+        return _one(
+            spark,
+            occupancy_status(F.lit(start), F.lit(end), F.lit(topic), now),
+        )
+
+    assert status("2020-01-01", None) == "current"          # open-ended
+    assert status("2020-01-01", "2030-01-01") == "current"  # future end
+    assert status("2010-01-01", "2024-05") == "ended"       # within 5y grace
+    assert status("2010-01-01", "2015-01-01") is None       # grace expired
+    assert status(None, None) == "unknown"
+    # municipal grace is 1 year: ended 2024 is already expired
+    assert status("2010-01-01", "2024-05", topic="gov.muni") is None
