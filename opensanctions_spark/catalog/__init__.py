@@ -73,6 +73,7 @@ def _import_all() -> None:
         exporters,
         sources,
         functions,
+        graph,
     )
 
 

@@ -1,0 +1,224 @@
+"""Graph & consolidation catalog queries (SURVEY J4/J9/J11, A4/A9/A10):
+bounded BFS expansion, match-rule overrides, 2-hop cycle detection,
+sanction program facets, name reduction, undirected edge cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import load, register
+from opensanctions_spark.operators.consolidate import (
+    collapse_undirected_edges,
+    reduce_names,
+)
+from opensanctions_spark.operators.graph import expand_subgraph, self_reference_cycles
+from opensanctions_spark.operators.match_rules import apply_match_rules
+
+
+@register(
+    "j4_recursive_expansion",
+    oracle="""
+WITH seeds AS (
+  SELECT 'c-' || c_custkey AS node, c_nationkey
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+d1 AS (
+  SELECT DISTINCT 'n-' || c_nationkey AS node, n_regionkey
+  FROM seeds JOIN nation ON n_nationkey = c_nationkey
+),
+d2 AS (
+  SELECT DISTINCT 'r-' || n_regionkey AS node FROM d1
+)
+SELECT node, 0 AS depth FROM seeds
+UNION ALL
+SELECT node, 1 FROM d1
+UNION ALL
+SELECT node, 2 FROM d2
+""",
+)
+def j4_recursive_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded recursive expansion (J4,
+    ``zavod/zavod/runner/local_enricher.py:123-147``): depth-2 BFS from
+    BUILDING-segment customers through customer→nation→region edges, with
+    a visited anti-join per hop. Depths are minimal by construction."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    c2n = cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n-"), F.col("c_nationkey")).alias("dst"),
+    )
+    n2r = nation.select(
+        F.concat(F.lit("n-"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r-"), F.col("n_regionkey")).alias("dst"),
+    )
+    edges = c2n.unionByName(n2r)
+    seeds = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("node")
+    )
+    return expand_subgraph(edges, seeds, depth=2)
+
+
+@register(
+    "j9_match_rules",
+    oracle="""
+WITH pairs AS (
+  SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+         CAST(a.c_custkey % 100 AS DOUBLE) / 100.0 AS score,
+         -- strong ids overlap iff both keys share mod 10
+         (a.c_custkey % 10 = b.c_custkey % 10) AS strong_overlap,
+         -- id numbers: present for keys % 2 = 0; equal iff share mod 20
+         (a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 0) AS both_have_idnum,
+         (a.c_custkey % 20 = b.c_custkey % 20) AS idnum_equal
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 100
+)
+SELECT left_id, right_id,
+       CASE WHEN strong_overlap THEN 'POSITIVE'
+            WHEN both_have_idnum AND NOT idnum_equal THEN 'NEGATIVE'
+            WHEN score >= 0.7 THEN 'POSITIVE'
+            ELSE 'UNSURE' END AS judgement
+FROM pairs
+""",
+)
+def j9_match_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom match logic (J9, ``zavod/zavod/integration/logic.py:11-148``):
+    registration-id overlap forces POSITIVE, disjoint personal id numbers
+    veto, otherwise the score threshold decides — array-column rules on
+    scored candidate pairs."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(b, F.col("b.c_custkey") == F.col("a.c_custkey") + 100).select(
+        F.col("a.c_custkey").alias("left_id"),
+        F.col("b.c_custkey").alias("right_id"),
+        ((F.col("a.c_custkey") % 100).cast("double") / 100.0).alias("score"),
+        F.array(F.concat(F.lit("inn-"), F.col("a.c_custkey") % 10)).alias("left_strong_ids"),
+        F.array(F.concat(F.lit("inn-"), F.col("b.c_custkey") % 10)).alias("right_strong_ids"),
+        F.when(
+            F.col("a.c_custkey") % 2 == 0,
+            F.array(F.concat(F.lit("id-"), F.col("a.c_custkey") % 20)),
+        ).otherwise(F.array().cast("array<string>")).alias("left_id_numbers"),
+        F.when(
+            F.col("b.c_custkey") % 2 == 0,
+            F.array(F.concat(F.lit("id-"), F.col("b.c_custkey") % 20)),
+        ).otherwise(F.array().cast("array<string>")).alias("right_id_numbers"),
+    )
+    out = apply_match_rules(pairs, threshold=0.7)
+    return out.select("left_id", "right_id", "judgement")
+
+
+@register(
+    "j11_self_reference",
+    oracle="""
+WITH fwd AS (
+  SELECT 'c-' || c_custkey AS src, 'n-' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'n-' || c_nationkey, 'c-' || c_custkey
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT DISTINCT a.src AS node
+FROM fwd a JOIN fwd b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src <> a.dst
+""",
+)
+def j11_self_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop self-reference check (J11,
+    ``zavod/zavod/validators/__init__.py:31-46``): customers whose nation
+    'points back' (synthesized for every 7th) form u→v→u cycles; both
+    endpoints of each cycle are reported."""
+    cust = load(spark, sf_dir, "customer")
+    fwd = cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n-"), F.col("c_nationkey")).alias("dst"),
+    )
+    back = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.concat(F.lit("n-"), F.col("c_nationkey")).alias("src"),
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("dst"),
+    )
+    return self_reference_cycles(fwd.unionByName(back))
+
+
+@register(
+    "a4_program_facets",
+    oracle="""
+SELECT 'PROG-' || (o_orderkey % 7) AS program, COUNT(*) AS n
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey % 7
+""",
+)
+def a4_program_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanction program facets (A4,
+    ``zavod/zavod/exporters/statistics.py:39-46,112-114``): open orders as
+    active sanctions, programId = key mod 7, exact counts per program."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.concat(F.lit("PROG-"), F.col("o_orderkey") % 7).alias("program"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a9_name_reduction",
+    oracle="""
+WITH names AS (
+  SELECT 'c-' || c_custkey AS id, c_name AS name, 'name' AS kind FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, upper(c_name), 'alias' FROM customer
+  UNION ALL
+  SELECT 'c-' || c_custkey, 'Nick ' || c_custkey, 'weakAlias'
+  FROM customer WHERE c_custkey % 2 = 0
+),
+-- weakAlias drops (every entity has strong names); case-insensitive
+-- dedupe keeps min casing; kind prefers 'name'
+reduced AS (
+  SELECT id, lower(name) AS ci, min(name) AS name,
+         max(CASE WHEN kind = 'name' THEN 'name' ELSE NULL END) AS k1,
+         min(kind) AS k2
+  FROM names WHERE kind <> 'weakAlias'
+  GROUP BY id, lower(name)
+)
+SELECT id, name, COALESCE(k1, k2) AS kind FROM reduced
+""",
+)
+def a9_name_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name reduction (A9, ``zavod/zavod/exporters/consolidate.py:123-170``):
+    weak aliases demoted when strong names exist; case-insensitive
+    duplicates collapse to one deterministic casing."""
+    cust = load(spark, sf_dir, "customer")
+    eid = F.concat(F.lit("c-"), F.col("c_custkey")).alias("canonical_id")
+    strong = cust.select(eid, F.col("c_name").alias("name"), F.lit("name").alias("kind"))
+    alias = cust.select(eid, F.upper("c_name").alias("name"), F.lit("alias").alias("kind"))
+    weak = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        eid, F.concat(F.lit("Nick "), F.col("c_custkey")).alias("name"),
+        F.lit("weakAlias").alias("kind"),
+    )
+    reduced = reduce_names(strong.unionByName(alias).unionByName(weak))
+    return reduced.select(
+        F.col("canonical_id").alias("id"), "name", "kind"
+    )
+
+
+@register(
+    "a10_edge_cleanup",
+    oracle="""
+SELECT DISTINCT
+  CASE WHEN 'c-' || o_custkey < 'c-' || (o_custkey + 1) % 1000
+       THEN 'c-' || o_custkey ELSE 'c-' || (o_custkey + 1) % 1000 END AS src,
+  CASE WHEN 'c-' || o_custkey < 'c-' || (o_custkey + 1) % 1000
+       THEN 'c-' || (o_custkey + 1) % 1000 ELSE 'c-' || o_custkey END AS dst
+FROM orders
+""",
+)
+def a10_edge_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected-edge cleanup (A10/J7 bucket key,
+    ``zavod/zavod/exporters/consolidate.py:93-120``): normalize endpoints
+    to (least, greatest) and collapse doubled edges."""
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("c-"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("c-"), (F.col("o_custkey") + 1) % 1000).alias("dst"),
+    )
+    return collapse_undirected_edges(edges, "src", "dst").distinct()

@@ -43,6 +43,39 @@ def min_max_dates(df: DataFrame, keys: list[str], value_col: str = "value") -> D
     )
 
 
+def reduce_names(df: DataFrame, id_col: str = "canonical_id") -> DataFrame:
+    """Name reduction (A9, ``zavod/zavod/exporters/consolidate.py:123-170``):
+
+    - weak aliases are demoted (dropped) when the entity has any strong
+      name (kind 'name'/'alias'),
+    - case-insensitive duplicates collapse to one casing (the
+      lexicographically-first, deterministically),
+    - rows flagged ``protected`` (the reference's protected-datasets list)
+      are always kept as-is.
+
+    Input columns: id_col, name, kind ('name'|'alias'|'weakAlias')
+    [, protected bool]. One window + one groupBy, no Python per row.
+    """
+    if "protected" not in df.columns:
+        df = df.withColumn("protected", F.lit(False))
+    w = Window.partitionBy(id_col)
+    has_strong = F.max(
+        F.when(F.col("kind").isin("name", "alias"), 1).otherwise(0)
+    ).over(w)
+    kept = df.withColumn("_strong", has_strong).filter(
+        F.col("protected") | (F.col("kind") != "weakAlias") | (F.col("_strong") == 0)
+    )
+    return (
+        kept.groupBy(id_col, F.lower(F.col("name")).alias("_ci"))
+        .agg(
+            F.min("name").alias("name"),
+            F.max_by("kind", F.when(F.col("kind") == "name", 2).otherwise(1)).alias("kind"),
+            F.max("protected").alias("protected"),
+        )
+        .drop("_ci")
+    )
+
+
 def collapse_undirected_edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Normalize undirected edge endpoints to (least, greatest) order —
     the bucket key of edge dedupe (``zavod/zavod/integration/edges.py:78-110``)
