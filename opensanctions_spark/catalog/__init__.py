@@ -74,6 +74,7 @@ def _import_all() -> None:
         sources,
         functions,
         graph,
+        streaming,
     )
 
 

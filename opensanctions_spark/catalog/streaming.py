@@ -1,0 +1,61 @@
+"""Streaming catalog queries (SURVEY §2.9 extension): the windowed /
+sessionized transformations oracle-checked in BATCH mode — the exact same
+plan objects the streaming surface uses, fed from the batch reader. The
+streaming tests (tests/test_streaming.py) separately prove batch/stream
+parity via an availableNow run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opensanctions_spark.catalog import load_events, register
+from opensanctions_spark.streaming import sessionized_activity, windowed_event_counts
+
+
+@register(
+    "stream_windowed_agg",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+""",
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (watermarked in stream mode): hourly
+    counts + exact decimal sums per event type."""
+    return windowed_event_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user: Spark's session_window
+    operator vs the lag/cumulative-sum closed form — identical session
+    boundaries by definition (a session extends while consecutive events
+    are < gap apart)."""
+    return sessionized_activity(load_events(spark, sf_dir))

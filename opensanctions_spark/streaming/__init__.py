@@ -1,0 +1,101 @@
+"""Structured Streaming extension (SURVEY §2.9).
+
+The reference is pure batch — incrementality is versioned re-runs + delta
+exports. This module is the additive streaming surface over the same
+operators: the ``events`` table consumed as a stream with watermarked
+tumbling/session windows and stateful dedupe. Every transformation is
+defined once and works in BOTH batch and streaming mode (the DataFrames
+are unresolved plans; only the source differs), which is how the
+correctness gate can oracle-check the streaming logic in batch mode.
+
+Scale notes: watermarks bound state; the tumbling agg is a streaming
+hash-aggregate with partial aggregation per micro-batch; session windows
+use Spark's built-in session_window state store. At 100 TB/day the only
+knobs are watermark delay (state size) and shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts BIGINT"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream: nanosecond timestamps read as longs
+    (see catalog.load_events) and floored to microseconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    with_wm = events.withWatermark("ts", watermark)
+    return (
+        with_wm.groupBy(
+            F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+def sessionized_activity(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user: a session extends while consecutive events
+    are < gap apart (the stateful-streaming analogue of per-entity
+    activity grouping)."""
+    with_wm = events.withWatermark("ts", watermark)
+    return (
+        with_wm.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedupe on event_id with bounded state — the
+    streaming form of D3 (dropDuplicates on the statement content hash)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Materialize a stream to a memory sink, processing all available
+    input (the batch-parity harness used by tests). Aggregations need
+    'complete' (append would hold finalized windows until the watermark
+    passes, which never happens on a bounded run); row-level streams use
+    'append'."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(table_name)
