@@ -75,6 +75,7 @@ def _import_all() -> None:
         functions,
         graph,
         streaming,
+        multimodal,
     )
 
 

@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing (decode stub, features, frames,
+resize)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensanctions_spark.multimodal import (
+    decode_media,
+    extract_byte_features,
+    pack_media,
+    resize_buffer,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    return pack_media(docs, id_col="doc_id", payload_col="text")
+
+
+def test_pack_media_shape(media):
+    row = media.first()
+    assert row["kind"] == "raw" and isinstance(row["content"], (bytes, bytearray))
+    assert row["n_frames"] >= 1
+
+
+def test_decode_raw_identity(media):
+    decoded = decode_media(media)
+    joined = decoded.join(media, "media_id")
+    mismatches = joined.filter(F.col("buf") != F.col("content")).count()
+    assert mismatches == 0
+
+
+def test_decode_unknown_kind_raises(spark, media):
+    fake = media.withColumn("kind", F.lit("jpeg"))
+    with pytest.raises(Exception, match="no codec for kind"):
+        decode_media(fake).collect()
+
+
+def test_byte_features_match_python(media):
+    feats = {r["media_id"]: r for r in extract_byte_features(media).collect()}
+    for row in media.collect():
+        buf = bytes(row["content"])
+        f = feats[row["media_id"]]
+        assert f["n_bytes"] == len(buf)
+        assert f["n_distinct"] == len(set(buf))
+
+
+def test_sample_frames_stride(media):
+    frames = sample_frames(media, every=4, frame_bytes=16)
+    idx = [r["frame_idx"] for r in frames.filter(F.col("media_id") == 0).collect()]
+    assert idx == sorted(idx) and all(i % 4 == 0 for i in idx)
+
+
+def test_resize_fixed_width(media):
+    resized = resize_buffer(decode_media(media), target_bytes=32)
+    lengths = {len(bytes(r["buf"])) for r in resized.collect()}
+    assert lengths == {32}
