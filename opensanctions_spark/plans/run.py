@@ -1,0 +1,175 @@
+"""The full dataset run: crawl output → statements → entities → exports.
+
+Mirrors ``zavod run`` (``zavod/zavod/cli/etl.py:95-154``) as ONE Spark job
+graph:
+
+1. statements stamped with first_seen propagated from the previous
+   version (J1, ``zavod/zavod/runtime/timestamps.py``),
+2. versioned parquet write (the statements.pack + archive analogue),
+3. entity assembly (A1) — persisted once,
+4. validation: assertion thresholds with fatal-min semantics (A12,
+   ``zavod/zavod/validators/assertions.py:24-183``) + dangling-reference
+   anti-join (J10, ``zavod/zavod/validators/__init__.py:15-27``),
+5. every exporter off the shared scan (§2.2),
+6. delta vs the previous version (D0/D1) written alongside.
+
+The reference does store-sync into LevelDB between crawl and export; on
+Spark that whole stage *is* the assembly shuffle — there is no separate
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.exporters import export_all, prop_values
+from opensanctions_spark.model.registry import ENTITY_PROPS
+from opensanctions_spark.operators.assembly import assemble_entities
+from opensanctions_spark.operators.delta import hashed_entities, version_diff
+from opensanctions_spark.operators.timestamps import propagate_first_seen
+from opensanctions_spark.sources.archive import StatementArchive
+
+
+@dataclass
+class Assertion:
+    metric: str          # e.g. "entity_count", "schema:Person"
+    op: str              # "min" | "max"
+    threshold: int
+    level: str = "error"  # "error" (fatal) | "warning"
+
+
+@dataclass
+class DatasetConfig:
+    name: str
+    assertions: list[Assertion] = field(default_factory=list)
+
+
+@dataclass
+class RunResult:
+    dataset: str
+    version: str
+    entity_count: int
+    statement_count: int
+    target_count: int
+    schema_counts: dict[str, int]
+    delta_ops: dict[str, int]
+    dangling_count: int
+    violations: list[str]
+    export_counts: dict[str, int]
+
+
+def dangling_references(entities: DataFrame) -> DataFrame:
+    """Referenced entity ids that are not present in the view (J10)."""
+    props = list(ENTITY_PROPS)
+    refs = entities.select(
+        F.explode(
+            F.flatten(F.array(*[prop_values(F.col("properties"), p) for p in props]))
+        ).alias("ref")
+    ).distinct()
+    return refs.join(
+        entities.select(F.col("canonical_id").alias("ref")), "ref", "left_anti"
+    )
+
+
+def check_assertions(stats: dict[str, int], assertions: list[Assertion]) -> list[str]:
+    """Threshold checks over aggregate stats; returns violation messages.
+    ``min`` failures are fatal in the reference (the caller raises)."""
+    out = []
+    for a in assertions:
+        actual = stats.get(a.metric, 0)
+        if a.op == "min" and actual < a.threshold:
+            out.append(f"{a.level}: {a.metric}={actual} < min {a.threshold}")
+        elif a.op == "max" and actual > a.threshold:
+            out.append(f"{a.level}: {a.metric}={actual} > max {a.threshold}")
+    return out
+
+
+def run_dataset(
+    spark: SparkSession,
+    statements: DataFrame,
+    config: DatasetConfig,
+    archive: StatementArchive,
+    out_dir: str,
+    run_time: str,
+    version: str | None = None,
+) -> RunResult:
+    """Execute the full pipeline for one dataset run."""
+    # 1. first_seen propagation from the previous version (J1); both seen-
+    # timestamps are stamped at emit time like the reference's context.emit
+    prev_version = archive.latest(config.name)
+    prev = archive.read(config.name) if prev_version else None
+    statements = statements.drop("first_seen").withColumn(
+        "last_seen", F.lit(run_time)
+    )
+    if prev is not None:
+        statements = propagate_first_seen(
+            statements, prev.select("id", "first_seen"), run_time=run_time
+        )
+    else:
+        statements = statements.withColumn("first_seen", F.lit(run_time))
+    # 2. versioned write, then read back (single lineage for all consumers)
+    version = archive.write(statements, config.name, version)
+    statements = archive.read(config.name, version=version, external=True)
+
+    # 3. assembly — one shuffle, persisted for validators + exporters
+    entities = assemble_entities(statements).persist()
+
+    # 4. validation
+    schema_counts = {
+        r["schema"]: r["n"]
+        for r in entities.groupBy("schema").agg(F.count("*").alias("n")).collect()
+    }
+    from opensanctions_spark.exporters import target_flag
+
+    entity_count = entities.count()
+    target_count = entities.filter(target_flag(F.col("properties"))).count()
+    stats: dict[str, int] = {
+        "entity_count": entity_count,
+        "target_count": target_count,
+        **{f"schema:{k}": v for k, v in schema_counts.items()},
+    }
+    violations = check_assertions(stats, config.assertions)
+    if any(v.startswith("error") for v in violations):
+        entities.unpersist()
+        raise AssertionError("; ".join(violations))
+    dangling = dangling_references(entities).count()
+
+    # 5. exports (shared scan)
+    export_counts = export_all(entities, statements, out_dir, dataset=config.name)
+
+    # 6. delta vs previous version (D0/D1)
+    if prev is not None:
+        diff = version_diff(hashed_entities(prev), hashed_entities(statements))
+        delta_ops = {
+            r["op"]: r["n"]
+            for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        diff.orderBy("canonical_id").coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, "delta.json")
+        )
+    else:
+        delta_ops = {}
+
+    result = RunResult(
+        dataset=config.name,
+        version=version,
+        entity_count=entity_count,
+        statement_count=statements.count(),
+        target_count=target_count,
+        schema_counts=schema_counts,
+        delta_ops=delta_ops,
+        dangling_count=dangling,
+        violations=violations,
+        export_counts=export_counts,
+    )
+    with open(os.path.join(out_dir, "run.json"), "w") as fh:
+        json.dump(
+            {k: v for k, v in result.__dict__.items()}, fh, indent=2, sort_keys=True
+        )
+    entities.unpersist()
+    return result

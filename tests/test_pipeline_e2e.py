@@ -1,0 +1,128 @@
+"""End-to-end dataset run (SURVEY §7.1): fixture CSV → statements →
+versioned archive → assembly → validation → exports → delta, across two
+run versions — the Spark rendering of the reference's
+``zavod/zavod/tests/exporters/test_exporters.py`` + ``test_delta.py``
+multi-version scenarios."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensanctions_spark.model.melt import finish_statements
+from opensanctions_spark.plans import Assertion, DatasetConfig, run_dataset
+from opensanctions_spark.sources import read_csv_source
+from opensanctions_spark.sources.archive import StatementArchive
+
+# 12 entities: 8 persons, 4 orgs; 6 carry risk topics (targets)
+FIXTURE_V1 = """id,type,name,topics,country,associate
+p1,person,Alice Adams,sanction,de,o1
+p2,person,Bob Brown,crime,fr,
+p3,person,Carol Cruz,sanction,us,p1
+p4,person,Dan Drake,,de,
+p5,person,Eve Evans,,es,
+p6,person,Frank Fox,crime,it,
+p7,person,Grace Gray,,pl,x9
+p8,person,Hank Hill,,us,
+o1,org,Acme Corp,sanction,de,
+o2,org,Bolt Ltd,crime,fr,
+o3,org,Cog GmbH,,de,
+o4,org,Dyn SA,,es,
+"""
+
+# v2: p8 removed (DEL), o1 renamed (MOD), p9 added (ADD)
+FIXTURE_V2 = FIXTURE_V1.replace("p8,person,Hank Hill,,us,\n", "").replace(
+    "o1,org,Acme Corp", "o1,org,Acme Corporation"
+) + "p9,person,Ivy Irwin,,de,\n"
+
+
+def crawl(spark, csv_path: str):
+    """The fixture 'crawler': landed CSV → statements (the declarative
+    analogue of testentrypoint1.py's entity.add loop)."""
+    raw = read_csv_source(
+        spark, csv_path,
+        schema="id STRING, type STRING, name STRING, topics STRING, country STRING, associate STRING",
+    )
+    stacked = raw.select(
+        F.col("id").alias("entity_id"),
+        F.when(F.col("type") == "person", "Person").otherwise("Company").alias("schema"),
+        F.expr(
+            "stack(4, 'name', name, 'topics', topics, "
+            "'country', country, 'associate', associate) as (prop, value)"
+        ),
+    )
+    return finish_statements(stacked, dataset="fixture")
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    v1 = tmp_path / "v1.csv"
+    v2 = tmp_path / "v2.csv"
+    v1.write_text(FIXTURE_V1)
+    v2.write_text(FIXTURE_V2)
+    return str(v1), str(v2), str(tmp_path / "archive"), str(tmp_path / "out")
+
+
+def test_two_version_run(spark, paths):
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    config = DatasetConfig(
+        name="fixture",
+        assertions=[
+            Assertion("entity_count", "min", 10),
+            Assertion("schema:Person", "min", 5),
+            Assertion("entity_count", "max", 11, level="warning"),
+        ],
+    )
+
+    r1 = run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=os.path.join(out_dir, "r1"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    assert r1.entity_count == 12
+    assert r1.target_count == 6
+    assert r1.schema_counts == {"Person": 8, "Company": 4}
+    assert r1.dangling_count == 1            # p7 → x9 is unresolved
+    assert r1.delta_ops == {}                # no previous version
+    assert r1.violations == ["warning: entity_count=12 > max 11"]
+    assert r1.export_counts["entities.ftm.json"] == 12
+    assert r1.export_counts["names.txt"] == 12
+
+    r2 = run_dataset(
+        spark, crawl(spark, v2_csv), config, archive,
+        out_dir=os.path.join(out_dir, "r2"),
+        run_time="2026-08-13T00:00:00", version="20260813-000000",
+    )
+    assert r2.entity_count == 12
+    assert r2.delta_ops == {"ADD": 1, "DEL": 1, "MOD": 1}
+
+    # J1: statements carried from v1 keep their original first_seen
+    curr = archive.read("fixture", version="20260813-000000")
+    carried = curr.filter(F.col("entity_id") == "p1")
+    assert {r["first_seen"] for r in carried.collect()} == {"2026-08-01T00:00:00"}
+    fresh = curr.filter(F.col("entity_id") == "p9")
+    assert {r["first_seen"] for r in fresh.collect()} == {"2026-08-13T00:00:00"}
+
+    # run manifest on disk
+    with open(os.path.join(out_dir, "r2", "run.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["version"] == "20260813-000000"
+    assert manifest["delta_ops"] == {"ADD": 1, "DEL": 1, "MOD": 1}
+
+
+def test_fatal_assertion_aborts(spark, paths):
+    v1_csv, _, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    config = DatasetConfig(
+        name="fixture", assertions=[Assertion("entity_count", "min", 100)]
+    )
+    with pytest.raises(AssertionError, match="entity_count=12 < min 100"):
+        run_dataset(
+            spark, crawl(spark, v1_csv), config, archive,
+            out_dir=os.path.join(out_dir, "rX"),
+            run_time="2026-08-01T00:00:00", version="20260801-000000",
+        )
