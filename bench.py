@@ -31,6 +31,12 @@ HEADLINE = [
     "a8_t4_prefix_date_dedup",
     "j5_t1_blocking_topk",
     "j7_interval_overlap",
+    # exporter / streaming / dedup / ANN / multimodal families
+    "k3_simple_csv",
+    "stream_windowed_agg",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "mm_byte_features",
 ]
 
 

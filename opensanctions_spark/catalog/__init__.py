@@ -39,10 +39,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (TESTDATA.md)."""
+    """Read one synthetic table (TESTDATA.md).
+
+    The test parquets are single-row-group files, so the scan itself is one
+    task. For the compute-heavy-per-row tables (documents: regex/shingling;
+    embeddings: vector math) that single task would serialize the whole
+    query — repartition right after the scan so downstream work uses every
+    core. (Row-count-proportional tables like lineitem recover parallelism
+    at their first shuffle, so they are left to Catalyst.)
+    """
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -300,7 +300,7 @@ WITH shingles AS ({_SHINGLES_SQL}),
 perms AS (SELECT unnest(range(8)) AS k),
 minhash AS (
   SELECT doc_id, k,
-         MIN(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+         MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
   FROM shingles CROSS JOIN perms
   GROUP BY doc_id, k
 )
@@ -313,20 +313,24 @@ GROUP BY a.doc_id, b.doc_id
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation (8 permutations, band size 1):
-    signature k = min over shingles of md5(k:shingle); docs agreeing on
-    any band become candidates. The scale path of dedup: cost is
-    O(docs × shingles × k) + a self-join on (band, value) buckets —
-    never all-pairs. md5-as-permutation keeps both engines identical."""
-    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
-    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
-    mh = (
-        sh.select("doc_id", "shingle", perms)
-        .groupBy("doc_id", "k")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle")))
-            ).alias("mh")
-        )
+    each shingle is hashed ONCE and the 8 band hashes are overlapping
+    hex windows of that digest — one md5 per shingle instead of 8, and
+    the signature build is a single groupBy(doc_id) with 8 min-aggs (no
+    ×8 row explosion before the shuffle). Docs agreeing on any band
+    become candidates via the (band, value) bucket self-join — never
+    all-pairs. The scale path of dedup at 100 TB; on skewed corpora add a
+    bucket-size cap before pairing (buckets above it are stop-bands)."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("shingle")).alias("h")
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}") for k in range(8)]
+    )
+    stack_expr = "stack(8, " + ", ".join(
+        f"{k}, mh{k}" for k in range(8)
+    ) + ") as (k, mh)"
+    mh = sigs.select("doc_id", F.expr(stack_expr)).select(
+        "doc_id", F.col("k").cast("long").alias("k"), "mh"
     )
     a = mh.select(F.col("doc_id").alias("left_id"), "k", "mh")
     b = mh.select(F.col("doc_id").alias("right_id"), F.col("k").alias("k_b"), F.col("mh").alias("mh_b"))

@@ -64,6 +64,7 @@ def connected_components(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -74,25 +75,40 @@ def connected_components(
         parent = merged.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_component")
         )
-        jumped = (
-            merged.join(parent, merged.component == F.col("p_node"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_component"), F.col("component")),
-                ).alias("component"),
-            )
+        # carry the pre-round label through so convergence is a filter on
+        # the checkpointed frame, not an extra join+action per round
+        jumped = merged.join(
+            parent, merged.component == F.col("p_node"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("p_component"), F.col("component")),
+            ).alias("component"),
+            "old_component",
+        )
+        # second pointer jump: compresses paths twice per round, cutting
+        # the number of (expensive) propagation rounds for long chains
+        parent2 = jumped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
+        jumped = jumped.join(
+            parent2, jumped.component == F.col("p_node"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("p_component"), F.col("component")),
+            ).alias("component"),
+            "old_component",
         )
         jumped = jumped.localCheckpoint(eager=True)
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            jumped.filter(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = jumped
+        labels = jumped.drop("old_component")
         if changed == 0:
             break
     return labels
