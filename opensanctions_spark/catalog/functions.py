@@ -16,7 +16,11 @@ from opensanctions_spark.functions.addresses import (
     normalize_address,
 )
 from opensanctions_spark.functions.crypto import extract_wallets
-from opensanctions_spark.functions.dates import parse_date, within_max_age
+from opensanctions_spark.functions.dates import (
+    check_person_cutoff,
+    parse_date,
+    within_max_age,
+)
 from opensanctions_spark.functions.identifiers import valid_imo, valid_inn
 from opensanctions_spark.functions.names import (
     clean_name,
@@ -262,4 +266,38 @@ def f13_occupancy_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = occupancy_status(start, end, F.lit("gov.national"), RUN_DATE)
     return orders.select(
         F.col("o_orderkey").alias("orderkey"), status.alias("status")
+    )
+
+
+@register(
+    "p7_person_cutoff",
+    oracle="""
+SELECT 'c-' || c_custkey AS id,
+       '19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS birth,
+       CASE WHEN c_custkey % 5 = 0
+            THEN CAST(1990 + c_custkey % 40 AS VARCHAR) END AS death,
+       (c_custkey % 5 = 0 AND 1990 + c_custkey % 40 <= 2026)
+       OR ('19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')) < '1916-08-13'
+       AS dropped
+FROM customer
+""",
+)
+def p7_person_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person cutoff filter (P7): drop long-dead or implausibly-old
+    persons before enrichment expansion — prefix-date string compares
+    only (birth year 19XX from the key; every 5th person has a death
+    year)."""
+    cust = load(spark, sf_dir, "customer")
+    birth = F.concat(
+        F.lit("19"), F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0")
+    )
+    death = F.when(
+        F.col("c_custkey") % 5 == 0,
+        (F.lit(1990) + F.col("c_custkey") % 40).cast("string"),
+    )
+    return cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("id"),
+        birth.alias("birth"),
+        death.alias("death"),
+        check_person_cutoff(birth, death, RUN_DATE).alias("dropped"),
     )

@@ -391,3 +391,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(16)
     )
     return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data accounting: whitespace tokens and
+    a BPE-ish pre-tokenization (letter runs | digit runs | single
+    punctuation — the GPT-2-style split shape) — both pure regex counts,
+    JVM-side, embarrassingly parallel."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

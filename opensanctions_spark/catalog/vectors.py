@@ -180,3 +180,52 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       {_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS score
+FROM normed a JOIN normed b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= 0.25
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs above 0.25 cosine,
+    blocked by the cluster label (the IVF-bucket discipline — candidate
+    pairs only form inside a bucket, never across the full corpus). At
+    100 TB the bucket key carries the shuffle and per-bucket pair counts
+    stay quadratic-in-bucket, linear overall."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    normed = emb.select(
+        "vec_id", "label", "emb", norm(F.col("emb")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("label"),
+        F.col("vec_id").alias("left_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = normed.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("right_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    score = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("left_id") < F.col("right_id")))
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.25)
+        .select("left_id", "right_id", "score")
+    )

@@ -61,6 +61,19 @@ def extract_years(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(r"\b(1[89]\d{2}|20\d{2})\b"), F.lit(1))
 
 
+def check_person_cutoff(birth: Column, death: Column, run_date: str,
+                        max_age_years: int = 110) -> Column:
+    """P7: true when a person should be DROPPED from enrichment expansion —
+    dead, or born more than max_age_years before the run date (FtM
+    ``check_person_cutoff`` used at
+    ``zavod/zavod/runner/local_enricher.py:184``). Lexicographic compare
+    on ISO prefixes; missing dates keep the person."""
+    birth_cutoff = f"{int(run_date[:4]) - max_age_years}{run_date[4:10]}"
+    dead = death.isNotNull() & (death != "") & (death <= F.lit(run_date[:10]))
+    too_old = birth.isNotNull() & (birth != "") & (birth < F.lit(birth_cutoff))
+    return dead | too_old
+
+
 def within_max_age(col: Column, run_date: str, max_years: int) -> Column:
     """Recency predicate on prefix dates (P6,
     ``zavod/zavod/helpers/dates.py:210-229``): lexicographic compare
