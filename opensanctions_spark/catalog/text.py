@@ -320,6 +320,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     become candidates via the (band, value) bucket self-join — never
     all-pairs. The scale path of dedup at 100 TB; on skewed corpora add a
     bucket-size cap before pairing (buckets above it are stop-bands)."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
+    dedup_minhash_lsh for the algorithm notes."""
     sh = _shingles(spark, sf_dir).select(
         "doc_id", F.md5(F.col("shingle")).alias("h")
     )
@@ -338,6 +344,256 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.k == b.k_b) & (a.mh == b.mh_b) & (a.left_id < b.right_id))
         .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+_MINHASH_PAIRS_SQL = f"""
+shingles AS ({_SHINGLES_SQL}),
+perms AS (SELECT unnest(range(8)) AS k),
+minhash AS (
+  SELECT doc_id, k,
+         MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
+  FROM shingles CROSS JOIN perms
+  GROUP BY doc_id, k
+),
+mh_pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
+  FROM minhash a JOIN minhash b
+    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_near_cluster",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+edges AS (SELECT left_id, right_id FROM mh_pairs WHERE n_bands >= 4),
+sym AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION SELECT right_id, left_id FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""",
+)
+def dedup_near_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate resolution: MinHash-LSH candidate pairs
+    (≥4 agreeing bands) → distributed connected components → canonical
+    document per cluster (min doc_id keeps, the rest drop) — the full
+    dedup pipeline a training-data run executes, chaining the LSH stage
+    into the same union-find operator the entity resolver uses
+    (``zavod/zavod/integration/dedupe.py:93-128`` analogue). The oracle
+    recomputes the clusters with a recursive-CTE transitive closure —
+    valid at oracle scale, while the Spark side uses the O(log d)
+    pointer-jumping CC that survives 100 TB."""
+    from opensanctions_spark.operators.resolve import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    edges = _minhash_pairs(spark, sf_dir).filter(F.col("n_bands") >= 4)
+    cc = connected_components(edges, src="left_id", dst="right_id")
+    mapping = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_canon")
+    )
+    return (
+        docs.select("doc_id")
+        .join(mapping, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_canon"), F.col("doc_id")).alias("canonical_id"),
+            (F.coalesce(F.col("_canon"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+# hex→int of the first 4 md5 chars, both engines: the deterministic,
+# engine-portable "random" used for sampling (Spark: conv(hex, 16, 10)).
+_MD5_BUCKET_SQL = (
+    "(4096 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + 256 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    " + 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, CAST({_MD5_BUCKET_SQL} AS BIGINT) AS bucket
+FROM documents
+WHERE {_MD5_BUCKET_SQL} < 3
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a content-independent md5 hash
+    of the stable doc id buckets every document 0-9; keeping buckets < k
+    yields a reproducible k/10 sample *per stratum* (uniform hash ⇒
+    uniform within every lang/source slice). This is how a 100 TB corpus
+    is downsampled without a shuffle or an RNG seed dependency — the
+    predicate pushes to the scan and the sample is stable across runs
+    and engines (no rand())."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 3)
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+             / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by tf·(N/df) — the linear-
+    idf variant keeps the score a single exact multiply+divide so both
+    engines agree bit-for-bit (log-idf ranks identically but ties the
+    hash check to libm). Shape at scale: one groupBy for tf, one for df
+    (broadcast back — the vocabulary is small next to the corpus), one
+    per-doc window. The vocabulary-statistics pass of tokenizer
+    training / quality filtering."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 50 <> 0),
+eval_set AS (SELECT doc_id AS eval_id, shingle FROM shingles WHERE doc_id % 50 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN eval_set e ON c.shingle = e.shingle
+  GROUP BY c.doc_id, e.eval_id
+)
+SELECT h.doc_id, h.eval_id, h.n_shared,
+       CAST(h.n_shared AS DOUBLE) / CAST(s.n AS DOUBLE) AS contamination
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+""",
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-3-gram overlap between every
+    training document and a held-out eval set (here: doc_id % 50 = 0),
+    reported as the fraction of the training doc's distinct shingles that
+    appear in that eval doc. The eval side is tiny and broadcasts; the
+    corpus side streams — the contamination scan stays one broadcast-join
+    pass over 100 TB."""
+    sh = _shingles(spark, sf_dir)
+    corpus = sh.filter(F.col("doc_id") % 50 != 0).select("doc_id", "shingle")
+    eval_set = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("shingle").alias("shingle_e")
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        corpus.join(
+            F.broadcast(eval_set), F.col("shingle") == F.col("shingle_e")
+        )
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "eval_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n").cast("double")).alias(
+            "contamination"
+        ),
+    )
+
+
+@register(
+    "docs_length_histogram",
+    oracle="""
+SELECT lang,
+       CAST(n_chars // 25 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, n_chars // 25
+""",
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length histogram per language (25-char buckets): the
+    distribution scan behind length-based quality cutoffs. Exact bucket
+    groupBy (not approx quantiles) so the oracle is bit-stable; one
+    shuffle on (lang, bucket) — both low-cardinality, never skewed."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.expr("n_chars div 25").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )
 
 

@@ -182,6 +182,109 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: integer weights in [-8, 7]
+    derived from md5(plane-dim) — no RNG seed, identical in any engine or
+    run, embeddable as SQL literals for the oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[:2], 16) % 16 - 8
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _hyperplane_oracle() -> str:
+    planes = _hyperplanes()
+    terms = []
+    for p, w in enumerate(planes):
+        lst = "[" + ", ".join(str(v) for v in w) + "]::DOUBLE[]"
+        d = _dot_sql(f"({lst})", "emb")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sig AS (
+  SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM vecs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) AS score
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, bucket, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_lsh_hyperplane", oracle=_hyperplane_oracle())
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: each vector's 8-bit signature is the
+    sign pattern of dot products with deterministic md5-derived
+    hyperplanes; candidates must share the full signature bucket (the
+    SimHash-for-vectors discipline). One narrow projection computes the
+    signature, one equi-join on bucket carries the search — at 100 TB
+    the signature pass is embarrassingly parallel and the join shuffles
+    on a 256-value key with near-uniform occupancy; recall is tuned by
+    bands/bits exactly like MinHash-LSH."""
+    planes = _hyperplanes()
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    bucket = None
+    for p, w in enumerate(planes):
+        w_arr = F.array(*[F.lit(float(v)) for v in w])
+        bit = F.when(dot(w_arr, F.col("emb")) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = emb.select(
+        "vec_id", "emb", norm(F.col("emb")).alias("nrm"),
+        bucket.cast("long").alias("bucket"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bucket").alias("bucket_c"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("bucket_c")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
