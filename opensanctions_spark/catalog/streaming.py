@@ -10,7 +10,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from opensanctions_spark.catalog import load_events, register
-from opensanctions_spark.streaming import sessionized_activity, windowed_event_counts
+from opensanctions_spark.streaming import (
+    latest_stateful_totals,
+    run_available_now,
+    running_user_totals,
+    sessionized_activity,
+    stream_events,
+    windowed_event_counts,
+)
+
+_MEMSINK_SEQ = [0]
 
 
 @register(
@@ -59,3 +68,29 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries by definition (a session extends while consecutive events
     are < gap apart)."""
     return sessionized_activity(load_events(spark, sf_dir))
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_us
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals accumulated in the state store across
+    micro-batches. Unlike the windowed queries this one genuinely RUNS
+    the streaming engine (availableNow over the events file) and then
+    collapses the update-mode emission log to the final state — which
+    must equal the batch groupBy the oracle states."""
+    _MEMSINK_SEQ[0] += 1
+    emitted = run_available_now(
+        running_user_totals(stream_events(spark, sf_dir)),
+        f"stateful_totals_{_MEMSINK_SEQ[0]}",
+        output_mode="update",
+    )
+    return latest_stateful_totals(emitted)

@@ -83,6 +83,74 @@ def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + exact value total, carried across micro-batches
+    in the state store and re-emitted (update mode) whenever the user
+    appears in a batch.
+
+    This is the arbitrary-stateful-processing escape hatch the built-in
+    windows can't express (cross-batch accumulators, custom eviction,
+    state machines). Values are accumulated as integer microunits
+    (floor(value·1e6)) so totals are exact and order-independent — the
+    same decimal discipline the batch aggregations use. State size is
+    O(distinct users); at 100 TB/day add a ProcessingTimeTimeout to evict
+    idle keys, which is a one-argument change here."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, n_events BIGINT, total_value_us BIGINT, emit_seq BIGINT"
+    )
+    state_schema = "n BIGINT, total BIGINT, seq BIGINT"
+
+    def update(key, pdfs, state):  # noqa: ANN001 - harness signature
+        import pandas as pd
+
+        n, total, seq = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += int(pdf["value_us"].sum()) if len(pdf) else 0
+        seq += 1
+        state.update((n, total, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_us": [total],
+                "emit_seq": [seq],
+            }
+        )
+
+    prepped = (
+        events.select(
+            "user_id",
+            F.floor(F.col("value") * 1000000).cast("long").alias("value_us"),
+            "ts",
+        )
+        .withWatermark("ts", watermark)
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_stateful_totals(emitted: DataFrame) -> DataFrame:
+    """Collapse the update-mode emission log to the final per-user totals
+    (the last emit_seq wins — exactly the cumulative state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("emit_seq").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value_us")
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str,
                       output_mode: str = "complete") -> DataFrame:
     """Materialize a stream to a memory sink, processing all available
