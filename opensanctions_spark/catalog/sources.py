@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import load, register
 from opensanctions_spark.sources import (
+    absolutize_href,
     parse_csv_column,
+    parse_html_dom,
     parse_html_table,
     parse_json_column,
     parse_xml_column,
@@ -142,4 +144,52 @@ def s5_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         F.col("r_regionkey").cast("long").alias("regionkey"),
         F.element_at("cells", 1).alias("name"),
+    )
+
+
+@register(
+    "s4_html_dom",
+    oracle="""
+WITH elems AS (
+  SELECT doc_id, 0 AS elem_idx, 'title' AS tag,
+         'Doc ' || doc_id AS text, CAST(NULL AS VARCHAR) AS href
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'a', 'source', 'https://example.com/doc/' || doc_id
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'p', text || ' source', CAST(NULL AS VARCHAR)
+  FROM documents
+)
+SELECT doc_id, CAST(elem_idx AS INT) AS elem_idx, tag, text, href
+FROM elems
+""",
+)
+def s4_html_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML DOM parse (S4, ``zavod/zavod/context.py:404-456``): landed
+    pages parsed with the event-driven DOM collector (mapInPandas, stdlib
+    parser) and link targets made absolute. The page embeds a nested
+    <a> inside the <p>, so the oracle checks descendant-text semantics
+    (p text includes the anchor text) and element close-order (title,
+    a, p), which the regex table path cannot express."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"),
+            F.lit(' <a href="/doc/'),
+            F.col("doc_id"),
+            F.lit('">source</a></p></body></html>'),
+        ).alias("html"),
+    )
+    dom = parse_html_dom(pages, html_col="html", id_col="doc_id")
+    return dom.select(
+        "doc_id",
+        "elem_idx",
+        "tag",
+        "text",
+        absolutize_href(F.col("href"), "https://example.com").alias("href"),
     )

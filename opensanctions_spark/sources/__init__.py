@@ -94,6 +94,90 @@ def parse_html_table(df: DataFrame, html_col: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S4: HTML fetch + DOM (zavod/zavod/context.py:404-456) — the fetch is an
+# ingestion-layer concern (S8 cache); the DOM side is a real parser over the
+# landed HTML column. The regex table path (S5) covers well-formed tables;
+# this one uses the stdlib event-driven parser for attribute access, nesting
+# and malformed markup, Arrow-batched so each task parses columnar batches.
+
+_DOM_SCHEMA = "doc_id BIGINT, elem_idx INT, tag STRING, text STRING, href STRING"
+
+
+def parse_html_dom(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    tags: tuple = ("title", "p", "a"),
+) -> DataFrame:
+    """DOM-parse an HTML column: one output row per matched element, in
+    element-close order, with its text content and href attribute.
+
+    The reference parses fetched pages into an lxml DOM and makes links
+    absolute (``zavod/zavod/context.py:404-456``); here the parse runs as
+    a ``mapInPandas`` stage (stdlib ``html.parser`` — no external libs),
+    so a 100 TB pile of landed HTML fans out across executors while the
+    per-document work stays a linear single pass. Text accumulates into
+    every open matched element (descendant text counts, like DOM
+    text_content())."""
+    tag_set = set(tags)
+
+    def run(batches):
+        import pandas as pd
+        from html.parser import HTMLParser
+
+        class Collector(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.elems: list = []
+                self._stack: list = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag in tag_set:
+                    self._stack.append([tag, dict(attrs).get("href"), []])
+
+            def handle_endtag(self, tag):
+                if self._stack and self._stack[-1][0] == tag:
+                    t, href, parts = self._stack.pop()
+                    self.elems.append((t, "".join(parts).strip(), href))
+
+            def handle_data(self, data):
+                for frame in self._stack:
+                    frame[2].append(data)
+
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                c = Collector()
+                c.feed(html or "")
+                c.close()
+                for i, (t, txt, href) in enumerate(c.elems):
+                    rows.append((did, i, t, txt, href))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "elem_idx", "tag", "text", "href"]
+            )
+
+    import pandas as pd  # noqa: F401 - fail fast if pandas missing
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(html_col)
+    ).mapInPandas(run, _DOM_SCHEMA)
+
+
+def absolutize_href(href: Column, base_url: str) -> Column:
+    """Make link targets absolute against a base (the reference's
+    ``make_links_absolute``): scheme-qualified hrefs pass through,
+    root-relative ones get the origin, others the base path — pure column
+    logic, JVM-side."""
+    base = base_url.rstrip("/")
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("/"), F.concat(F.lit(base), href))
+        .otherwise(F.concat(F.lit(base), F.lit("/"), href))
+    )
+
+
+# --------------------------------------------------------------------------
 # S6/S7: Excel & PDF — driver-side libs (openpyxl/xlrd/pdfplumber) are not
 # in this container; the Spark-side plumbing is real, the decode is gated.
 

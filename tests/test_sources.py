@@ -110,3 +110,31 @@ def test_cache_lookup_ttl(spark):
 
 def test_version_id_sortable():
     assert new_version_id() > "20260101-000000"
+
+
+def test_parse_html_dom_malformed_and_entities(spark):
+    from opensanctions_spark.sources import absolutize_href, parse_html_dom
+
+    html = (
+        '<html><title>T &amp; U</title>'
+        "<p>outer <a href='x.html'>in<b>ner</b></a> tail"  # unclosed <p>
+        '<a href="https://other.org/y">abs</a>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
+    rows = (
+        parse_html_dom(df, html_col="html", id_col="doc_id")
+        .withColumn("href", absolutize_href(F.col("href"), "https://base.io/"))
+        .collect()
+    )
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r)
+    # entity decoded
+    assert by_tag["title"][0]["text"] == "T & U"
+    # nested element text accumulates into the anchor; relative href resolved
+    assert by_tag["a"][0]["text"] == "inner"
+    assert by_tag["a"][0]["href"] == "https://base.io/x.html"
+    # scheme-qualified href passes through
+    assert by_tag["a"][1]["href"] == "https://other.org/y"
+    # unclosed <p> never closes -> not emitted (event-parser semantics)
+    assert "p" not in by_tag
