@@ -35,6 +35,8 @@ HEADLINE = [
     "k3_simple_csv",
     "stream_windowed_agg",
     "dedup_minhash_lsh",
+    "dedup_near_cluster",
+    "text_tfidf_topk",
     "ann_cosine_topk",
     "mm_byte_features",
 ]
@@ -50,8 +52,20 @@ def main() -> None:
     spark = get_session("opensanctions-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM, parquet reader, shuffle machinery, codegen and the
+    # Python worker pool before timing (standard JIT-warmup discipline —
+    # every measured query then sees a hot engine, as a long-running
+    # cluster would).
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.groupBy("n_regionkey").count().count()
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    nation.select("n_nationkey").mapInPandas(
+        _ident, "n_nationkey BIGINT"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -46,10 +46,32 @@ def test_two_components_and_star(spark):
 
 def test_long_chain_converges_logarithmically(spark):
     # 64-node chain: naive propagation needs 63 rounds; pointer jumping
-    # must finish well inside max_iter=25.
+    # must finish well inside max_iter=25. driver_max_edges=None forces
+    # the distributed path (the small-graph fast path would hide it).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], ["src", "dst"]
     )
-    cc = connected_components(edges, max_iter=25)
+    cc = connected_components(edges, max_iter=25, driver_max_edges=None)
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # mixed chains + stars + isolates-in-edges: both physical strategies
+    # must produce the identical (node -> min member) labeling.
+    pairs = (
+        [(i, i + 1) for i in range(0, 20)]          # chain 0..20
+        + [(100, k) for k in (101, 102, 103)]        # star
+        + [(200, 201), (202, 203), (201, 202)]       # merged pairs
+    )
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_max_edges=None).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 100, 200}
