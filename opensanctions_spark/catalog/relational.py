@@ -396,3 +396,124 @@ def t2_t3_facet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("facet"))
         .limit(15)
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       b.total_qty
+FROM big b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: full lineitem
+    aggregate, HAVING filter, then join back to orders+customer. The
+    HAVING cut makes the agg output tiny, so it broadcasts into the
+    orders join — the aggregate-then-broadcast shape that avoids
+    re-shuffling the fact table a second time at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "w1_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window extension (the reference has no frame-spec windows —
+    SURVEY §2.7): exact running revenue per customer in (orderdate,
+    orderkey) order. Decimal accumulation keeps the cumulative sum
+    order-exact; one shuffle on o_custkey, sort within partitions."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation → year → grand total) in ONE pass —
+    the multi-granularity statistics the reference computes with separate
+    counters per facet (``zavod/zavod/exporters/statistics.py:93-126``),
+    expressed as Spark's ROLLUP so partial aggregation covers every level
+    in the same shuffle. Null grouping levels are labeled explicitly so
+    the cross-engine hash is dtype-stable."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("_yr"), "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "_yr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("_yr"), F.lit(-1)).cast("long").alias("yr"),
+            "n_orders",
+            "revenue",
+        )
+    )
