@@ -275,6 +275,81 @@ def j6_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_incremental_resolver",
+    oracle="""
+SELECT 'c-' || c_custkey AS entity_id,
+       'c-' || (c_custkey % 50) AS canonical_id
+FROM customer
+""",
+)
+def j6_incremental_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-canonicalization (SURVEY §7.3 hard-part (b)): start
+    from the mod-100 chain clusters of j6_canonical_map, then apply a
+    batch of NEW judgements linking cluster k to cluster k+50 (k < 50).
+    Only the touched components dissolve and re-solve; the closed form of
+    the result is canonical = custkey % 50, which the oracle states
+    directly — so the hash check proves incremental == full recompute."""
+    from opensanctions_spark.operators.resolve import incremental_canonical_map
+
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_custkey") >= 100).select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") - 100).alias("right_id"),
+        F.lit("POSITIVE").alias("judgement"),
+    )
+    base = canonical_map(pos)
+    all_nodes = cust.select(F.col("c_custkey").alias("entity_id"))
+    mapping = (
+        all_nodes.join(base, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("canonical_id"), F.col("entity_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    new = cust.filter(F.col("c_custkey") < 50).select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") + 50).alias("right_id"),
+        F.lit("POSITIVE").alias("judgement"),
+    )
+    updated = incremental_canonical_map(mapping, new)
+    return updated.select(
+        F.concat(F.lit("c-"), F.col("entity_id")).alias("entity_id"),
+        F.concat(F.lit("c-"), F.col("canonical_id")).alias("canonical_id"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a 3-value (maximally skewed)
+    grouping key: phase 1 shuffles on (key, salt16) so no reducer sees a
+    whole hot key, phase 2 reduces ≤16 partials per key. The oracle is
+    the plain groupBy — salting must be result-invariant. The explicit-
+    plan fallback for skew AQE can't split (single-key aggregations)."""
+    from opensanctions_spark.operators.skew import salted_sum_count
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    out = salted_sum_count(li, ["l_returnflag"], "qty", n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.col("total").cast("double").alias("total"),
+        "n_rows",
+    )
+
+
+@register(
     "j2_canonical_rekey",
     oracle="""
 SELECT 'c-' || (o_custkey % 100) AS canonical_id,

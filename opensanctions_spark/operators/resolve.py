@@ -202,6 +202,51 @@ def apply_canonical(statements: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def incremental_canonical_map(
+    mapping: DataFrame, new_decisions: DataFrame
+) -> DataFrame:
+    """Apply NEW judgements to an existing canonical mapping, re-running
+    connected components only over the affected components (SURVEY §7.3
+    "genuinely hard (b)": resolver incrementality).
+
+    `mapping` is a full (entity_id, canonical_id) snapshot (identity rows
+    for unmerged entities). Components containing an endpoint of a new
+    POSITIVE edge are dissolved into star edges (member → canonical),
+    unioned with the new edges, and re-solved; every other component
+    passes through untouched — so a nightly xref increment over a 100 TB
+    corpus costs O(affected subgraph), not a global recompute.
+    """
+    pos = new_decisions.filter(F.col("judgement") == "POSITIVE")
+    touched_nodes = (
+        pos.select(F.col("left_id").alias("entity_id"))
+        .union(pos.select(F.col("right_id").alias("entity_id")))
+        .distinct()
+    )
+    touched_comps = (
+        mapping.join(touched_nodes, "entity_id", "left_semi")
+        .select("canonical_id")
+        .distinct()
+    )
+    affected = mapping.join(
+        F.broadcast(touched_comps), "canonical_id", "left_semi"
+    )
+    old_edges = affected.filter(
+        F.col("entity_id") != F.col("canonical_id")
+    ).select(
+        F.col("entity_id").alias("left_id"),
+        F.col("canonical_id").alias("right_id"),
+    )
+    edges = old_edges.unionByName(pos.select("left_id", "right_id"))
+    cc = connected_components(edges, src="left_id", dst="right_id")
+    updated = cc.select(
+        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+    )
+    untouched = mapping.join(
+        F.broadcast(touched_comps), "canonical_id", "left_anti"
+    )
+    return untouched.select("entity_id", "canonical_id").unionByName(updated)
+
+
 def negative_violations(mapping: DataFrame, decisions: DataFrame) -> DataFrame:
     """NEGATIVE pairs that ended up in one cluster — must be empty."""
     neg = decisions.filter(F.col("judgement") == "NEGATIVE")

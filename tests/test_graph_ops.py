@@ -52,3 +52,40 @@ def test_reduce_names_protected_weak_alias_survives(spark):
     assert all(n != "The A" for _, n, _ in out)          # weak demoted
     assert ("e2", "Beta", "weakAlias") in out
     assert ("e3", "Gamma", "weakAlias") in out
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.operators.skew import salted_sum_count
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    salted = {
+        (r["l_returnflag"]): (str(r["total"]), r["n_rows"])
+        for r in salted_sum_count(li, ["l_returnflag"], "qty").collect()
+    }
+    plain = {
+        (r["l_returnflag"]): (str(r["total"]), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("qty").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_replicated_salt_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.operators.skew import replicate_broadcast_join
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    got = replicate_broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    assert got.count() == orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "c_custkey", "c_name"}

@@ -75,3 +75,35 @@ def test_driver_and_distributed_paths_agree(spark):
     }
     assert fast == dist
     assert {c for _, c in fast} == {0, 100, 200}
+
+
+def test_incremental_matches_full_recompute(spark):
+    from opensanctions_spark.operators.resolve import incremental_canonical_map
+
+    old = _decisions(
+        spark, [(1, 2, "POSITIVE"), (3, 4, "POSITIVE"), (10, 11, "POSITIVE")]
+    )
+    base = canonical_map(old)
+    # identity rows for entities the resolver never touched
+    extra = spark.createDataFrame([(20, 20)], ["entity_id", "canonical_id"])
+    mapping = base.unionByName(extra)
+    # new: bridge clusters {1,2} and {3,4}; link brand-new entity 99 to 20;
+    # NEGATIVE edges must be ignored
+    new = _decisions(
+        spark,
+        [(2, 3, "POSITIVE"), (99, 20, "POSITIVE"), (4, 10, "NEGATIVE")],
+    )
+    got = {
+        r["entity_id"]: r["canonical_id"]
+        for r in incremental_canonical_map(mapping, new).collect()
+    }
+    full = canonical_map(
+        old.unionByName(new.filter("judgement = 'POSITIVE'"))
+    )
+    want = {r["entity_id"]: r["canonical_id"] for r in full.collect()}
+    # the full recompute sees only edge-connected nodes; entity 20's
+    # identity row rides in via the mapping, so compare on shared keys
+    assert {k: v for k, v in got.items() if k in want} == want
+    assert got[1] == got[4] == 1          # bridged cluster
+    assert got[10] == got[11] == 10       # untouched cluster passes through
+    assert got[99] == got[20] == 20       # new entity joins via identity comp
