@@ -517,3 +517,38 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HLL++) next to the exact count: the
+    oracle asserts the sketch lands within its 5% rsd envelope. At 100 TB
+    the exact distinct is a full shuffle of the key universe; the sketch
+    is a fixed-size merge — this query records that both paths exist and
+    the approximation contract holds. HLL++ is deterministic (no RNG), so
+    the boolean is stable across runs."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("hll_within_5pct"),
+        )
+    )

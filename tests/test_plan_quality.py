@@ -54,3 +54,37 @@ def test_stratified_sample_needs_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, (
         "hash-bucket sampling must stay map-only"
     )
+
+
+def test_bucketed_statements_aggregate_without_shuffle(spark, sf_dir, tmp_path):
+    """SCALE.md §1: statements bucketed by canonical_id make entity
+    assembly shuffle-free — prove it on a real bucketed table."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog import load
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("canonical_id"),
+        F.col("c_name").alias("value"),
+    )
+    (
+        cust.write.bucketBy(8, "canonical_id")
+        .sortBy("canonical_id")
+        .option("path", str(tmp_path / "stmts_bucketed"))
+        .mode("overwrite")
+        .saveAsTable("stmts_bucketed")
+    )
+    try:
+        agg = (
+            spark.table("stmts_bucketed")
+            .groupBy("canonical_id")
+            .agg(F.count("*").alias("n"))
+        )
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed grouping key must satisfy the distribution without a shuffle"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmts_bucketed")
