@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the cleaning column library.
+
+Each property materializes ONE DataFrame per generated example batch and
+checks the invariant against a plain-Python reference — the engine's
+column functions must satisfy the invariants on arbitrary inputs, not just
+the fixture corpus. Alphabet restricted to printable ASCII: these tests
+pin logic invariants; Java-vs-Python unicode regex deltas are out of scope
+(the oracle gate covers cross-engine semantics on real data).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from opensanctions_spark.functions.dates import (
+    extract_years,
+    truncate_day_precision,
+)
+from opensanctions_spark.functions.text import multi_split, squash_spaces, token_count
+
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _col_out(spark, values, expr, out="out"):
+    df = spark.createDataFrame([(v,) for v in values], "v STRING")
+    return [r[out] for r in df.select(expr.alias(out)).collect()]
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=16))
+def test_truncate_day_precision_is_prefix_and_idempotent(spark, values):
+    outs = _col_out(spark, values, truncate_day_precision(F.col("v")))
+    for v, out in zip(values, outs):
+        assert out == v[:10]
+        assert out[:10] == out  # idempotent
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=16))
+def test_squash_spaces_trimmed_and_idempotent(spark, values):
+    outs = _col_out(spark, values, squash_spaces(F.col("v")))
+    for out in outs:
+        assert out == out.strip()
+        assert "  " not in out
+        assert re.sub(r"\s+", " ", out).strip() == out  # fixed point
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=16))
+def test_multi_split_segments_contain_no_separators(spark, values):
+    seps = [",", ";", "/"]
+    outs = _col_out(spark, values, multi_split(F.col("v"), seps))
+    for v, parts in zip(values, outs):
+        for p in parts:
+            assert p == p.strip() and p != ""
+            assert not any(s in p for s in seps)
+        # lossless modulo separators+whitespace: squashed concatenation of
+        # parts equals the input with separators replaced by spaces
+        ref = [x.strip() for x in re.split("|".join(map(re.escape, seps)), v)]
+        assert parts == [x for x in ref if x]
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=16))
+def test_token_count_matches_python_reference(spark, values):
+    outs = _col_out(spark, values, token_count(F.col("v")))
+    for v, n in zip(values, outs):
+        assert n == len(re.findall(r"[A-Za-z0-9]+", v))
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=16))
+def test_extract_years_are_4digit_substrings(spark, values):
+    outs = _col_out(spark, values, extract_years(F.col("v")))
+    for v, years in zip(values, outs):
+        for y in years:
+            assert re.fullmatch(r"(1[89]\d{2}|20\d{2})", y)
+            assert y in v
