@@ -676,3 +676,75 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS h,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, h, n_tokens,
+    0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      + 0.5 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality
+  FROM t
+),
+keepers AS (SELECT MIN(doc_id) AS keeper_id FROM t GROUP BY h)
+SELECT s.doc_id,
+       s.n_tokens,
+       s.quality,
+       s.quality >= 0.3 AS passes_quality,
+       s.n_tokens BETWEEN 5 AND 400 AS passes_length,
+       k.keeper_id IS NOT NULL AS is_keeper,
+       (s.quality >= 0.3 AND s.n_tokens BETWEEN 5 AND 400
+        AND k.keeper_id IS NOT NULL) AS kept
+FROM scored s
+LEFT JOIN keepers k ON s.doc_id = k.keeper_id
+""",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data preprocessing funnel in ONE plan:
+    quality score (stopword + length heuristics), token-count bounds, and
+    exact-dedup keeper selection, each surfaced as a flag plus the final
+    keep decision. One scan, one dedup shuffle, one broadcast-back join —
+    the shape of a 100 TB corpus filter run where every additional
+    criterion is a column, not a pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    )
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.lit(0.5) * (n_stop.cast("double") / n_tokens.cast("double"))
+            + F.lit(0.5)
+            * F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+        ).alias("quality"),
+    )
+    keepers = scored.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    out = scored.join(
+        F.broadcast(keepers),
+        scored.doc_id == keepers.keeper_id,
+        "left",
+    )
+    passes_q = F.col("quality") >= 0.3
+    passes_len = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 400)
+    is_keeper = F.col("keeper_id").isNotNull()
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        passes_q.alias("passes_quality"),
+        passes_len.alias("passes_length"),
+        is_keeper.alias("is_keeper"),
+        (passes_q & passes_len & is_keeper).alias("kept"),
+    )
