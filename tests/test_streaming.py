@@ -66,3 +66,50 @@ def test_dedupe_stream(spark, sf_dir):
     got = run_available_now(deduped, "t_dedupe", output_mode="append")
     n_ids = load_events(spark, sf_dir).select("event_id").distinct().count()
     assert got.count() == n_ids
+
+
+def test_streaming_ingest_carries_first_seen(spark, sf_dir, tmp_path):
+    """Two micro-batch waves through the streaming ingest bridge: the
+    second wave's overlapping statements must keep wave-1 first_seen via
+    the same J1 join the batch pipeline uses, and the archive must gain
+    one version per wave."""
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.model.melt import melt_customers
+    from opensanctions_spark.sources.archive import StatementArchive
+    from opensanctions_spark.streaming.ingest import ingest_statement_stream
+
+    cust = load(spark, sf_dir, "customer")
+    in_dir = tmp_path / "incoming"
+    ckpt = str(tmp_path / "ckpt")
+    archive = StatementArchive(spark, str(tmp_path / "archive"))
+
+    wave1 = melt_customers(cust.filter(F.col("c_custkey") < 30)).withColumn(
+        "first_seen", F.lit("2026-08-01T00:00:00")
+    )
+    wave1.write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(wave1.schema).parquet(str(in_dir))
+    q = ingest_statement_stream(
+        stream, archive, "customers", "2026-08-13T00:00:00", ckpt
+    )
+    q.awaitTermination()
+
+    # wave 2: overlap (custkey < 30) + new statements (30..59)
+    wave2 = melt_customers(cust.filter(F.col("c_custkey") < 60)).withColumn(
+        "first_seen", F.lit("2026-08-13T00:00:00")
+    )
+    wave2.write.mode("append").parquet(str(in_dir))
+    stream = spark.readStream.schema(wave1.schema).parquet(str(in_dir))
+    q = ingest_statement_stream(
+        stream, archive, "customers", "2026-08-13T00:00:00", ckpt
+    )
+    q.awaitTermination()
+
+    assert len(archive.versions("customers")) == 2
+    latest = archive.read("customers")
+    seen = dict(
+        latest.select("entity_id", "first_seen")
+        .filter(F.col("prop") == "name")
+        .collect()
+    )
+    assert seen["c-1"] == "2026-08-01T00:00:00"    # carried over
+    assert seen["c-45"] == "2026-08-13T00:00:00"   # new in wave 2
