@@ -6,7 +6,7 @@ candidate caps), J7 (interval-overlap range join inside edge dedupe).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import load, register
@@ -143,4 +143,52 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_id").alias("left_id"),
             F.col("b.event_id").alias("right_id"),
         )
+    )
+
+
+@register(
+    "search_inverted_index",
+    oracle="""
+WITH tokens AS (
+  SELECT DISTINCT p_partkey AS id, unnest(string_split(lower(p_name), ' ')) AS tok
+  FROM part
+),
+q AS (SELECT unnest(['red', 'gear', 'anvil']) AS tok),
+hits AS (
+  SELECT t.id, COUNT(*) AS score
+  FROM tokens t JOIN q ON t.tok = q.tok
+  GROUP BY t.id
+),
+ranked AS (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id) AS rank
+  FROM hits
+)
+SELECT id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term search: the standalone form of the blocking
+    index the reference's xref builds (posting lists per token, OR
+    semantics, score = matched query terms, deterministic top-20). The
+    query-term side is a literal broadcast; the posting build is one
+    explode+distinct — at 100 TB the index is materialized once and the
+    per-query cost is a broadcast-join over the token partitions."""
+    part = load(spark, sf_dir, "part")
+    tokens = (
+        part.select(
+            F.col("p_partkey").alias("id"),
+            F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    q = spark.createDataFrame([("red",), ("gear",), ("anvil",)], "tok STRING")
+    hits = tokens.join(F.broadcast(q), "tok").groupBy("id").agg(
+        F.count("*").alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
     )

@@ -552,3 +552,67 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_5pct"),
         )
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, MIN(t) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.t) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id AND e.t > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.t) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id AND e.t > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT v.user_id,
+       v.t_view AS view_us,
+       COALESCE(c.t_click, -1) AS click_us,
+       COALESCE(p.t_purchase, -1) AS purchase_us,
+       p.t_purchase IS NOT NULL AS completed
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (view → click → purchase, strictly
+    ordered in time, earliest-completion semantics): three stage-wise
+    min-aggregations, each conditioned on the previous stage's timestamp.
+    Every stage is a groupBy on user_id — the same key end-to-end, so at
+    100 TB the whole funnel is ONE partitioning reused across stages
+    (timestamps compared in integer microseconds to stay engine-exact)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").alias("view_us"),
+            F.coalesce(F.col("t_click"), F.lit(-1)).alias("click_us"),
+            F.coalesce(F.col("t_purchase"), F.lit(-1)).alias("purchase_us"),
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )
