@@ -321,6 +321,37 @@ def j6_incremental_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k11_sql_load_prep",
+    oracle=f"""
+WITH stmts AS ({_STMTS_SQL}),
+hashed AS (
+  SELECT md5('customers' || '|' || entity_id || '|' || prop || '|' || value) AS id,
+         entity_id, entity_id AS canonical_id, prop, sch AS schema, value,
+         'customers' AS dataset
+  FROM stmts WHERE sch = 'LegalEntity'
+)
+SELECT DISTINCT id, entity_id, canonical_id, prop, schema, value, dataset
+FROM hashed
+""",
+)
+def k11_sql_load_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-load sink preparation (K11, ``zavod/zavod/tools/load_db.py:15-41``):
+    content-hash dedupe (D3) + the reference's column projection, fed a
+    deliberately doubled statement stream — the upsert-safe frame
+    ``write.jdbc`` ships to the RDBMS (driver jar not present here; the
+    write itself is config)."""
+    from opensanctions_spark.exporters.jdbc import prepare_statements_for_db
+
+    cust = load(spark, sf_dir, "customer")
+    stmts = melt_customers(cust)
+    doubled = stmts.unionByName(stmts)
+    prepared = prepare_statements_for_db(doubled)
+    return prepared.select(
+        "id", "entity_id", "canonical_id", "prop", "schema", "value", "dataset"
+    )
+
+
+@register(
     "skew_salted_agg",
     oracle="""
 SELECT l_returnflag,

@@ -193,3 +193,166 @@ def s4_html_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         absolutize_href(F.col("href"), "https://example.com").alias("href"),
     )
+
+
+@register(
+    "s8_cache_ttl",
+    oracle="""
+WITH cache AS (
+  SELECT md5('http://src/' || p_partkey) AS url_hash,
+         'resp-' || p_partkey AS response,
+         TIMESTAMP '2026-08-01 00:00:00'
+             + (p_partkey % 20) * INTERVAL 1 DAY AS fetched_at
+  FROM part WHERE p_partkey % 2 = 0
+),
+reqs AS (SELECT 'http://src/' || p_partkey AS url FROM part)
+SELECT r.url,
+       c.response,
+       CAST(epoch_us(c.fetched_at) AS BIGINT) AS fetched_us
+FROM reqs r
+LEFT JOIN cache c
+  ON md5(r.url) = c.url_hash
+ AND c.fetched_at >= TIMESTAMP '2026-08-03 00:00:00'
+""",
+)
+def s8_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached HTTP fetch (S8, ``zavod/zavod/context.py:309-360,458-478``):
+    the TTL-keyed cache table joined against the request set — fresh
+    entries carry their response, stale/missing rows come back NULL for
+    the fetch layer. Cache keyed by md5(url), TTL 10 days before the run
+    date; the synthetic cache covers even part keys with staggered ages,
+    so hit/miss/stale rows all occur."""
+    from opensanctions_spark.sources import cache_lookup
+
+    part = load(spark, sf_dir, "part")
+    cache = part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.md5(F.concat(F.lit("http://src/"), F.col("p_partkey"))).alias("url_hash"),
+        F.concat(F.lit("resp-"), F.col("p_partkey")).alias("response"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2026-08-01 00:00:00").cast("timestamp"))
+            + (F.col("p_partkey") % 20) * 86400
+        ).alias("fetched_at"),
+    )
+    reqs = part.select(
+        F.concat(F.lit("http://src/"), F.col("p_partkey")).alias("url")
+    )
+    out = cache_lookup(cache, reqs, max_age_days=10, now="2026-08-13 00:00:00")
+    return out.select(
+        "url",
+        "response",
+        F.unix_micros("fetched_at").alias("fetched_us"),
+    )
+
+
+@register(
+    "s11_llm_extraction",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       toks[1] AS first_token,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       doc_id % 2 = 0 AS from_cache
+FROM t
+""",
+)
+def s11_llm_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM extraction source (S11, ``zavod/zavod/extract/llm.py:45-227``):
+    prompt rendering + cache join + driver-side model calls for misses +
+    JVM-side typed parse. The model here is the documented deterministic
+    fake (no API client in this container): it answers with the doc's
+    first token and token count as JSON — which the oracle recomputes
+    from the raw text. Even doc_ids are pre-seeded in the cache, odd ones
+    exercise the miss path through the injected callable."""
+    import json
+    import re as _re
+
+    from opensanctions_spark.sources.llm import extraction_requests, run_extraction
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    reqs = extraction_requests(docs, "Extract: {doc}")
+    cached_payload = F.to_json(
+        F.struct(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )[0].alias("first_token"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    cache = reqs.filter(F.col("doc_id") % 2 == 0).select(
+        "request_hash", cached_payload.alias("response_raw")
+    )
+
+    def fake_model(prompt: str) -> str:
+        doc = prompt.split("Extract: ", 1)[1]
+        toks = _re.findall(r"[a-z0-9]+", doc.lower())
+        return json.dumps(
+            {"first_token": toks[0] if toks else None, "n_tokens": len(toks)}
+        )
+
+    out = run_extraction(
+        reqs,
+        cache,
+        "first_token STRING, n_tokens BIGINT",
+        extract_fn=fake_model,
+    )
+    return out.select(
+        "doc_id",
+        F.col("response.first_token").alias("first_token"),
+        F.col("response.n_tokens").alias("n_tokens"),
+        (F.col("doc_id") % 2 == 0).alias("from_cache"),
+    )
+
+
+@register(
+    "s12_review_workflow",
+    oracle="""
+WITH extractions AS (
+  SELECT 'x-' || p_partkey AS extraction_id, p_name AS value
+  FROM part
+),
+review AS (
+  SELECT 'x-' || p_partkey AS extraction_id,
+         CASE WHEN p_partkey % 3 = 0 THEN 'accepted'
+              WHEN p_partkey % 3 = 1 THEN 'rejected' END AS status,
+         CASE WHEN p_partkey % 9 = 0 THEN upper(p_name) END AS reviewed_value
+  FROM part WHERE p_partkey % 3 < 2
+)
+SELECT e.extraction_id,
+       COALESCE(r.reviewed_value, e.value) AS value
+FROM extractions e
+JOIN review r ON e.extraction_id = r.extraction_id
+WHERE r.status = 'accepted'
+""",
+)
+def s12_review_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human review source (S12, ``zavod/zavod/stateful/review.py:44-538``):
+    machine extractions joined to the accept/reject workflow table —
+    accepted rows enter the pipeline (with reviewer corrections applied),
+    rejected and unreviewed rows are dropped. Key mod 3 partitions the
+    synthetic review state into accepted / rejected / unreviewed; every
+    ninth row carries a correction."""
+    from opensanctions_spark.sources.review import apply_review
+
+    part = load(spark, sf_dir, "part")
+    extractions = part.select(
+        F.concat(F.lit("x-"), F.col("p_partkey")).alias("extraction_id"),
+        F.col("p_name").alias("value"),
+    )
+    review = part.filter(F.col("p_partkey") % 3 < 2).select(
+        F.concat(F.lit("x-"), F.col("p_partkey")).alias("extraction_id"),
+        F.when(F.col("p_partkey") % 3 == 0, "accepted")
+        .when(F.col("p_partkey") % 3 == 1, "rejected")
+        .alias("status"),
+        F.when(F.col("p_partkey") % 9 == 0, F.upper(F.col("p_name"))).alias(
+            "reviewed_value"
+        ),
+        F.lit("analyst").alias("reviewer"),
+    )
+    return apply_review(extractions, review)
