@@ -222,3 +222,67 @@ def a10_edge_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c-"), (F.col("o_custkey") + 1) % 1000).alias("dst"),
     )
     return collapse_undirected_edges(edges, "src", "dst").distinct()
+
+
+@register(
+    "graph_degree_centrality",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+outdeg AS (SELECT cust, COUNT(*) AS d FROM edges GROUP BY cust),
+contrib AS (
+  SELECT e.supp, CAST(1000000 // o.d AS BIGINT) AS w
+  FROM edges e JOIN outdeg o ON e.cust = o.cust
+),
+cent AS (
+  SELECT supp AS suppkey, CAST(SUM(w) AS BIGINT) AS centrality_ppm,
+         COUNT(*) AS in_degree
+  FROM contrib GROUP BY supp
+),
+ranked AS (
+  SELECT suppkey, in_degree, centrality_ppm,
+         row_number() OVER (ORDER BY centrality_ppm DESC, suppkey) AS rank
+  FROM cent
+)
+SELECT suppkey, in_degree, centrality_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 25
+""",
+)
+def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree-normalized in-degree centrality (the single PageRank
+    contribution step) over the customer→supplier trade graph: each
+    customer splits a unit of mass across its suppliers; suppliers rank
+    by received mass. Mass is integer parts-per-million (integer
+    division) so the sum is exact and order-independent in any engine.
+    At 100 TB the edge build is the only big join (orderkey-partitioned);
+    degree and contribution are one shuffle each on uniform keys."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("cust").agg(F.count("*").alias("d"))
+    contrib = edges.join(outdeg, "cust").select(
+        "supp", F.expr("1000000 div d").cast("long").alias("w")
+    )
+    cent = contrib.groupBy("supp").agg(
+        F.sum("w").cast("long").alias("centrality_ppm"),
+        F.count("*").alias("in_degree"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("centrality_ppm").desc(), F.col("supp"))
+    return (
+        cent.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.col("supp").alias("suppkey"),
+            "in_degree",
+            "centrality_ppm",
+            "rank",
+        )
+    )

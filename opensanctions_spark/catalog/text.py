@@ -748,3 +748,201 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_keeper.alias("is_keeper"),
         (passes_q & passes_len & is_keeper).alias("kept"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, sh AS shingle
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM documents)
+  )
+),
+counts AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM sh_all GROUP BY doc_id, shingle
+),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_total, MAX(c) AS max_c
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_total AS BIGINT) AS n_shingles,
+       CAST(max_c AS BIGINT) AS top_shingle_count,
+       CAST(max_c AS DOUBLE) / CAST(n_total AS DOUBLE) AS repetition_ratio
+FROM per_doc
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (the Gopher-rule quality signal):
+    the most frequent word-3-gram's share of all 3-grams. Repetitive
+    boilerplate / generation loops score high and get filtered. One
+    explode + two groupBys, all JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    all_sh = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    counts = all_sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_total"), F.max("c").alias("max_c")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_total").cast("long").alias("n_shingles"),
+        F.col("max_c").cast("long").alias("top_shingle_count"),
+        (F.col("max_c").cast("double") / F.col("n_total").cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_SQL},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+),
+exact_pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS shared
+  FROM shingles a JOIN shingles b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT p.left_id, p.right_id
+  FROM exact_pairs p
+  JOIN sizes sa ON p.left_id = sa.doc_id
+  JOIN sizes sb ON p.right_id = sb.doc_id
+  WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.2
+)
+SELECT COUNT(*) AS n_true_pairs,
+       COUNT(m.left_id) AS n_found_by_lsh,
+       CAST(COUNT(m.left_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth t
+LEFT JOIN mh_pairs m
+  ON t.left_id = m.left_id AND t.right_id = m.right_id
+""",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality meta-check: recall of MinHash-LSH candidates (any
+    band) against the exact n-gram-Jaccard ≥ 0.2 truth set. This is the
+    measurement loop a 100 TB dedup run needs before trusting the sketch
+    — the engine computes its own recall instead of assuming it (the
+    reference's analogue is the blocking-recall harness,
+    ``contrib/bench_pairs.py``)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select("source", "shingle", F.col("doc_id").alias("left_id"))
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("right_id"),
+    )
+    exact = (
+        a.join(
+            b,
+            (a.source == b.source_b)
+            & (a.shingle == b.shingle_b)
+            & (a.left_id < b.right_id),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n").alias("nb"))
+    truth = (
+        exact.join(sa, "left_id")
+        .join(sb, "right_id")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            >= 0.2
+        )
+        .select("left_id", "right_id")
+    )
+    lsh = _minhash_pairs(spark, sf_dir).select(
+        F.col("left_id").alias("m_left"), F.col("right_id").alias("m_right")
+    )
+    joined = truth.join(
+        lsh,
+        (F.col("left_id") == F.col("m_left"))
+        & (F.col("right_id") == F.col("m_right")),
+        "left",
+    )
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.count("m_left").alias("n_found_by_lsh"),
+        (
+            F.count("m_left").cast("double") / F.count("*").cast("double")
+        ).alias("recall"),
+    )
+
+
+@register(
+    "text_pii_scan",
+    oracle=r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(body,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(body, '\+?1?[- ]?555[- ][0-9]{4}')) AS n_phones,
+       (len(regexp_extract_all(body,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        OR len(regexp_extract_all(body, '\+?1?[- ]?555[- ][0-9]{4}')) > 0)
+           AS has_pii
+FROM enriched
+""",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection scan (emails + NANP-style phone numbers) — the
+    redaction-gate pass of a training-data pipeline. The synthetic corpus
+    carries no PII, so deterministic PII is injected (every 7th doc an
+    email, every 11th a phone) and the detectors must find exactly those.
+    Pure regexp_extract_all counts — JVM-side, embarrassingly parallel;
+    at 100 TB this rides the same scan as the other quality columns."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?1?[- ]?555[- ][0-9]{4}"
+    n_emails = F.size(F.regexp_extract_all(body, F.lit(email_re), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(body, F.lit(phone_re), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+    )
