@@ -286,3 +286,54 @@ def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "asof_last_view_before_click",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events
+),
+clicks AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'click'),
+views AS (
+  SELECT user_id AS v_user, event_id AS last_view_id, t AS view_t
+  FROM e WHERE event_type = 'view'
+)
+SELECT c.user_id, c.event_id, c.t AS click_us,
+       v.last_view_id,
+       v.view_t AS last_view_us
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.v_user AND c.t >= v.view_t
+""",
+)
+def asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — the custom operator Spark lacks and
+    DuckDB ships natively (its ASOF JOIN is the oracle): every click
+    event attached to the user's latest view at-or-before it. The
+    implementation (``operators/asof.py``) is the union+window form:
+    one shuffle on the key, one sort, ``last(ignorenulls)`` carrying the
+    right side forward — never the O(n·m) theta-join expansion."""
+    from opensanctions_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "t"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("last_view_id"),
+        F.col("t").alias("view_t"),
+    )
+    out = asof_join(
+        clicks, views, key="user_id", left_ts="t", right_ts="view_t",
+        payload=["last_view_id", "view_t"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("click_us"),
+        "last_view_id",
+        F.col("view_t").alias("last_view_us"),
+    )

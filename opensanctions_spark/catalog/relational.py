@@ -616,3 +616,35 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("completed"),
         )
     )
+
+
+@register(
+    "w2_rolling_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_3
+FROM orders
+""",
+)
+def w2_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame analytic window (ROWS 2 PRECEDING): 3-order rolling
+    revenue per customer — the sliding-frame spec the reference never
+    needs but an analytics engine must have; decimal accumulation keeps
+    the frame sum exact regardless of evaluation order."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rolling_3"),
+    )

@@ -89,3 +89,24 @@ def test_replicated_salt_join_equals_plain_join(spark, sf_dir):
         cust, orders.o_custkey == cust.c_custkey
     ).count()
     assert set(got.columns) == {"o_orderkey", "o_custkey", "c_custkey", "c_name"}
+
+
+def test_asof_join_semantics(spark):
+    from opensanctions_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k LONG, t LONG, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, "r7"), (1, 10, "r10"), (1, 15, "r15"), (3, 1, "rx")],
+        "k LONG, rt LONG, val STRING",
+    )
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                    payload=["val", "rt"])
+    got = {r["tag"]: (r["val"], r["rt"]) for r in out.collect()}
+    assert got["a"] == ("r10", 10)      # tie at t=10 matches (>= semantics)
+    assert got["b"] == ("r15", 15)      # latest of several priors
+    assert got["c"] == (None, None)     # nothing at-or-before t=5
+    assert got["d"] == (None, None)     # key has no right rows at all
+    assert out.count() == 4             # left-join cardinality preserved
