@@ -94,3 +94,46 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return latest_stateful_totals(emitted)
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+SELECT COALESCE(CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT), -1)
+           AS day_us,
+       COALESCE(CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT), -1)
+           AS hour_us,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY ROLLUP (time_bucket(INTERVAL 1 DAY, ts),
+                 time_bucket(INTERVAL 1 HOUR, ts))
+""",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour → day → grand
+    total in ONE pass via ROLLUP on the bucketed timestamp hierarchy —
+    the multi-resolution downsampling a time-series store materializes
+    per level, computed here in a single shuffle with partial aggregation
+    covering every level. Exact decimal sums; null rollup levels get a
+    -1 sentinel for dtype-stable hashing."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        ev.rollup("day_b", "hour_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.unix_micros("day_b"), F.lit(-1)).alias("day_us"),
+            F.coalesce(F.unix_micros("hour_b"), F.lit(-1)).alias("hour_us"),
+            "n",
+            "total",
+        )
+    )
