@@ -28,17 +28,28 @@ ALIAS_TIME = "2026-08-12T00:00:00"
 
 def _customer_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Melted customer statements + Person-schema alias statements for every
-    third entity — exercises multi-valued props and schema widening."""
+    third entity — exercises multi-valued props and schema widening.
+
+    ONE scan: the alias row rides in the same stack() projection as the
+    base properties (null value for non-alias entities → dropped by the
+    P5 guard), instead of a second scan + union — at 100 TB the emit
+    stage reads the source exactly once."""
     cust = load(spark, sf_dir, "customer")
-    base = melt_customers(cust)
-    alias_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
+    stacked = cust.select(
         F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
-        F.lit("name").alias("prop"),
-        F.upper(F.col("c_name")).alias("value"),
+        F.expr(
+            "stack(5, "
+            "'name', c_name, 'LegalEntity', '{run}', "
+            "'country', cast(c_nationkey as string), 'LegalEntity', '{run}', "
+            "'balance', cast(c_acctbal as string), 'LegalEntity', '{run}', "
+            "'segment', c_mktsegment, 'LegalEntity', '{run}', "
+            "'name', if(c_custkey % 3 = 0, upper(c_name), null), 'Person', '{alias}'"
+            ") as (prop, value, schema, first_seen)".format(
+                run=RUN_TIME, alias=ALIAS_TIME
+            )
+        ),
     )
-    aliases = finish_statements(alias_rows, dataset="customers", schema_name="Person")
-    aliases = aliases.withColumn("first_seen", F.lit(ALIAS_TIME))
-    return base.unionByName(aliases)
+    return finish_statements(stacked, dataset="customers")
 
 
 _STMTS_SQL = """

@@ -47,9 +47,13 @@ def finish_statements(df: DataFrame, dataset: str, schema_name: str | None = Non
         .withColumn("origin", F.lit(None).cast("string"))
         .withColumn("original_value", F.lit(None).cast("string"))
         .withColumn("external", F.lit(False))
-        .withColumn("first_seen", F.lit(RUN_TIME))
-        .withColumn("last_seen", F.lit(RUN_TIME))
     )
+    # seen-timestamps: keep caller-provided columns (multi-run emit shapes
+    # stamp per-row times in one projection), default to the run time
+    if "first_seen" not in df.columns:
+        out = out.withColumn("first_seen", F.lit(RUN_TIME))
+    if "last_seen" not in df.columns:
+        out = out.withColumn("last_seen", F.lit(RUN_TIME))
     return out.select(
         "id", "entity_id", "canonical_id", "prop", "schema", "value",
         "dataset", "lang", "origin", "original_value", "external",
