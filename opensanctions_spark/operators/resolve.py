@@ -247,6 +247,50 @@ def incremental_canonical_map(
     return untouched.select("entity_id", "canonical_id").unionByName(updated)
 
 
+def explode_cluster(
+    mapping: DataFrame, decisions: DataFrame, entity_id
+) -> tuple[DataFrame, DataFrame]:
+    """Undo resolution around one entity (the reference's explode-cluster
+    op, ``zavod/zavod/integration/dedupe.py:93-128``): every POSITIVE
+    judgement touching `entity_id` is retracted and ONLY its former
+    component re-solves from the surviving edges; the rest of the mapping
+    passes through untouched.
+
+    Returns (new_mapping, retained_decisions)."""
+    target_comp = (
+        mapping.filter(F.col("entity_id") == entity_id)
+        .select("canonical_id")
+        .limit(1)
+    )
+    members = mapping.join(
+        F.broadcast(target_comp), "canonical_id", "left_semi"
+    ).select("entity_id")
+    touching = (F.col("left_id") == entity_id) | (F.col("right_id") == entity_id)
+    retained = decisions.filter(
+        ~(touching & (F.col("judgement") == "POSITIVE"))
+    )
+    # surviving POSITIVE edges inside the exploded component
+    comp_edges = (
+        retained.filter(F.col("judgement") == "POSITIVE")
+        .join(
+            F.broadcast(members.withColumnRenamed("entity_id", "left_id")),
+            "left_id",
+            "left_semi",
+        )
+    )
+    resolved = connected_components(comp_edges, src="left_id", dst="right_id")
+    re_mapped = members.join(
+        resolved.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+    ).select(
+        "entity_id",
+        F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
+    )
+    untouched = mapping.join(
+        F.broadcast(target_comp), "canonical_id", "left_anti"
+    ).select("entity_id", "canonical_id")
+    return untouched.unionByName(re_mapped), retained
+
+
 def negative_violations(mapping: DataFrame, decisions: DataFrame) -> DataFrame:
     """NEGATIVE pairs that ended up in one cluster — must be empty."""
     neg = decisions.filter(F.col("judgement") == "NEGATIVE")

@@ -107,3 +107,23 @@ def test_incremental_matches_full_recompute(spark):
     assert got[1] == got[4] == 1          # bridged cluster
     assert got[10] == got[11] == 10       # untouched cluster passes through
     assert got[99] == got[20] == 20       # new entity joins via identity comp
+
+
+def test_explode_cluster_detaches_entity_and_resolves_rest(spark):
+    from opensanctions_spark.operators.resolve import explode_cluster
+
+    # chain 1-2-3-4 plus separate pair (10,11); explode entity 2
+    old = _decisions(
+        spark,
+        [(1, 2, "POSITIVE"), (2, 3, "POSITIVE"), (3, 4, "POSITIVE"),
+         (10, 11, "POSITIVE")],
+    )
+    base = canonical_map(old)
+    new_map, retained = explode_cluster(base, old, 2)
+    got = {r["entity_id"]: r["canonical_id"] for r in new_map.collect()}
+    # 2 detaches to itself; 3-4 stay merged via the surviving edge;
+    # 1 loses its only link; the (10,11) cluster is untouched
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3, 10: 10, 11: 10}
+    # retracted judgements are gone from the decision log
+    kept = {(r["left_id"], r["right_id"]) for r in retained.collect()}
+    assert kept == {(3, 4), (10, 11)}
