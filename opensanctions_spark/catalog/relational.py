@@ -541,7 +541,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_exact"),
-            F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+            # rsd=0.02: measured ≤0.4% error at both test SFs, so the 5%
+            # contract holds with wide margin (rsd=0.05 breached it at
+            # sf0.1 — 6.7% on 1500 distinct)
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         )
         .select(
             "event_type",

@@ -53,21 +53,25 @@ def run_extraction(
     """
     spark = requests.sparkSession
     if cache is not None:
+        # one entry per key: duplicate cache rows (same document text →
+        # same prompt hash) must not fan out the request join
         cached = cache.select(
             F.col("request_hash"), F.col("response_raw").alias("_cached")
-        )
+        ).dropDuplicates(["request_hash"])
         requests = requests.join(F.broadcast(cached), "request_hash", "left")
     else:
         requests = requests.withColumn("_cached", F.lit(None).cast("string"))
 
-    misses = [
-        (r["request_hash"], r["prompt"])
+    # dedupe misses by hash: identical prompts get ONE model call (the
+    # cache-key contract — and at corpus scale, the big API-cost saving)
+    misses: dict[str, str] = {
+        r["request_hash"]: r["prompt"]
         for r in requests.filter(F.col("_cached").isNull())
         .select("request_hash", "prompt").collect()
-    ]
+    }
     if misses:
         fresh = spark.createDataFrame(
-            [(h, extract_fn(p)) for h, p in misses],
+            [(h, extract_fn(p)) for h, p in misses.items()],
             "request_hash STRING, _fresh STRING",
         )
         requests = requests.join(F.broadcast(fresh), "request_hash", "left")
