@@ -356,3 +356,40 @@ def s12_review_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("analyst").alias("reviewer"),
     )
     return apply_review(extractions, review)
+
+
+@register(
+    "s6_excel_scan",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s6_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel scan (S6, ``zavod/zavod/helpers/excel.py:72-210``): the nation
+    dimension rendered to a real .xlsx (stdlib zip+XML writer), parsed back
+    with the stdlib worksheet parser — serialize → parse → recover, oracle
+    sees the original table. Driver-side by design: workbooks are small
+    crawler-landed artifacts (the reference parses them on one node too);
+    the fixed-size dimension collect is not a data-scale operation."""
+    import os
+    import tempfile
+
+    from opensanctions_spark.sources import read_excel_source, write_xlsx
+
+    nation = load(spark, sf_dir, "nation")
+    rows = [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="osp-xlsx-"), "nation.xlsx")
+    write_xlsx(path, ["nationkey", "name", "regionkey"], rows)
+    df = read_excel_source(spark, path)
+    return df.select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("name"),
+        F.col("regionkey").cast("long").alias("regionkey"),
+    )

@@ -178,22 +178,153 @@ def absolutize_href(href: Column, base_url: str) -> Column:
 
 
 # --------------------------------------------------------------------------
-# S6/S7: Excel & PDF — driver-side libs (openpyxl/xlrd/pdfplumber) are not
-# in this container; the Spark-side plumbing is real, the decode is gated.
+# S6/S7: Excel & PDF. XLSX is parsed with the stdlib (zipfile + ElementTree
+# — an .xlsx is a zip of XML parts), so S6 needs no third-party decoder.
+# Legacy .xls and PDF decode stay gated (xlrd/pdfplumber not in container).
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'B7' → 1 (zero-based column index from the letter prefix)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str | None]]:
+    """Parse one worksheet of an .xlsx into rows of cell strings.
+
+    Mirrors the reference's cell-to-string semantics
+    (zavod/zavod/helpers/excel.py:72-210): every cell becomes a string;
+    missing cells are None. Handles shared strings, inline strings, rich
+    -text runs, and sparse rows (gaps from the ``r`` cell references).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels
+            if r.tag.endswith("Relationship")
+        }
+        sheets: list[tuple[str, str]] = []  # (name, zip member)
+        for s in wb.find(f"{_SSML}sheets") or []:
+            target = rel_target.get(s.get(f"{_RELNS}id"), "")
+            member = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            sheets.append((s.get("name", ""), member))
+        if isinstance(sheet, int):
+            member = sheets[sheet][1]
+        else:
+            member = next(m for n, m in sheets if n == sheet)
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sst:
+                shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+
+        rows: list[list[str | None]] = []
+        for row in ET.fromstring(zf.read(member)).iter(f"{_SSML}row"):
+            cells: list[str | None] = []
+            for pos, c in enumerate(row):
+                idx = _col_index(c.get("r", "")) if c.get("r") else pos
+                while len(cells) <= idx:
+                    cells.append(None)
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    cells[idx] = "".join(
+                        t.text or "" for t in c.iter(f"{_SSML}t")
+                    )
+                else:
+                    v = c.find(f"{_SSML}v")
+                    if v is None or v.text is None:
+                        cells[idx] = None
+                    elif ctype == "s":
+                        cells[idx] = shared[int(v.text)]
+                    else:  # n / str / b — keep the raw stored text
+                        cells[idx] = v.text
+            rows.append(cells)
+    return rows
+
+
+def write_xlsx(path: str, header: list[str], rows: list[list[object]],
+               sheet_name: str = "Sheet1") -> None:
+    """Write a minimal single-sheet .xlsx (inline strings) with the stdlib —
+    the fixture/serialize side of the S6 round-trip."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def row_xml(i: int, vals: list[object]) -> str:
+        cells = "".join(
+            f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            for v in vals
+        )
+        return f'<row r="{i}">{cells}</row>'
+
+    body = row_xml(1, list(header)) + "".join(
+        row_xml(i + 2, list(r)) for i, r in enumerate(rows)
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{body}</sheetData></worksheet>",
+        )
 
 
 def read_excel_source(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """Excel scan (zavod/zavod/helpers/excel.py:72-210): driver-side pandas
-    parse → createDataFrame. Requires openpyxl at runtime."""
-    import pandas as pd
-
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
-    except ImportError as exc:  # openpyxl/xlrd missing in this container
-        raise NotImplementedError(
-            "Excel parsing needs openpyxl; land the sheet as CSV instead"
-        ) from exc
-    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+    """Excel scan (S6, zavod/zavod/helpers/excel.py:72-210): header row +
+    string cells → DataFrame. .xlsx parses with the stdlib on the driver
+    (crawler-landed workbooks are small source artifacts, exactly the
+    reference's driver-side position); .xls would need xlrd and stays gated.
+    """
+    if not path.lower().endswith(".xlsx"):
+        raise NotImplementedError("legacy .xls needs xlrd; land as CSV/XLSX")
+    rows = _xlsx_rows(path, sheet)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [h if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    data = [
+        tuple((r + [None] * width)[:width]) for r in rows[1:]
+    ]
+    schema = ", ".join(f"`{h}` STRING" for h in header)
+    return spark.createDataFrame(data, schema)
 
 
 def read_pdf_tables(spark: SparkSession, path: str) -> DataFrame:

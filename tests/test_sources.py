@@ -138,3 +138,62 @@ def test_parse_html_dom_malformed_and_entities(spark):
     assert by_tag["a"][1]["href"] == "https://other.org/y"
     # unclosed <p> never closes -> not emitted (event-parser semantics)
     assert "p" not in by_tag
+
+
+def test_xlsx_roundtrip_stdlib(spark, tmp_path):
+    from opensanctions_spark.sources import read_excel_source, write_xlsx
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, ["id", "name"], [[1, "alpha"], [2, "b<&>c"]])
+    rows = read_excel_source(spark, path).orderBy("id").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [
+        ("1", "alpha"), ("2", "b<&>c"),
+    ]
+
+
+def test_xlsx_shared_strings_and_sparse_rows(spark, tmp_path):
+    # Hand-built workbook exercising the shared-string table, rich-text
+    # runs, sparse rows (cell C skips B), and sheet selection by name.
+    import zipfile
+
+    path = str(tmp_path / "s.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="first" sheetId="1" r:id="rId1"/>'
+            '<sheet name="second" sheetId="2" r:id="rId2"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst {ns}><si><t>hdr_a</t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet {ns}><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="inlineStr"><is><t>hdr_b</t></is></c>'
+            '<c r="C1" t="inlineStr"><is><t>hdr_c</t></is></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="C2"><v>3.5</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet2.xml",
+            f'<worksheet {ns}><sheetData><row r="1">'
+            '<c r="A1" t="inlineStr"><is><t>only</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>42</v></c></row></sheetData></worksheet>',
+        )
+
+    from opensanctions_spark.sources import read_excel_source
+
+    row = read_excel_source(spark, path).collect()[0]
+    assert (row["hdr_a"], row["hdr_b"], row["hdr_c"]) == ("rich", None, "3.5")
+    by_name = read_excel_source(spark, path, sheet="second").collect()
+    assert [r["only"] for r in by_name] == ["42"]
