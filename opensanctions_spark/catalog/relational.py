@@ -651,3 +651,148 @@ def w2_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rolling_3"),
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: correlated EXISTS as a left-semi
+    join (the returned-lineitem probe side is filtered *before* the join
+    so the semi-join builds on the reduced set), then a tiny-key hash agg.
+
+    Plan shape at scale: date filter pushed to the orders scan; one
+    shuffle pair for the semi-join on l_orderkey; partial agg map-side."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS qualifying
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast: the pure pushdown exhibit — every
+    predicate is scan-eligible, the projection is two columns, and the
+    whole query is one map-side partial sum + a single-row final agg.
+    `.explain` shows PushedFilters on shipdate/discount/quantity and a
+    two-column ReadSchema; there is no shuffle of data rows at all."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("qualifying"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order distribution: left OUTER join with
+    a pushed non-join predicate on the right side, per-customer count
+    (COUNT(col) null-skipping semantics preserved), then a second tiny
+    re-aggregation on the count value.
+
+    Plan shape at scale: the first shuffle carries (custkey) for join +
+    agg on the same key — Catalyst reuses the partitioning, so the
+    per-customer count adds no extra exchange; the distribution agg
+    shuffles only #distinct-count values."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    per_cust = (
+        cust.join(orders, "c_custkey", "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier variety (adapted: no partsupp table in
+    the synthetic schema, lineitem carries the part↔supplier pairs):
+    grouped COUNT(DISTINCT) with a broadcast dimension join and a NOT IN
+    exclusion as a broadcast left-anti join on the filtered supplier set.
+
+    Plan shape at scale: part and the excluded-supplier list broadcast
+    (both dimension-sized); lineitem never shuffles for either join —
+    the only exchange is the distinct-aggregate on the grouping key."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    ).select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    excluded = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -88,3 +88,36 @@ def test_bucketed_statements_aggregate_without_shuffle(spark, sf_dir, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS stmts_bucketed")
+
+
+def test_q6_is_scan_plus_agg_only(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # single-row final agg: the only exchange is the SinglePartition gather
+    assert "Exchange hashpartitioning" not in plan
+    # projection pruned to the two computed columns + predicate columns
+    read = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q16_broadcasts_both_dimension_sides(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q16_supplier_variety"](spark, sf_dir))
+    # part join broadcasts; the anti-join either broadcasts or (empty
+    # excluded set at tiny SF) is eliminated by AQE — either way lineitem
+    # must never reach a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # lineitem must not shuffle for the joins: the only hash exchanges
+    # belong to the distinct aggregate on (p_brand, p_size, l_suppkey)
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "p_brand" in frag[:120] or "l_suppkey" in frag[:120]
+
+
+def test_q13_reuses_join_partitioning_for_count(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q13_customer_distribution"](spark, sf_dir))
+    # shuffles: customer side + orders side of the outer join (both on
+    # custkey), then the #distinct-count-values distribution agg — the
+    # per-customer count itself must NOT add a fourth exchange
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"per-customer count should reuse join partitioning, saw {n}"
