@@ -946,3 +946,146 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.cast("long").alias("n_phones"),
         ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), chunks AS (
+  SELECT doc_id, c.i AS chunk_idx,
+         md5(array_to_string(list_slice(ts, c.i * 20 + 1, c.i * 20 + 20), ' ')) AS chunk_hash
+  FROM toks, LATERAL (SELECT UNNEST(range((len(ts) + 19) // 20)) AS i) c
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact substring dedup: documents split into fixed
+    20-token windows, each window hashed, duplicate chunks surfaced with
+    the canonical keeper (min doc_id). This is the sub-document granular
+    pass a pretraining pipeline runs after doc-level dedup (boilerplate
+    and quotation removal).
+
+    100 TB: explode is map-side (no shuffle to create chunks); the one
+    shuffle groups by chunk hash — uniform by construction. Keeper
+    selection rides the same aggregate (min), no second pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    n_chunks = F.ceil(F.size("ts") / F.lit(20)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_idx"),
+        F.col("ts"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("ts"), F.col("chunk_idx") * 20 + 1, 20)
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "docs_length_quantiles",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+""",
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: exact interpolated P50/P90/P99 of document
+    length per language — the distribution check a data-quality report
+    leads with (both engines compute linear-interpolation quantiles, so
+    values match bit-for-bit after a 4-decimal round).
+
+    100 TB: exact percentile needs the full sorted vector per group —
+    fine for a bounded language set; at petabyte scale swap
+    percentile → percentile_approx (t-digest, mergeable map-side) and
+    keep the same plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    pct = F.expr(
+        "percentile(CAST(n_chars AS DOUBLE), array(0.5, 0.9, 0.99))"
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("_q"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("_q")[0], 4).alias("p50"),
+            F.round(F.col("_q")[1], 4).alias("p90"),
+            F.round(F.col("_q")[2], 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bigrams AS (
+  SELECT ts[c.i + 1] || ' ' || ts[c.i + 2] AS bigram
+  FROM toks, LATERAL (SELECT UNNEST(range(len(ts) - 1)) AS i) c
+)
+SELECT bigram, n_occurrences FROM (
+  SELECT bigram, COUNT(*) AS n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+  FROM bigrams GROUP BY bigram
+) WHERE rk <= 20
+""",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation profile: top-20 adjacent-word bigrams — the
+    vocabulary/collocation audit (and the raw counts PMI is computed
+    from). Bigrams are built map-side by zipping each token array with
+    itself shifted one (no self-join); ties break on the bigram string.
+
+    100 TB: one shuffle on the bigram key with map-side partial counts;
+    the global top-k compiles to TakeOrderedAndProject — each partition
+    keeps only its 20 best, the driver merges 20·P rows, never a global
+    single-partition sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    counted = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("bigram")
+    ).limit(20)
