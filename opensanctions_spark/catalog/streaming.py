@@ -137,3 +137,24 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views ⋈ clicks within 10 minutes,
+    watermarked both sides in stream mode) — oracle-checked in batch on
+    the identical plan; tests/test_streaming.py proves stream parity."""
+    from opensanctions_spark.streaming import view_click_interval_join
+
+    return view_click_interval_join(load_events(spark, sf_dir))

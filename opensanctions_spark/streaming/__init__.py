@@ -167,3 +167,49 @@ def run_available_now(stream_df: DataFrame, table_name: str,
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def view_click_interval_join(events: DataFrame, within: str = "10 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: every (view, click) pair of the same
+    user where the click lands within ``within`` after the view.
+
+    In stream mode both sides carry watermarks and the time-bound join
+    condition lets the engine evict view-side state once the click-side
+    watermark passes view_ts + within — bounded state by construction
+    (the unbounded-join pitfall the time bound exists to avoid). In batch
+    mode the identical plan is a plain equi+range join. State size is
+    O(events within the interval window per user), independent of stream
+    length."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user_id AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {within}"
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )

@@ -13,6 +13,7 @@ from opensanctions_spark.streaming import (
     running_user_totals,
     sessionized_activity,
     stream_events,
+    view_click_interval_join,
     windowed_event_counts,
 )
 
@@ -113,3 +114,12 @@ def test_streaming_ingest_carries_first_seen(spark, sf_dir, tmp_path):
     )
     assert seen["c-1"] == "2026-08-01T00:00:00"    # carried over
     assert seen["c-45"] == "2026-08-13T00:00:00"   # new in wave 2
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    batch = view_click_interval_join(load_events(spark, sf_dir))
+    stream = view_click_interval_join(stream_events(spark, sf_dir))
+    assert stream.isStreaming
+    got = run_available_now(stream, "t_interval_join", output_mode="append")
+    cols = ["view_id", "click_id", "user_id", "view_us", "click_us"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
