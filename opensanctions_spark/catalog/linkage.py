@@ -63,8 +63,6 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate id. The token self-join is the scale-dominant stage: a
     document-frequency cap (operators.blocking.candidate_pairs) bounds it
     to O(buckets × B²)."""
-    from pyspark.storagelevel import StorageLevel
-
     part = load(spark, sf_dir, "part")
     tokens = (
         part.select(
@@ -75,10 +73,8 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.concat(F.col("tok"), F.lit("#"), F.col("p_brand")).alias("token"))
         .distinct()
     )
-    # the token projection feeds both the pair self-join and the size agg;
-    # persist it so the scan+explode+distinct runs once (spill-safe level —
-    # at cluster scale this is the working set both stages share)
-    tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    # jaccard_scored_pairs persists the count-annotated token set (both
+    # sides of the self-join share that working set)
     scored = jaccard_scored_pairs(tokens)
     top = top_k_per_subject(scored, k=5)
     return top.select(

@@ -59,14 +59,47 @@ def candidate_pairs(
 
 
 def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -> DataFrame:
-    """Candidate pairs with token-set Jaccard score."""
-    pairs = candidate_pairs(tokens, max_token_freq)
-    sizes = tokens.groupBy("id").agg(F.count("*").alias("n_tokens"))
-    s_sub = sizes.select(F.col("id").alias("subject_id"), F.col("n_tokens").alias("subject_n"))
-    s_cand = sizes.select(F.col("id").alias("candidate_id"), F.col("n_tokens").alias("candidate_n"))
+    """Candidate pairs with token-set Jaccard score.
+
+    The per-id token counts (the Jaccard denominators) are attached to the
+    token rows BEFORE the self-join and ride through it, so the pair table
+    — the largest relation in the whole xref — is never re-shuffled
+    against a sizes table. At scale sizes is one row per entity (not
+    broadcastable), so carrying two ints through the token join replaces
+    two full shuffles of the pair table. Counts come from the unfiltered
+    token sets: the DF cap prunes candidate *generation* only, never the
+    denominator.
+
+    The annotated token set (token, id, n_tokens) is persisted here — it
+    is consumed twice (both sides of the self-join), and without a
+    materialization point each side would recompute the count window."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = tokens.withColumn(
+        "n_tokens", F.count("*").over(Window.partitionBy("id"))
+    )
+    if max_token_freq is not None:
+        freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
+        t = t.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
+            "token",
+        )
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    left = t.select(
+        "token", F.col("id").alias("subject_id"), F.col("n_tokens").alias("subject_n")
+    )
+    right = t.select(
+        "token", F.col("id").alias("candidate_id"), F.col("n_tokens").alias("candidate_n")
+    )
     return (
-        pairs.join(s_sub, "subject_id")
-        .join(s_cand, "candidate_id")
+        left.join(right, "token")
+        .filter(F.col("subject_id") != F.col("candidate_id"))
+        .groupBy("subject_id", "candidate_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("subject_n").alias("subject_n"),
+            F.first("candidate_n").alias("candidate_n"),
+        )
         .withColumn(
             "score",
             F.col("shared")
