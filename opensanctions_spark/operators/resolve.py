@@ -77,20 +77,29 @@ def connected_components(
     larger graphs run distributed min-label propagation with pointer
     jumping. Pass driver_max_edges=None/0 to force the distributed path.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    # The symmetrized edge list is consumed at least twice on EVERY path
+    # (probe + collect on the driver path; one join per propagation round
+    # on the distributed path) and its upstream can be an expensive
+    # pipeline (e.g. the LSH stage feeding near-dup clustering) — persist
+    # it so that pipeline runs exactly once.
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     if driver_max_edges:
-        # shuffle-free probe: limit+count on the raw edges stops scanning
-        # at the cutoff, so huge graphs pay one bounded scan, not a pass
-        probe = edges.select(src, dst).limit(driver_max_edges + 1).count()
-        if probe <= driver_max_edges:
+        # bounded probe on the persisted frame: stops at the cutoff AND
+        # leaves the scanned partitions cached for the collect below
+        probe = sym.limit(2 * driver_max_edges + 1).count()
+        if probe <= 2 * driver_max_edges:
             from pyspark.sql.types import StructField, StructType
 
             rows = sym.collect()
+            sym.unpersist()
             labels = _driver_union_find([(r["a"], r["b"]) for r in rows])
             schema = StructType(
                 [
@@ -170,6 +179,7 @@ def connected_components(
         labels = jumped.drop("old_component")
         if changed == 0:
             break
+    sym.unpersist()  # labels are checkpointed; sym is no longer needed
     return labels
 
 
