@@ -337,3 +337,94 @@ def asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_view_id",
         F.col("view_t").alias("last_view_us"),
     )
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as a CTE pair (contrib + rank)."""
+    return f"""
+contrib{i} AS (
+  SELECT e.dst, CAST(r.rank_ppm // o.d AS BIGINT) AS w
+  FROM pr_edges e
+  JOIN rank{i - 1} r ON e.src = r.node
+  JOIN pr_outdeg o ON e.src = o.src
+),
+rank{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(s.mass, 0)) // 100 AS BIGINT) AS rank_ppm
+  FROM pr_nodes n
+  LEFT JOIN (SELECT dst, SUM(w) AS mass FROM contrib{i} GROUP BY dst) s
+    ON n.node = s.dst
+)"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH pr_nodes AS (SELECT c_custkey AS node FROM customer),
+cnt AS (SELECT COUNT(*) AS n FROM customer),
+pr_edges AS (
+  SELECT DISTINCT node AS src, dst FROM (
+    SELECT node, (node * 7 + 1) % (SELECT n FROM cnt) AS dst FROM pr_nodes
+    UNION ALL
+    SELECT node, (node * 13 + 3) % (SELECT n FROM cnt) AS dst FROM pr_nodes
+  )
+),
+pr_outdeg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
+rank0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM pr_nodes),
+{",".join(_pagerank_iter_sql(i) for i in (1, 2, 3))}
+SELECT node, rank_ppm FROM rank3
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank, 3 synchronous iterations over a deterministic
+    customer graph (each node links to (7n+1) mod N and (13n+3) mod N).
+
+    Mass is integer parts-per-million with floor division at both the
+    out-degree split and the damping step, so every iteration is exact
+    and order-independent — the oracle unrolls the same three iterations
+    as CTEs and hash-matches bit-for-bit. Damping 0.85, base 0.15.
+
+    100 TB: the edge list is persisted and re-joined once per iteration
+    (shuffle on src, then on dst — the canonical Pregel-style round);
+    ranks are localCheckpointed per round so lineage stays flat. The
+    iteration count is the only driver-side loop — O(iters) jobs, never
+    O(nodes)."""
+    from pyspark.storagelevel import StorageLevel
+
+    cust = load(spark, sf_dir, "customer")
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    n = cust.count()
+    edges = (
+        nodes.select(
+            F.col("node").alias("src"), ((F.col("node") * 7 + 1) % n).alias("dst")
+        )
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 13 + 3) % n).alias("dst"),
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    with_deg = edges.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rank_ppm"))
+    for _ in range(3):
+        contrib = (
+            with_deg.join(ranks, with_deg.src == ranks.node)
+            .select("dst", F.expr("rank_ppm div d").cast("long").alias("w"))
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("w").alias("mass"))
+        ranks = (
+            nodes.join(mass, nodes.node == mass.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000)
+                    + F.expr("85 * coalesce(mass, 0) div 100")
+                ).cast("long").alias("rank_ppm"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

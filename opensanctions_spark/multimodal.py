@@ -105,7 +105,9 @@ def extract_byte_features(media: DataFrame) -> DataFrame:
                 out, columns=["media_id", "n_bytes", "n_distinct", "modal_byte"]
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # prune to the two consumed columns before the Arrow exchange — the
+    # media metadata never crosses into Python
+    return media.select("media_id", "content").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every: int = 4, frame_bytes: int = 16) -> DataFrame:
