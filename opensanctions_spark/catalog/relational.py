@@ -796,3 +796,111 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: the JSON `props` column parsed
+    with get_json_object (JVM Jackson path evaluation, no Python) and
+    aggregated — the telemetry-payload pattern. Integer sums are exact in
+    any engine. At scale the JSON parse is map-side inside codegen; the
+    shuffle carries only (event_type, partial agg)."""
+    from opensanctions_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts per priority × status plus one
+    pivoted decimal sum. The status domain is declared explicitly, so the
+    pivot is a single-pass aggregate with no extra values-discovery job
+    — at scale exactly one shuffle on the grouping key, each pivot cell a
+    conditional partial aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("o_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("p_orders"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.col("o_totalprice").cast(DEC),
+                    )
+                ),
+                F.lit(0).cast(DEC),
+            )
+            .cast("double")
+            .alias("f_total"),
+        )
+    )
+
+
+@register(
+    "w3_rank_family",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic ranking family in one window: rank, dense_rank,
+    ntile, percent_rank, cume_dist per market segment (total order —
+    acctbal desc, custkey tiebreak — so every function is deterministic).
+    One shuffle on the partition key; all five functions share a single
+    sort."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
