@@ -565,3 +565,62 @@ def f12_t5_active_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")),
         ).alias("effective_us"),
     )
+
+
+@register(
+    "scd2_entity_history",
+    oracle="""
+WITH history AS (
+  SELECT 'p-' || p_partkey AS entity_id, v.version,
+         md5('p-' || p_partkey || '|' ||
+             CASE WHEN v.version >= 2 AND p_partkey % 5 = 0
+                  THEN p_retailprice + 1 ELSE p_retailprice END ||
+             CASE WHEN v.version >= 3 AND p_partkey % 7 = 0
+                  THEN '|rev' ELSE '' END) AS entity_hash
+  FROM part, (SELECT UNNEST([1, 2, 3]) AS version) v
+),
+marked AS (
+  SELECT entity_id, version, entity_hash,
+         CASE WHEN lag(entity_hash) OVER w IS NULL
+                OR entity_hash <> lag(entity_hash) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM history
+  WINDOW w AS (PARTITION BY entity_id ORDER BY version)
+),
+starts AS (SELECT * FROM marked WHERE is_new = 1)
+SELECT entity_id, entity_hash,
+       version AS valid_from,
+       lead(version) OVER w2 AS valid_to,
+       lead(version) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY entity_id ORDER BY version)
+""",
+)
+def scd2_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals over a three-version entity history
+    (archive §1.5 as a queryable dimension): version 2 re-prices every
+    5th part, version 3 revises every 7th — intervals collapse runs of
+    identical D0 hashes into [valid_from, valid_to) with an is_current
+    flag. One window partitioning, no joins."""
+    from opensanctions_spark.operators.delta import scd2_intervals
+
+    part = load(spark, sf_dir, "part")
+    versions = spark.range(1, 4).select(F.col("id").cast("int").alias("version"))
+    hist = part.crossJoin(F.broadcast(versions)).select(
+        F.concat(F.lit("p-"), F.col("p_partkey")).alias("entity_id"),
+        "version",
+        F.md5(
+            F.concat(
+                F.lit("p-"), F.col("p_partkey"), F.lit("|"),
+                F.when(
+                    (F.col("version") >= 2) & (F.col("p_partkey") % 5 == 0),
+                    F.col("p_retailprice") + 1,
+                ).otherwise(F.col("p_retailprice")),
+                F.when(
+                    (F.col("version") >= 3) & (F.col("p_partkey") % 7 == 0),
+                    F.lit("|rev"),
+                ).otherwise(F.lit("")),
+            )
+        ).alias("entity_hash"),
+    )
+    return scd2_intervals(hist)

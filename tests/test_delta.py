@@ -37,3 +37,32 @@ def test_hash_invariant_to_statement_order_and_dupes(spark):
          ("a", "name", "X", "Person")],
     )
     assert h1.collect()[0]["entity_hash"] == h2.collect()[0]["entity_hash"]
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    from opensanctions_spark.operators.delta import scd2_intervals
+
+    hist = spark.createDataFrame(
+        [
+            # e1: h1 for v1-v2, h2 from v3 on -> two intervals
+            ("e1", 1, "h1"), ("e1", 2, "h1"), ("e1", 3, "h2"),
+            # e2: never changes -> one open interval
+            ("e2", 1, "hx"), ("e2", 2, "hx"), ("e2", 3, "hx"),
+            # e3: flip-flop -> three intervals (runs, not distinct hashes)
+            ("e3", 1, "a"), ("e3", 2, "b"), ("e3", 3, "a"),
+        ],
+        "entity_id STRING, version INT, entity_hash STRING",
+    )
+    rows = {
+        (r["entity_id"], r["valid_from"]): (
+            r["entity_hash"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_intervals(hist).collect()
+    }
+    assert rows[("e1", 1)] == ("h1", 3, False)
+    assert rows[("e1", 3)] == ("h2", None, True)
+    assert rows[("e2", 1)] == ("hx", None, True)
+    assert rows[("e3", 1)] == ("a", 2, False)
+    assert rows[("e3", 2)] == ("b", 3, False)
+    assert rows[("e3", 3)] == ("a", None, True)
+    assert len(rows) == 6
