@@ -904,3 +904,48 @@ def w3_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "sketch_merge_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS merged_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): stage 1
+    builds one sketch per (event_type, day) — the shape of a sketch
+    column maintained incrementally per archive partition — and stage 2
+    merges the stored sketches with hll_union_agg and estimates. The
+    oracle asserts the two-level merge lands within 5% of the exact
+    count.
+
+    This is the 100 TB pattern the single-pass approx_count_distinct
+    can't give you: per-partition sketches are persisted once (bytes per
+    partition, not rows), and any cross-partition rollup — per dataset,
+    per month, whole archive — is a fixed-size union over stored state
+    instead of a re-scan of the raw data."""
+    from opensanctions_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    per_day = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("merged_within_5pct"),
+    )

@@ -158,3 +158,26 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensanctions_spark.streaming import view_click_interval_join
 
     return view_click_interval_join(load_events(spark, sf_dir))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY COALESCE(c.c_mktsegment, 'UNKNOWN')
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (event stream ⋈ broadcast customer dimension →
+    per-segment totals) — oracle-checked in batch on the identical plan;
+    the streaming test proves parity under availableNow."""
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.streaming import enrich_events_with_segment
+
+    return enrich_events_with_segment(
+        load_events(spark, sf_dir), load(spark, sf_dir, "customer")
+    )

@@ -213,3 +213,21 @@ def view_click_interval_join(events: DataFrame, within: str = "10 minutes",
         F.unix_micros("view_ts").alias("view_us"),
         F.unix_micros("click_ts").alias("click_us"),
     )
+
+
+def enrich_events_with_segment(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer dimension (user_id = c_custkey) and aggregated per
+    market segment. In stream mode the static side is re-broadcast per
+    micro-batch (no state store involvement — stream-static equi-joins
+    are stateless); batch mode runs the identical plan."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    return joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )

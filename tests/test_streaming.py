@@ -123,3 +123,15 @@ def test_interval_join_stream_equals_batch(spark, sf_dir):
     got = run_available_now(stream, "t_interval_join", output_mode="append")
     cols = ["view_id", "click_id", "user_id", "view_us", "click_us"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    from opensanctions_spark.streaming import enrich_events_with_segment
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    batch = enrich_events_with_segment(load_events(spark, sf_dir), cust)
+    stream = enrich_events_with_segment(stream_events(spark, sf_dir), cust)
+    assert stream.isStreaming
+    got = run_available_now(stream, "t_static_enrich")
+    cols = ["segment", "n_events", "total"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
