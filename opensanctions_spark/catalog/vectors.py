@@ -332,3 +332,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.25)
         .select("left_id", "right_id", "score")
     )
+
+
+@register(
+    "ann_centroid_step",
+    oracle="""
+SELECT label,
+       CAST(g.i AS INT) AS dim,
+       CAST(SUM(CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000)
+                AS BIGINT))
+            // COUNT(*) AS BIGINT) AS centroid_q,
+       COUNT(*) AS n_members
+FROM embeddings,
+     LATERAL (SELECT UNNEST(range(len(embedding))) AS i) g
+GROUP BY label, g.i
+""",
+)
+def ann_centroid_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment-free centroid update (the Lloyd's-step /
+    IVF-training primitive): per-label mean vector over the embedding
+    column, computed dimension-wise.
+
+    Coordinates are quantized to integer micro-units (floor(x·1e6)) BEFORE
+    summation, so the per-dimension mass and the floor-divided mean are
+    exact and order-independent in any engine — the same integer-mass
+    discipline as the PageRank and centrality queries, applied to vector
+    math. At 100 TB: posexplode is map-side; the single shuffle carries
+    (label, dim) partial sums — 64·k cells of state, independent of row
+    count. A full k-means loop is this plan iterated with a broadcast
+    centroid table feeding the assignment join."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.expr("sum(q) div count(*)").cast("long").alias("centroid_q"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
