@@ -1,0 +1,111 @@
+"""Command-line entry point — the ``zavod`` CLI surface re-expressed
+(``zavod/zavod/cli/etl.py:95-154`` analogue).
+
+    python -m opensanctions_spark run --statements s.parquet --dataset us_x \
+        --archive /data/archive --out /data/export [--assert entity_count:min:10]
+    python -m opensanctions_spark query a1_entity_assembly --sf-dir /root/testdata/sf0.01
+    python -m opensanctions_spark list
+
+``run`` executes the full pipeline for one dataset version (timestamp
+propagation, versioned archive write, entity assembly, validation,
+all export sinks, ADD/MOD/DEL delta) and prints the run manifest as JSON.
+``query`` runs any catalog operator and prints a bounded sample;
+``list`` enumerates the catalog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from opensanctions_spark.plans.run import Assertion, DatasetConfig, run_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-run-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    assertions = []
+    for spec in args.asserts or []:
+        metric, op, threshold = spec.rsplit(":", 2)
+        assertions.append(Assertion(metric=metric, op=op, threshold=int(threshold)))
+    statements = spark.read.parquet(args.statements)
+    try:
+        result = run_dataset(
+            spark,
+            statements,
+            DatasetConfig(name=args.dataset, assertions=assertions),
+            StatementArchive(spark, args.archive),
+            out_dir=args.out,
+            run_time=args.run_time,
+        )
+    except AssertionError as exc:  # fatal min-assertion aborts the run
+        print(f"run aborted: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps(dataclasses.asdict(result), indent=2, default=str))
+    return 1 if result.violations else 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from opensanctions_spark.catalog import QUERIES
+    from opensanctions_spark.session import get_session
+
+    fn = QUERIES.get(args.name)
+    if fn is None:
+        print(f"unknown query {args.name!r} — see `list`", file=sys.stderr)
+        return 2
+    spark = get_session(f"osp-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = fn(spark, args.sf_dir)
+    n = df.count()
+    df.show(args.limit, truncate=False)
+    print(f"{n} rows")
+    return 0
+
+
+def _cmd_list(args: argparse.Namespace) -> int:
+    from opensanctions_spark.catalog import ORACLES, QUERIES
+
+    try:
+        for name in sorted(QUERIES):
+            marker = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{marker}")
+    except BrokenPipeError:  # `... list | head` closing early is fine
+        pass
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="opensanctions_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="full dataset pipeline run")
+    run_p.add_argument("--statements", required=True, help="statements parquet path")
+    run_p.add_argument("--dataset", required=True)
+    run_p.add_argument("--archive", required=True, help="versioned archive root")
+    run_p.add_argument("--out", required=True, help="export output directory")
+    run_p.add_argument("--run-time", default="2024-01-01T00:00:00")
+    run_p.add_argument(
+        "--assert", dest="asserts", action="append", metavar="METRIC:OP:N",
+        help="assertion, e.g. entity_count:min:10 (repeatable)",
+    )
+    run_p.set_defaults(fn=_cmd_run)
+
+    q_p = sub.add_parser("query", help="run one catalog query")
+    q_p.add_argument("name")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q_p.add_argument("--limit", type=int, default=20)
+    q_p.set_defaults(fn=_cmd_query)
+
+    l_p = sub.add_parser("list", help="list catalog queries")
+    l_p.set_defaults(fn=_cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

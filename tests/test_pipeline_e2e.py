@@ -126,3 +126,28 @@ def test_fatal_assertion_aborts(spark, paths):
             out_dir=os.path.join(out_dir, "rX"),
             run_time="2026-08-01T00:00:00", version="20260801-000000",
         )
+
+
+def test_cli_run_and_query(spark, tmp_path):
+    """The __main__ CLI drives the full pipeline and the catalog."""
+    from opensanctions_spark.__main__ import main
+    from opensanctions_spark.model.melt import melt_customers
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    stmts = str(tmp_path / "stmts.parquet")
+    melt_customers(cust).write.parquet(stmts)
+    rc = main([
+        "run", "--statements", stmts, "--dataset", "clifix",
+        "--archive", str(tmp_path / "archive"), "--out", str(tmp_path / "out"),
+        "--assert", "entity_count:min:10",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "run.json").exists()
+    # fatal assertion -> nonzero exit
+    rc = main([
+        "run", "--statements", stmts, "--dataset", "clifix2",
+        "--archive", str(tmp_path / "archive"), "--out", str(tmp_path / "out2"),
+        "--assert", "entity_count:min:100000",
+    ])
+    assert rc == 1
+    assert main(["list"]) == 0
