@@ -39,6 +39,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "ann_cosine_topk",
     "mm_byte_features",
+    # pure-pushdown scan-agg, double-broadcast distinct, stream-stream join
+    "q6_forecast_revenue",
+    "q16_supplier_variety",
+    "stream_interval_join",
 ]
 
 

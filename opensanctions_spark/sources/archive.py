@@ -21,14 +21,21 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VERSION_RE = re.compile(r"^\d{8}-\d{6}$")
+_VERSION_RE = re.compile(r"^\d{8}-\d{6}(-\d{6})?$")
 
 
 def new_version_id(now: datetime | None = None) -> str:
     """Sortable run version id (the reference's version ids sort
-    lexicographically too, ``zavod/zavod/archive/__init__.py:10-66``)."""
+    lexicographically too, ``zavod/zavod/archive/__init__.py:10-66``).
+
+    Carries a microsecond suffix: two runs starting within the same
+    second must NOT share a version — with second granularity the later
+    overwrite-write silently merged into the earlier version's path
+    (observed as back-to-back streaming micro-batch waves landing as one
+    version). Still lexicographically sortable against old 15-char ids
+    ("...-083941" < "...-083941-000123" < "...-083942")."""
     now = now or datetime.now(timezone.utc)
-    return now.strftime("%Y%m%d-%H%M%S")
+    return now.strftime("%Y%m%d-%H%M%S-%f")
 
 
 class StatementArchive:
