@@ -23,6 +23,7 @@ from opensanctions_spark.exporters import (
     senzing_records,
     simple_csv,
     statistics_facets,
+    statistics_facets_grouped,
 )
 from opensanctions_spark.model.melt import finish_statements, melt_customers
 from opensanctions_spark.operators.assembly import assemble_entities
@@ -193,6 +194,46 @@ def k7_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema / country / target + grand total, one unioned long table."""
     entities = _export_entities(spark, sf_dir)
     return statistics_facets(entities)
+
+
+@register(
+    "a2_facets_grouping_sets",
+    oracle="""
+WITH ents AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN 'Person' ELSE 'LegalEntity' END AS sch,
+         CAST(c_nationkey AS VARCHAR) AS country,
+         CAST(c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS VARCHAR) AS target
+  FROM customer
+  UNION ALL
+  SELECT 'Address', n_name, 'false' FROM nation
+),
+agg AS (
+  SELECT sch, country, target,
+         GROUPING(sch) AS g_sch, GROUPING(country) AS g_country,
+         GROUPING(target) AS g_target, COUNT(*) AS n
+  FROM ents
+  GROUP BY GROUPING SETS ((sch), (country), (target), ())
+)
+SELECT CASE WHEN g_sch = 0 THEN 'schema'
+            WHEN g_country = 0 THEN 'country'
+            WHEN g_target = 0 THEN 'target'
+            ELSE 'total' END AS facet,
+       COALESCE(sch, country, target, 'entities') AS value,
+       CAST(n AS BIGINT) AS n
+FROM agg
+WHERE NOT (g_country = 0 AND country IS NULL)
+""",
+)
+def a2_facets_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass facet family (A2/K7): same counts as ``k7_statistics`` but
+    every facet computed in a single Expand + one aggregation shuffle via
+    GROUPING SETS, instead of one groupBy pass per facet (SURVEY §2.4's
+    optional fusion of ``zavod/zavod/exporters/statistics.py:93-126``).
+    The oracle counts rows because each fixture entity carries exactly one
+    country; the Spark side stays correct for multi-valued countries via
+    the first-row marker (see ``statistics_facets_grouped``)."""
+    entities = _export_entities(spark, sf_dir)
+    return statistics_facets_grouped(entities)
 
 
 @register(

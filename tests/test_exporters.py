@@ -16,6 +16,7 @@ from opensanctions_spark.exporters import (
     names_export,
     reverse_adjacency,
     statistics_facets,
+    statistics_facets_grouped,
 )
 from opensanctions_spark.model.melt import melt_customers
 
@@ -64,6 +65,37 @@ def test_statistics_total_consistency(spark, sf_dir):
     total = by["total"]["entities"]
     assert sum(by["schema"].values()) == total
     assert sum(by["target"].values()) == total
+
+
+def test_grouped_facets_match_union_form(spark, sf_dir):
+    entities = _export_entities(spark, sf_dir)
+    union_rows = {
+        (r["facet"], r["value"]): r["n"] for r in statistics_facets(entities).collect()
+    }
+    grouped_rows = {
+        (r["facet"], r["value"]): r["n"]
+        for r in statistics_facets_grouped(entities).collect()
+    }
+    assert grouped_rows == union_rows
+
+
+def test_grouped_facets_count_entities_not_country_rows(spark):
+    # One entity with TWO countries: country facet counts rows, every
+    # entity-level facet must still count one entity.
+    entities = spark.createDataFrame(
+        [
+            ("e1", "Person", {"country": ["de", "fr"], "topics": ["sanction"]}),
+            ("e2", "Company", {"country": [], "topics": []}),
+        ],
+        "canonical_id string, schema string, properties map<string,array<string>>",
+    )
+    by = {}
+    for r in statistics_facets_grouped(entities).collect():
+        by.setdefault(r["facet"], {})[r["value"]] = r["n"]
+    assert by["country"] == {"de": 1, "fr": 1}
+    assert by["schema"] == {"Person": 1, "Company": 1}
+    assert by["target"] == {"true": 1, "false": 1}
+    assert by["total"] == {"entities": 2}
 
 
 def test_reverse_adjacency_inverts_forward(spark, sf_dir):

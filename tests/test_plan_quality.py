@@ -121,3 +121,19 @@ def test_q13_reuses_join_partitioning_for_count(spark, sf_dir):
     # per-customer count itself must NOT add a fourth exchange
     n = plan.count("Exchange hashpartitioning")
     assert n <= 3, f"per-customer count should reuse join partitioning, saw {n}"
+
+
+def test_grouped_facets_are_one_expand_one_shuffle(spark):
+    from opensanctions_spark.exporters import statistics_facets_grouped
+
+    entities = spark.createDataFrame(
+        [("e%d" % i, "Person", {"country": ["de"], "topics": []}) for i in range(100)],
+        "canonical_id string, schema string, properties map<string,array<string>>",
+    )
+    plan = _executed_plan(statistics_facets_grouped(entities))
+    # the whole facet family rides ONE grouping-sets aggregation: a single
+    # Expand feeding a single hash-partitioned exchange (the union-of-
+    # groupBys form pays one shuffle per facet)
+    assert "Expand" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"grouping-sets facets should shuffle once, saw {n}"
