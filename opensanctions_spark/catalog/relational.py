@@ -558,6 +558,53 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantile_contract",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS gk_within_rank_eps
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna, ``percentile_approx``) with
+    the rank-error contract verified exactly: the sketch's p50 must be an
+    order statistic whose rank window overlaps ``0.5*n ± (eps*n + 1)``
+    (eps = 1/accuracy = 1e-3). Companion to ``approx_distinct_users`` —
+    at 100 TB the exact quantile needs a full sort per group while the GK
+    sketch is a fixed-size mergeable map-side aggregate; this query keeps
+    both paths live and proves the bound on real data. GK has no RNG, so
+    the boolean is deterministic. The rank check joins the (broadcast,
+    group-count-sized) sketch row back and counts strict / non-strict
+    comparisons, i.e. the value's minimum and maximum possible rank."""
+    li = load(spark, sf_dir, "lineitem")
+    eps = 0.001
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, int(1 / eps)).alias("p50_gk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("l_extendedprice") < F.col("p50_gk")).cast("long")).alias(
+                "rank_lo"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("p50_gk")).cast("long")).alias(
+                "rank_hi"
+            ),
+        )
+    )
+    slack = F.col("n") * F.lit(eps) + F.lit(1.0)
+    target = F.col("n") * F.lit(0.5)
+    ok = (F.col("rank_lo") <= target + slack) & (F.col("rank_hi") >= target - slack)
+    return ranks.select("l_returnflag", "n", ok.alias("gk_within_rank_eps"))
+
+
+@register(
     "funnel_view_click_purchase",
     oracle="""
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
@@ -821,6 +868,40 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telemetry extraction again through Spark 4 VariantType: props
+    parsed ONCE into the compact binary variant encoding
+    (``try_parse_json``) and fields read with ``variant_get``. Same answer
+    as ``events_json_extract``; the plan difference is what matters at
+    scale — N ``get_json_object`` calls re-parse the string N times per
+    row, while a variant column is parsed once and each field access is a
+    binary offset lookup, which is the path you'd persist
+    (``props_variant``) for repeated queries over 100 TB of telemetry."""
+    from opensanctions_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = F.try_parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
