@@ -359,6 +359,56 @@ def s12_review_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6_excel_distributed",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s6_excel_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel scan at scale (S6 via the Spark 4 Python Data Source): the
+    nation dimension split into one .xlsx workbook PER REGION (a landing
+    directory of many source artifacts, the multi-workbook crawl shape),
+    then read back through ``format("xlsx")`` — one input partition per
+    file, the stdlib parse running on executors. Same serialize → parse →
+    recover oracle as ``s6_excel_scan``; the difference is the scan plan:
+    driver-side createDataFrame there, a distributed partition-per-file
+    source here."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from opensanctions_spark.sources import write_xlsx
+    from opensanctions_spark.sources.xlsx_datasource import XlsxDataSource
+
+    nation = load(spark, sf_dir, "nation")
+    by_region: dict[int, list[list[object]]] = defaultdict(list)
+    for r in (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ):
+        by_region[r["n_regionkey"]].append(
+            [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        )
+    out = tempfile.mkdtemp(prefix="osp-xlsx-dist-")
+    for region, rows in by_region.items():
+        write_xlsx(
+            os.path.join(out, f"region{region}.xlsx"),
+            ["nationkey", "name", "regionkey"],
+            rows,
+        )
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(os.path.join(out, "*.xlsx"))
+    return df.select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("name"),
+        F.col("regionkey").cast("long").alias("regionkey"),
+    )
+
+
+@register(
     "s6_excel_scan",
     oracle="""
 SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,

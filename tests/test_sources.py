@@ -197,3 +197,31 @@ def test_xlsx_shared_strings_and_sparse_rows(spark, tmp_path):
     assert (row["hdr_a"], row["hdr_b"], row["hdr_c"]) == ("rich", None, "3.5")
     by_name = read_excel_source(spark, path, sheet="second").collect()
     assert [r["only"] for r in by_name] == ["42"]
+
+
+def test_xlsx_datasource_distributed_scan(spark, tmp_path):
+    from opensanctions_spark.sources import write_xlsx
+    from opensanctions_spark.sources.xlsx_datasource import XlsxDataSource
+
+    for i in range(3):
+        write_xlsx(
+            str(tmp_path / f"part{i}.xlsx"),
+            ["id", "name"],
+            [[i * 10 + j, f"row-{i}-{j}"] for j in range(4)],
+        )
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(tmp_path / "*.xlsx"))
+    # one partition per workbook: the parse runs on executors, in parallel
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.orderBy(F.col("id").cast("int")).collect()
+    assert len(rows) == 12  # per-file header rows dropped
+    assert [r["name"] for r in rows[:4]] == [f"row-0-{j}" for j in range(4)]
+    assert df.columns == ["id", "name"]
+
+    # directory path and explicit schema both work
+    df2 = (
+        spark.read.format("xlsx")
+        .schema("id string, name string")
+        .load(str(tmp_path))
+    )
+    assert df2.count() == 12
