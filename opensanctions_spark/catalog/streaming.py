@@ -96,6 +96,60 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_stateful_totals(emitted)
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state protocol
+    (``pyspark/sql/streaming/proto``); absent in this container, so the
+    TWS rendering registers only where it can actually run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-totals operator again through Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor + typed ValueState,
+    RocksDB state store) — same oracle as ``stream_stateful_totals``, so
+    the old and new arbitrary-state APIs are pinned to the identical
+    batch answer on the real streaming engine."""
+    from opensanctions_spark.streaming import running_user_totals_tws
+
+    _MEMSINK_SEQ[0] += 1
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = run_available_now(
+            running_user_totals_tws(stream_events(spark, sf_dir)),
+            f"stateful_totals_tws_{_MEMSINK_SEQ[0]}",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return latest_stateful_totals(emitted)
+
+
+if _tws_available():  # pragma: no cover - protobuf absent in this container
+    register(
+        "stream_stateful_totals_tws",
+        oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_us
+FROM events
+GROUP BY user_id
+""",
+    )(stream_stateful_totals_tws)
+
+
 @register(
     "rollup_time_hierarchy",
     oracle="""

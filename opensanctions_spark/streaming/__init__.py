@@ -138,6 +138,67 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def running_user_totals_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The same per-user running totals through Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: a ``StatefulProcessor`` with NAMED typed
+    state variables (ValueState here; ListState/MapState for bigger
+    shapes), timer callbacks, and state-schema evolution. Semantics are
+    pinned to :func:`running_user_totals` by the parity test, so either
+    operator can back the pipeline; this one is the forward path (state
+    TTL is ``getValueState(..., ttlDurationMs=...)``, one argument, vs a
+    timeout rewrite in the old API). Requires the RocksDB state store
+    provider — the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id BIGINT, n_events BIGINT, total_value_us BIGINT, emit_seq BIGINT"
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total BIGINT, seq BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            import pandas as pd
+
+            n, total, seq = self._totals.get() if self._totals.exists() else (0, 0, 0)
+            for pdf in rows:
+                n += int(len(pdf))
+                total += int(pdf["value_us"].sum()) if len(pdf) else 0
+            seq += 1
+            self._totals.update((n, total, seq))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value_us": [total],
+                    "emit_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = events.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("value_us"),
+        "ts",
+    ).withWatermark("ts", watermark)
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def latest_stateful_totals(emitted: DataFrame) -> DataFrame:
     """Collapse the update-mode emission log to the final per-user totals
     (the last emit_seq wins — exactly the cumulative state)."""

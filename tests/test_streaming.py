@@ -3,6 +3,7 @@ the batch reader and from readStream (availableNow) must agree."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import load_events
@@ -134,4 +135,26 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
     assert stream.isStreaming
     got = run_available_now(stream, "t_static_enrich")
     cols = ["segment", "n_events", "total"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_tws_stateful_totals_stream_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas rendering of the running totals must
+    match the batch groupBy exactly like the applyInPandasWithState one.
+    Skips where protobuf (the TWS state protocol dependency) is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from opensanctions_spark.catalog import QUERIES
+
+    got = QUERIES["stream_stateful_totals_tws"](spark, sf_dir)
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+                "total_value_us"
+            ),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value_us"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
