@@ -455,6 +455,120 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5_BUCKET100_SQL = _MD5_BUCKET_SQL.replace("% 10", "% 100")
+
+
+@register(
+    "sample_train_split",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       CASE WHEN {_MD5_BUCKET100_SQL} < 80 THEN 'train'
+            WHEN {_MD5_BUCKET100_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): the same
+    content-independent md5 bucketing as ``sample_stratified``, mapped to
+    a split label. Map-only — no shuffle, no RNG seed, no state — so the
+    assignment is reproducible on any cluster size, stable across reruns
+    (a document never migrates between splits when the corpus grows), and
+    the split predicate pushes down when a job reads just one split."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "mixture_cap_per_source",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+""",
+)
+def mixture_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture capping: at most k documents per source, chosen by a
+    deterministic hash order (md5 of the stable id = a reproducible
+    shuffle, no RNG) with the id as tie-break. This is the 'no single
+    domain dominates the mix' policy of large-corpus curation; one
+    shuffle on source, and the per-partition top-k needs no global
+    sort. Skewed mega-sources are exactly what AQE skew-split handles."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "dedup_source_priority",
+    oracle="""
+WITH keyed AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS h,
+         (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+               THEN '0' ELSE '1' END)
+           || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pick_key
+  FROM documents
+)
+SELECT h,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(substr(MIN(pick_key), 2) AS BIGINT) AS BIGINT) AS keeper_id
+FROM keyed
+GROUP BY h
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with a keeper POLICY: inside each duplicate
+    group (token-set fingerprint, catches reordered copies) prefer
+    curated sources (src0-4) over the rest, then lowest id — the 'keep
+    the highest-provenance copy' rule real pipelines use instead of
+    plain min(id). Encoded as a single sortable key (priority char +
+    zero-padded id) so the policy is one min() aggregate — portable to
+    any engine, order-independent, one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    prio = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "0"
+    ).otherwise("1")
+    pick_key = F.concat(prio, F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col("text")))), " ")
+    )
+    return (
+        docs.select(fp.alias("h"), pick_key.alias("pick_key"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.substring(F.min("pick_key"), 2, 12).cast("long").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 @register(
     "text_tfidf_topk",
     oracle="""
