@@ -137,3 +137,18 @@ def test_grouped_facets_are_one_expand_one_shuffle(spark):
     assert "Expand" in plan
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"grouping-sets facets should shuffle once, saw {n}"
+
+
+def test_train_split_is_map_only(spark, sf_dir):
+    plan = _executed_plan(QUERIES["sample_train_split"](spark, sf_dir))
+    # pure projection: split assignment must add no exchange of any kind
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mixture_cap_is_single_shuffle(spark, sf_dir):
+    plan = _executed_plan(QUERIES["mixture_cap_per_source"](spark, sf_dir))
+    # one shuffle on source for the per-source ranking; the top-k filter
+    # must not trigger a global sort exchange
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"per-source cap should shuffle once, saw {n}"
+    assert "Exchange rangepartitioning" not in plan
