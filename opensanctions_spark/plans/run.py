@@ -119,15 +119,29 @@ def run_dataset(
     # 3. assembly — one shuffle, persisted for validators + exporters
     entities = assemble_entities(statements).persist()
 
-    # 4. validation
-    schema_counts = {
-        r["schema"]: r["n"]
-        for r in entities.groupBy("schema").agg(F.count("*").alias("n")).collect()
-    }
+    # 4. validation — ONE job: per-schema counts and the entity/target
+    # totals come out of a single GROUPING SETS pass over the cached
+    # entity view (the reference's validators share one scan the same way,
+    # zavod/zavod/validators/__init__.py:72-104)
     from opensanctions_spark.exporters import target_flag
 
-    entity_count = entities.count()
-    target_count = entities.filter(target_flag(F.col("properties"))).count()
+    stat_rows = (
+        entities.select(
+            "schema",
+            target_flag(F.col("properties")).cast("long").alias("is_target"),
+        )
+        .groupingSets([["schema"], []], "schema")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_target").alias("n_target"),
+            F.grouping("schema").alias("g"),
+        )
+        .collect()
+    )
+    schema_counts = {r["schema"]: r["n"] for r in stat_rows if r["g"] == 0}
+    total_row = next(r for r in stat_rows if r["g"] == 1)
+    entity_count = total_row["n"]
+    target_count = total_row["n_target"] or 0
     stats: dict[str, int] = {
         "entity_count": entity_count,
         "target_count": target_count,
