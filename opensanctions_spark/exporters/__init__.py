@@ -400,22 +400,32 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
         "statistics.json": (statistics_facets(entities), ["facet", "value"]),
         "maritime.csv": (maritime_export(entities), ["imo"]),
     }
+    # per-sink row counts ride the write action itself (df.observe) — no
+    # second materialization per sink; with 8 sinks that halves the number
+    # of jobs the export stage runs
+    from pyspark.sql import Observation
+
     for fname, (df, order) in sinks.items():
         path = os.path.join(out_dir, fname)
-        ordered = df.orderBy(*order)
+        obs = Observation(f"rows:{fname}")
+        # observe ABOVE the sort: the global sort's range-partitioning
+        # sampling pass re-executes everything below it, which would
+        # double-count metrics attached under the exchange
+        ordered = df.orderBy(*order).observe(obs, F.count(F.lit(1)).alias("n"))
         if fname.endswith(".csv"):
             ordered.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
         elif fname.endswith(".json"):
             ordered.coalesce(1).write.mode("overwrite").json(path)
         else:
             ordered.coalesce(1).write.mode("overwrite").text(path)
-        counts[fname] = df.count()
+        counts[fname] = obs.get["n"]
 
-    # K12: metadata index manifest
+    # K12: metadata index manifest (statements.csv is row-per-statement, so
+    # its observed count IS the statement count — no extra scan)
     index = {
         "dataset": dataset,
         "entity_count": counts.get("entities.ftm.json", 0),
-        "statement_count": statements.count(),
+        "statement_count": counts.get("statements.csv", 0),
         "resources": sorted(counts),
         "row_counts": counts,
     }

@@ -173,7 +173,7 @@ def run_dataset(
         dataset=config.name,
         version=version,
         entity_count=entity_count,
-        statement_count=statements.count(),
+        statement_count=export_counts.get("statements.csv", 0),
         target_count=target_count,
         schema_counts=schema_counts,
         delta_ops=delta_ops,
