@@ -87,3 +87,45 @@ def test_extract_years_are_4digit_substrings(spark, values):
         for y in years:
             assert re.fullmatch(r"(1[89]\d{2}|20\d{2})", y)
             assert y in v
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="abc", max_size=6), min_size=1, max_size=14))
+def test_drop_prefix_values_matches_python_reference(spark, values):
+    from opensanctions_spark.operators.consolidate import drop_prefix_values
+
+    df = spark.createDataFrame([("e1", v) for v in values], "k STRING, value STRING")
+    got = sorted(
+        r["value"] for r in drop_prefix_values(df, keys=["k"]).collect()
+    )
+    uniq = set(values)
+    want = sorted(
+        v for v in uniq if not any(u != v and u.startswith(v) for u in uniq)
+    )
+    assert got == want
+    # idempotent: a second pass changes nothing
+    out_df = spark.createDataFrame([("e1", v) for v in got], "k STRING, value STRING")
+    again = sorted(
+        r["value"] for r in drop_prefix_values(out_df, keys=["k"]).collect()
+    )
+    assert again == got
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pqrs"), st.sampled_from("pqrs")),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_collapse_undirected_edges_canonicalizes_endpoints(spark, edges):
+    from opensanctions_spark.operators.consolidate import collapse_undirected_edges
+
+    df = spark.createDataFrame(edges, "s STRING, t STRING")
+    rows = collapse_undirected_edges(df, "s", "t").collect()
+    # endpoints ordered, and the multiset of undirected pairs is preserved
+    assert all(r["s"] <= r["t"] for r in rows)
+    got = sorted((r["s"], r["t"]) for r in rows)
+    want = sorted(tuple(sorted(e)) for e in edges)
+    assert got == want
