@@ -60,7 +60,8 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``zavod/zavod/runner/local_enricher.py:36-44``: ≤75 candidates,
     min_score_ratio). Pairs sharing a blocking key are scored with token
     Jaccard, then row_number keeps top-5 per subject, ties broken by
-    candidate id. The token self-join is the scale-dominant stage: a
+    candidate id. In-bucket pair expansion is the scale-dominant stage
+    (one groupBy(token) shuffle, pairs built JVM-side inside buckets): a
     document-frequency cap (operators.blocking.candidate_pairs) bounds it
     to O(buckets × B²)."""
     part = load(spark, sf_dir, "part")
@@ -73,8 +74,6 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.concat(F.col("tok"), F.lit("#"), F.col("p_brand")).alias("token"))
         .distinct()
     )
-    # jaccard_scored_pairs persists the count-annotated token set (both
-    # sides of the self-join share that working set)
     scored = jaccard_scored_pairs(tokens)
     top = top_k_per_subject(scored, k=5)
     return top.select(

@@ -10,7 +10,7 @@ code shape that runs over billions of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import load, register
@@ -259,34 +259,49 @@ WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.2
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via word-3-gram Jaccard ≥ 0.2, blocked by
     source. Exact but quadratic-within-block — the accuracy oracle that
-    MinHash-LSH approximates; the shingle equi-join keeps the quadratic
-    term per-shingle, not global."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("source"), F.col("shingle"), F.col("doc_id").alias("left_id"))
-    b = sh.select(
-        F.col("source").alias("source_b"),
-        F.col("shingle").alias("shingle_b"),
-        F.col("doc_id").alias("right_id"),
+    MinHash-LSH approximates. One groupBy(source, shingle) shuffle builds
+    buckets; ordered pairs expand JVM-side inside each bucket carrying
+    both Jaccard denominators, so the quadratic term stays per-shingle
+    (never global) and the pair table is never re-joined to a sizes
+    table."""
+    sh = _shingles(spark, sf_dir).withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
-    pairs = (
-        a.join(
-            b,
-            (a.source == b.source_b)
-            & (a.shingle == b.shingle_b)
-            & (a.left_id < b.right_id),
+    buckets = (
+        sh.groupBy("source", "shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members")
         )
-        .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("shared"))
+        .filter(F.size("members") > 1)
     )
-    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n").alias("nb"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("left_id"),
+                        y["doc_id"].alias("right_id"),
+                        x["n"].alias("na"),
+                        y["n"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+    )
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     ).cast("double")
     return (
-        pairs.join(sa, "left_id")
-        .join(sb, "right_id")
+        buckets.select(pair.alias("p"))
+        .select("p.left_id", "p.right_id", "p.na", "p.nb")
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.2)
         .select("left_id", "right_id", "shared", "jaccard")
@@ -325,7 +340,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
-    dedup_minhash_lsh for the algorithm notes."""
+    dedup_minhash_lsh for the algorithm notes.
+
+    Pair generation is the single-shuffle bucket form: group band rows by
+    (band, value), then expand ordered pairs INSIDE each bucket with JVM
+    array functions (sorted ids + slice — emits exactly n(n-1)/2 structs,
+    no n² intermediate). One shuffle of the 8-rows to the buckets replaces
+    the equi-self-join's two shuffled join inputs; the pair-count groupBy
+    is the same in both forms. At 100 TB add a bucket-size cap here
+    (oversized buckets are stop-bands carrying no discriminative signal)."""
     sh = _shingles(spark, sf_dir).select(
         "doc_id", F.md5(F.col("shingle")).alias("h")
     )
@@ -338,10 +361,25 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = sigs.select("doc_id", F.expr(stack_expr)).select(
         "doc_id", F.col("k").cast("long").alias("k"), "mh"
     )
-    a = mh.select(F.col("doc_id").alias("left_id"), "k", "mh")
-    b = mh.select(F.col("doc_id").alias("right_id"), F.col("k").alias("k_b"), F.col("mh").alias("mh_b"))
+    buckets = (
+        mh.groupBy("k", "mh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("left_id"), y.alias("right_id")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, (a.k == b.k_b) & (a.mh == b.mh_b) & (a.left_id < b.right_id))
+        buckets.select(pair.alias("p"))
+        .select("p.left_id", "p.right_id")
         .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("n_bands"))
     )

@@ -6,15 +6,19 @@ scores each pair, and keeps top-k above a cutoff
 ``zavod/zavod/runner/local_enricher.py:33-121``). The Spark-native shape:
 
 1. tokenize the blocking key (names) → explode → (token, id),
-2. self-join on token = candidate generation; hot tokens are the skew
-   hazard, so a per-token document-frequency cap drops stopword-ish tokens
-   before the join (the analogue of the reference's candidate budgets),
+2. group by token into buckets (ONE shuffle of the token set) and expand
+   candidate pairs inside each bucket with JVM array functions; hot
+   tokens are the skew hazard, so a per-token document-frequency cap
+   drops stopword-ish tokens before bucketing (the analogue of the
+   reference's candidate budgets),
 3. score pairs (here: token-overlap Jaccard — pluggable),
 4. top-k per subject via row_number window, ties broken by candidate id.
 
-At 100 TB the token self-join dominates; the DF cap bounds each token
-bucket to B ids → ≤ B² pairs per token, making worst-case cost explicit
-and tunable (exactly why the reference has max_candidates/patience knobs).
+At 100 TB the pair-generation stage dominates; the DF cap bounds each
+token bucket to B ids → ≤ B² pairs per token, making worst-case cost
+explicit and tunable (exactly why the reference has
+max_candidates/patience knobs). The bucket form shuffles the token set
+once where an equi-self-join would shuffle it twice.
 """
 
 from __future__ import annotations
@@ -48,11 +52,27 @@ def candidate_pairs(
             F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
             "token",
         )
-    left = t.select(F.col("token"), F.col("id").alias("subject_id"))
-    right = t.select(F.col("token"), F.col("id").alias("candidate_id"))
+    buckets = (
+        t.groupBy("token")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.filter(F.col("ids"), lambda y: y != x),
+                    lambda y: F.struct(
+                        x.alias("subject_id"), y.alias("candidate_id")
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        left.join(right, "token")
-        .filter(F.col("subject_id") != F.col("candidate_id"))
+        buckets.select(pair.alias("p"))
+        .select("p.subject_id", "p.candidate_id")
         .groupBy("subject_id", "candidate_id")
         .agg(F.count("*").alias("shared"))
     )
@@ -62,19 +82,19 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
     """Candidate pairs with token-set Jaccard score.
 
     The per-id token counts (the Jaccard denominators) are attached to the
-    token rows BEFORE the self-join and ride through it, so the pair table
-    — the largest relation in the whole xref — is never re-shuffled
-    against a sizes table. At scale sizes is one row per entity (not
-    broadcastable), so carrying two ints through the token join replaces
-    two full shuffles of the pair table. Counts come from the unfiltered
-    token sets: the DF cap prunes candidate *generation* only, never the
-    denominator.
+    token rows BEFORE bucketing and ride through pair expansion, so the
+    pair table — the largest relation in the whole xref — is never
+    re-shuffled against a sizes table. At scale sizes is one row per
+    entity (not broadcastable), so carrying two ints through the bucket
+    stage replaces two full shuffles of the pair table. Counts come from
+    the unfiltered token sets: the DF cap prunes candidate *generation*
+    only, never the denominator.
 
-    The annotated token set (token, id, n_tokens) is persisted here — it
-    is consumed twice (both sides of the self-join), and without a
-    materialization point each side would recompute the count window."""
-    from pyspark.storagelevel import StorageLevel
-
+    Pair generation is the single-shuffle bucket form: one groupBy(token)
+    shuffle of the annotated token set, then directional pairs expand
+    INSIDE each bucket with JVM array functions — the equi-self-join
+    alternative would shuffle the token set twice (once per join side) and
+    need a persist to share the count-annotated working set."""
     t = tokens.withColumn(
         "n_tokens", F.count("*").over(Window.partitionBy("id"))
     )
@@ -84,16 +104,34 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
             F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
             "token",
         )
-    t = t.persist(StorageLevel.MEMORY_AND_DISK)
-    left = t.select(
-        "token", F.col("id").alias("subject_id"), F.col("n_tokens").alias("subject_n")
+    buckets = (
+        t.groupBy("token")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("n_tokens")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
-    right = t.select(
-        "token", F.col("id").alias("candidate_id"), F.col("n_tokens").alias("candidate_n")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x: F.transform(
+                    F.filter(F.col("members"), lambda y: y["id"] != x["id"]),
+                    lambda y: F.struct(
+                        x["id"].alias("subject_id"),
+                        y["id"].alias("candidate_id"),
+                        x["n_tokens"].alias("subject_n"),
+                        y["n_tokens"].alias("candidate_n"),
+                    ),
+                ),
+            )
+        )
     )
     return (
-        left.join(right, "token")
-        .filter(F.col("subject_id") != F.col("candidate_id"))
+        buckets.select(pair.alias("p"))
+        .select("p.subject_id", "p.candidate_id", "p.subject_n", "p.candidate_n")
         .groupBy("subject_id", "candidate_id")
         .agg(
             F.count("*").alias("shared"),
