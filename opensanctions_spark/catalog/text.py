@@ -273,6 +273,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("members")
         )
         .filter(F.size("members") > 1)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
     pair = F.explode(
         F.flatten(
@@ -361,10 +362,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = sigs.select("doc_id", F.expr(stack_expr)).select(
         "doc_id", F.col("k").cast("long").alias("k"), "mh"
     )
+    # Re-spread the tiny one-row-per-bucket frame before the quadratic
+    # in-bucket expansion: AQE would otherwise coalesce the stage onto a
+    # few tasks based on pre-explode bytes (see operators/blocking.py).
     buckets = (
         mh.groupBy("k", "mh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
     pair = F.explode(
         F.flatten(

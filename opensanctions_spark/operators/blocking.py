@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _parallelism(df: DataFrame) -> int:
+    """Target task count for fan-out stages: the session's shuffle
+    partition setting (executor-count × cores on a real cluster)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) pairs: lowercase, split on non-alnum, distinct."""
     return (
@@ -56,6 +62,7 @@ def candidate_pairs(
         t.groupBy("token")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        .repartition(_parallelism(t))
     )
     pair = F.explode(
         F.flatten(
@@ -113,6 +120,11 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
         )
         .filter(F.size("members") > 1)
     )
+    # Pair expansion multiplies each bucket row by |bucket|² — AQE sizes
+    # the post-groupBy stage on the tiny pre-explode bytes and would
+    # coalesce it onto a handful of tasks. Re-spread the one-row-per-bucket
+    # frame (a near-free shuffle) so the quadratic work runs wide.
+    buckets = buckets.repartition(_parallelism(t))
     pair = F.explode(
         F.flatten(
             F.transform(
