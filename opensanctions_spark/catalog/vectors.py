@@ -335,6 +335,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+WITH RECURSIVE vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+edges AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM normed a JOIN normed b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= 0.25
+),
+sym AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION SELECT right_id, left_id FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS canonical_id,
+       COALESCE(c.component, e.vec_id) = e.vec_id AS is_keeper
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+""",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: cluster-bucketed
+    cosine pairs above threshold (the within-cluster similarity scan —
+    candidate pairs never form across buckets) → connected components →
+    one keeper per semantic-duplicate group (min vec_id), every other
+    member marked for drop.
+
+    This is the embedding-space analogue of dedup_near_cluster: the same
+    distributed union-find the entity resolver uses, fed by vector
+    similarity instead of MinHash bands. At 100 TB the label bucket is a
+    real k-means assignment (ann_centroid_step iterated); the pair stage
+    shuffles once on the bucket key, stays quadratic-in-bucket and linear
+    overall, and the O(log d) pointer-jumping CC survives any cluster
+    diameter. Oracle recomputes the closure with a recursive CTE."""
+    from opensanctions_spark.operators.resolve import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    normed = emb.select(
+        "vec_id", "label", "emb", norm(F.col("emb")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("label"),
+        F.col("vec_id").alias("left_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = normed.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("right_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    score = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    edges = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("left_id") < F.col("right_id")),
+        )
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.25)
+        .select("left_id", "right_id")
+    )
+    cc = connected_components(edges, src="left_id", dst="right_id")
+    mapping = cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("_canon")
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(mapping, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_canon"), F.col("vec_id")).alias("canonical_id"),
+            (F.coalesce(F.col("_canon"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+@register(
     "ann_centroid_step",
     oracle="""
 SELECT label,

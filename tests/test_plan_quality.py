@@ -152,3 +152,31 @@ def test_mixture_cap_is_single_shuffle(spark, sf_dir):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"per-source cap should shuffle once, saw {n}"
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q5_prunes_via_broadcast_before_fact_join(spark, sf_dir):
+    """Q5: region/nation/supplier/customer all broadcast — the only
+    sort-merge-scale shuffle allowed is lineitem⋈orders."""
+    plan = _executed_plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_returnflag_pushdown(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a full sort"
+
+
+def test_q14_single_scan_single_agg(spark, sf_dir):
+    """Q14: numerator+denominator in ONE aggregate over ONE broadcast
+    join — no second pass over lineitem."""
+    plan = _executed_plan(QUERIES["q14_promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") <= 2  # lineitem + part, once each
+
+
+def test_blocking_pair_expansion_runs_wide(spark, sf_dir):
+    """The bucket frame must be re-spread before in-bucket pair expansion
+    (AQE would coalesce the tiny pre-explode stage to a few tasks)."""
+    plan = _executed_plan(QUERIES["j5_t1_blocking_topk"](spark, sf_dir))
+    assert "Exchange RoundRobinPartitioning" in plan
