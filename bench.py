@@ -43,6 +43,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q16_supplier_variety",
     "stream_interval_join",
+    # six-table join-ordering exhibit; semantic dedup end-to-end
+    "q5_local_supplier_volume",
+    "dedup_semantic_semdedup",
 ]
 
 
