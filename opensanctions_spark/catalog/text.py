@@ -836,6 +836,68 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+       ((cum - n_tokens) // 256) <> ((cum - 1) // 256) AS straddles
+FROM cum
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: concat-and-chunk assignment of
+    documents to fixed 256-token context windows, per language.
+
+    Each doc gets the window containing its start offset in the running
+    token stream (deterministic doc_id order), its offset inside that
+    window, and a flag for docs straddling a window boundary (the split
+    the loader performs at training time). One window partitioned by
+    lang computes everything — the running sum is the only state, so at
+    100 TB this is a per-partition sort with no extra shuffle beyond the
+    lang partitioning; per-shard packing (partition by (lang, shard))
+    removes even the sort-width concern. The greedy first-fit-decreasing
+    alternative needs global state and is deliberately avoided — modern
+    pipelines concat-and-chunk for exactly this reason."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / 256).cast("long").alias("pack_id"),
+        (start % 256).cast("long").alias("pack_offset"),
+        ((start / 256).cast("long") != ((F.col("cum") - 1) / 256).cast("long")).alias(
+            "straddles"
+        ),
+    )
+
+
+@register(
     "pipeline_quality_filter",
     oracle=r"""
 WITH t AS (
