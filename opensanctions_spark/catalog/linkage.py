@@ -6,6 +6,7 @@ candidate caps), J7 (interval-overlap range join inside edge dedupe).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -230,4 +231,120 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.block == b.block_b) & (a.left_id < b.right_id))
         .filter(dist <= 3)
         .select("left_id", "right_id", dist.cast("long").alias("dist"))
+    )
+
+
+@register(
+    "j5_custom_scorer_udf",
+    oracle="""
+WITH raw_tokens AS (
+  SELECT p_partkey AS id,
+         unnest(string_split(p_name, ' ')) AS tok,
+         p_brand AS brand
+  FROM part
+),
+tokens AS (
+  SELECT DISTINCT id, tok || '#' || brand AS token FROM raw_tokens
+),
+sizes AS (SELECT id, COUNT(*) AS n_tokens FROM tokens GROUP BY id),
+pairs AS (
+  SELECT a.id AS subject_id, b.id AS candidate_id, COUNT(*) AS shared
+  FROM tokens a JOIN tokens b ON a.token = b.token AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT p.subject_id, p.candidate_id,
+         CAST(p.shared AS DOUBLE)
+             / CAST(sa.n_tokens + sb.n_tokens - p.shared AS DOUBLE) AS score
+  FROM pairs p
+  JOIN sizes sa ON p.subject_id = sa.id
+  JOIN sizes sb ON p.candidate_id = sb.id
+),
+best AS (
+  SELECT subject_id, candidate_id,
+         row_number() OVER (PARTITION BY subject_id
+                            ORDER BY score DESC, candidate_id) AS rank
+  FROM scored
+),
+named AS (
+  SELECT b.subject_id, b.candidate_id,
+         pa.p_name AS a_name, pb.p_name AS b_name
+  FROM best b
+  JOIN part pa ON b.subject_id = pa.p_partkey
+  JOIN part pb ON b.candidate_id = pb.p_partkey
+  WHERE b.rank = 1
+),
+grams AS (
+  SELECT subject_id, candidate_id,
+         list_distinct(list_transform(range(1, len(a_name)),
+                                      i -> substr(a_name, i, 2))) AS ga,
+         list_distinct(list_transform(range(1, len(b_name)),
+                                      i -> substr(b_name, i, 2))) AS gb
+  FROM named
+)
+SELECT subject_id, candidate_id,
+       CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE)
+       / CAST(len(ga) + len(gb)
+              - len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE)
+       AS rescore
+FROM grams
+""",
+)
+def j5_custom_scorer_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable pair-scoring UDF stage (the xref ``algorithm=`` surface,
+    ``zavod/zavod/integration/dedupe.py:50,67-69``): blocking proposes
+    candidates cheaply JVM-side, then an Arrow-batched pandas_udf
+    re-scores the SURVIVING pairs with arbitrary Python — here character-
+    bigram Jaccard, standing in for any scoring model the reference
+    plugs by name.
+
+    The scale discipline this demonstrates: Python never touches the
+    candidate-generation stage (quadratic, JVM-only); the UDF runs on the
+    pruned top-1-per-subject set — candidate count × O(1) rows, Arrow in
+    and out, vectorized per batch. Swapping algorithms = swapping the UDF;
+    the plan shape is unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def bigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def score(x: str, y: str) -> float:
+            ga = {x[i : i + 2] for i in range(len(x) - 1)}
+            gb = {y[i : i + 2] for i in range(len(y) - 1)}
+            inter = len(ga & gb)
+            return inter / (len(ga) + len(gb) - inter)
+
+        return pd.Series([score(x, y) for x, y in zip(a, b)])
+
+    part = load(spark, sf_dir, "part")
+    tokens = (
+        part.select(
+            F.col("p_partkey").alias("id"),
+            F.explode(F.split(F.col("p_name"), " ")).alias("tok"),
+            F.col("p_brand"),
+        )
+        .select(
+            "id", F.concat(F.col("tok"), F.lit("#"), F.col("p_brand")).alias("token")
+        )
+        .distinct()
+    )
+    best = top_k_per_subject(jaccard_scored_pairs(tokens), k=1).select(
+        "subject_id", "candidate_id"
+    )
+    names = part.select("p_partkey", "p_name")
+    named = (
+        best.join(
+            F.broadcast(names.withColumnRenamed("p_name", "a_name")),
+            best.subject_id == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(names.withColumnRenamed("p_name", "b_name")),
+            best.candidate_id == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+    )
+    return named.select(
+        "subject_id",
+        "candidate_id",
+        bigram_jaccard(F.col("a_name"), F.col("b_name")).alias("rescore"),
     )

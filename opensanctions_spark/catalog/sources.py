@@ -443,3 +443,42 @@ def s6_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name"),
         F.col("regionkey").cast("long").alias("regionkey"),
     )
+
+
+@register(
+    "audit_source_columns",
+    oracle="""
+SELECT 'p_type' AS column, COUNT(p_type) AS n_filled,
+       COUNT(DISTINCT p_type) AS n_distinct FROM part
+UNION ALL
+SELECT 'p_size', COUNT(p_size), COUNT(DISTINCT p_size) FROM part
+UNION ALL
+SELECT 'p_retailprice', COUNT(p_retailprice),
+       COUNT(DISTINCT p_retailprice) FROM part
+""",
+)
+def audit_source_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-field coverage audit (the ``audit_data`` analogue,
+    ``zavod/zavod/context.py:600-620``): the reference warns when a
+    crawler leaves source fields unconsumed; here the pipeline declares
+    its consumed columns and this check profiles the rest (fill count +
+    distinct count per leftover column) so silently-dropped signal shows
+    up in review.
+
+    One aggregate pass computes every leftover column's profile, then a
+    stack unpivots the single row — no per-column scans, no shuffle
+    beyond the global agg. At 100 TB this is the cheapest query in the
+    repo: Parquet statistics could even short-circuit the null counts."""
+    part = load(spark, sf_dir, "part")
+    consumed = {"p_partkey", "p_name", "p_brand"}
+    leftover = [c for c in part.columns if c not in consumed]
+    aggs = []
+    for c in leftover:
+        aggs.append(F.count(F.col(c)).alias(f"__f_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+    one = part.agg(*aggs)
+    stack = "stack({n}, {args}) as (column, n_filled, n_distinct)".format(
+        n=len(leftover),
+        args=", ".join(f"'{c}', __f_{c}, __d_{c}" for c in leftover),
+    )
+    return one.select(F.expr(stack))
