@@ -129,3 +129,67 @@ def test_collapse_undirected_edges_canonicalizes_endpoints(spark, edges):
     got = sorted((r["s"], r["t"]) for r in rows)
     want = sorted(tuple(sorted(e)) for e in edges)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=8), st.sampled_from("tuvw")),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_candidate_pairs_match_python_reference(spark, rows):
+    """The in-bucket pair expansion must emit exactly the directional
+    pairs (with shared-token counts) that a naive per-token join would."""
+    from collections import Counter
+
+    from opensanctions_spark.operators.blocking import candidate_pairs
+
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, "id LONG, token STRING")
+    got = {
+        (r["subject_id"], r["candidate_id"]): r["shared"]
+        for r in candidate_pairs(df).collect()
+    }
+    want: Counter = Counter()
+    by_token: dict = {}
+    for i, t in uniq:
+        by_token.setdefault(t, []).append(i)
+    for ids in by_token.values():
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    want[(a, b)] += 1
+    assert got == dict(want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=6), st.sampled_from("tuv")),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_jaccard_denominators_survive_df_cap(spark, rows):
+    """Under a document-frequency cap the Jaccard denominators must still
+    come from the UNCAPPED token sets (the cap prunes candidate
+    generation only)."""
+    from opensanctions_spark.operators.blocking import jaccard_scored_pairs
+
+    uniq = sorted(set(rows))
+    df = spark.createDataFrame(uniq, "id LONG, token STRING")
+    n_tokens = {}
+    for i, _ in uniq:
+        n_tokens[i] = sum(1 for j, _ in uniq if j == i)
+    for r in jaccard_scored_pairs(df, max_token_freq=2).collect():
+        assert r["subject_n"] == n_tokens[r["subject_id"]]
+        assert r["candidate_n"] == n_tokens[r["candidate_id"]]
+        assert (
+            abs(
+                r["score"]
+                - r["shared"] / (r["subject_n"] + r["candidate_n"] - r["shared"])
+            )
+            < 1e-12
+        )
