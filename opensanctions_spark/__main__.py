@@ -49,6 +49,30 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 1 if result.violations else 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from opensanctions_spark.plans.curate import (
+        CurationConfig,
+        curate_corpus,
+        curation_stats,
+    )
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-curate")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.documents)
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        context_tokens=args.context_tokens,
+    )
+    curated = curate_corpus(docs, cfg)
+    if args.out:
+        curated.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        curated = spark.read.parquet(args.out)
+    print(json.dumps(curation_stats(docs, curated), indent=2))
+    return 0
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from opensanctions_spark.catalog import QUERIES
     from opensanctions_spark.session import get_session
@@ -93,6 +117,14 @@ def main(argv: list[str] | None = None) -> int:
         help="assertion, e.g. entity_count:min:10 (repeatable)",
     )
     run_p.set_defaults(fn=_cmd_run)
+
+    c_p = sub.add_parser("curate", help="corpus-curation pipeline run")
+    c_p.add_argument("--documents", required=True, help="documents parquet path")
+    c_p.add_argument("--out", help="write curated corpus here (partitioned by split)")
+    c_p.add_argument("--min-tokens", type=int, default=10)
+    c_p.add_argument("--max-tokens", type=int, default=1000)
+    c_p.add_argument("--context-tokens", type=int, default=256)
+    c_p.set_defaults(fn=_cmd_curate)
 
     q_p = sub.add_parser("query", help="run one catalog query")
     q_p.add_argument("name")

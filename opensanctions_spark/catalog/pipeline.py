@@ -624,3 +624,98 @@ def scd2_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entity_hash"),
     )
     return scd2_intervals(hist)
+
+
+_CURATE_BUCKET100 = (
+    "(4096 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " + 256 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    " + 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens,
+         md5(text) AS fp
+  FROM documents
+),
+q AS (SELECT * FROM toks WHERE n_tokens BETWEEN 10 AND 1000),
+exk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM exk)
+  )
+),
+perms AS (SELECT unnest(range(8)) AS k),
+minhash AS (
+  SELECT doc_id, k, MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
+  FROM shingles CROSS JOIN perms GROUP BY doc_id, k
+),
+mh_pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
+  FROM minhash a JOIN minhash b
+    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (SELECT left_id, right_id FROM mh_pairs WHERE n_bands >= 4),
+sym AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION SELECT right_id, left_id FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+keep AS (
+  SELECT e.doc_id, e.lang, e.source, e.n_tokens
+  FROM exk e LEFT JOIN comp c ON e.doc_id = c.node
+  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+),
+splitted AS (
+  SELECT *,
+         CASE WHEN {_CURATE_BUCKET100} < 80 THEN 'train'
+              WHEN {_CURATE_BUCKET100} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keep
+),
+cum AS (
+  SELECT doc_id, lang, source, n_tokens, split,
+         SUM(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM splitted
+)
+SELECT doc_id, lang, source, n_tokens, split,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset
+FROM cum
+""",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage corpus-curation pipeline END TO END (quality gate →
+    exact dedup → MinHash near-dedup with connected components → stable
+    split → sequence packing) — ``plans/curate.py`` run as one job graph.
+    Every stage is individually oracled elsewhere; this query pins the
+    COMPOSITION: stage coupling (near-dedup runs on exact-dedup
+    survivors; packing runs per (split, lang) stream) is where hand-wired
+    pipelines silently drift. The oracle replays all five stages in one
+    recursive-CTE SQL statement."""
+    from opensanctions_spark.plans.curate import curate_corpus
+
+    return curate_corpus(load(spark, sf_dir, "documents"))

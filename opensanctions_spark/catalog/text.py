@@ -224,7 +224,11 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return shingles_of(load(spark, sf_dir, "documents"))
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per (doc_id, source)."""
     w = _tokens(F.col("text"))
     sh = F.transform(
         F.sequence(F.lit(0), F.size(w) - 3),
@@ -340,6 +344,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs_of(_shingles(spark, sf_dir))
+
+
+def minhash_pairs_of(shingles: DataFrame) -> DataFrame:
     """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
     dedup_minhash_lsh for the algorithm notes.
 
@@ -350,9 +358,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equi-self-join's two shuffled join inputs; the pair-count groupBy
     is the same in both forms. At 100 TB add a bucket-size cap here
     (oversized buckets are stop-bands carrying no discriminative signal)."""
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.md5(F.col("shingle")).alias("h")
-    )
+    spark = shingles.sparkSession
+    sh = shingles.select("doc_id", F.md5(F.col("shingle")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}") for k in range(8)]
     )

@@ -1,0 +1,142 @@
+"""Corpus-curation plan: the training-data preprocessing pipeline as ONE
+composed Spark job graph over the documents table.
+
+The stages every large-scale pretraining pipeline runs, chained in their
+production order (each stage is also an individually-oracled catalog
+query — this plan is the composition):
+
+1. quality gate — token-count bounds (``pipeline_quality_filter`` family),
+2. exact dedup — one content fingerprint per text, keeper = min doc_id
+   (``dedup_exact``),
+3. near dedup — MinHash-LSH candidates (≥ band threshold) → connected
+   components → one keeper per duplicate group (``dedup_minhash_lsh`` +
+   ``dedup_near_cluster``),
+4. deterministic split — content-independent md5 bucketing, 80/10/10,
+   migration-stable (``sample_train_split``),
+5. sequence packing — concat-and-chunk into fixed token windows per
+   (split, lang) stream (``pack_sequences``).
+
+Scale notes: stages 1/2/4 are map-only or single-shuffle; stage 3 is the
+dominant cost and inherits the single-shuffle bucket pair generation and
+the AQE re-spread guard from the LSH operators; stage 5 is one window
+sort per (split, lang). Nothing in the plan collects to the driver except
+the final stage counts (a single aggregation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opensanctions_spark.operators.resolve import connected_components
+
+
+@dataclass
+class CurationConfig:
+    min_tokens: int = 10
+    max_tokens: int = 1000
+    near_dup_bands: int = 4     # MinHash bands that must agree
+    context_tokens: int = 256   # packing window
+    train_pct: int = 80         # of 100 md5 buckets
+    val_pct: int = 10
+
+
+def _word_tokens(col):
+    return F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
+
+
+def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
+    """Run the five-stage curation pipeline; returns the curated corpus
+    as (doc_id, lang, source, n_tokens, split, pack_id, pack_offset).
+
+    Dropped documents simply don't appear; per-stage counts come from
+    ``curation_stats`` (one aggregation over a disposition frame, not one
+    action per stage)."""
+    cfg = config or CurationConfig()
+
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(_word_tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    quality = toks.filter(
+        (F.col("n_tokens") >= cfg.min_tokens) & (F.col("n_tokens") <= cfg.max_tokens)
+    )
+
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+    from opensanctions_spark.catalog.text import minhash_pairs_of, shingles_of
+
+    edges = minhash_pairs_of(shingles_of(exact)).filter(
+        F.col("n_bands") >= cfg.near_dup_bands
+    )
+    cc = connected_components(edges, src="left_id", dst="right_id")
+    mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
+    near = (
+        exact.join(mapping, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+        )
+        .drop("component", "text")
+    )
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < cfg.train_pct, "train")
+        .when(bucket < cfg.train_pct + cfg.val_pct, "val")
+        .otherwise("test")
+    )
+    splitted = near.withColumn("split", split)
+
+    w_pack = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = splitted.withColumn("cum", F.sum("n_tokens").over(w_pack))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "split",
+        (start / cfg.context_tokens).cast("long").alias("pack_id"),
+        (start % cfg.context_tokens).cast("long").alias("pack_offset"),
+    )
+
+
+def curation_stats(docs: DataFrame, curated: DataFrame) -> dict[str, int]:
+    """Pipeline funnel counts in two actions: input size, and per-split
+    survivor counts + packed-window total from the curated frame."""
+    n_input = docs.count()
+    rows = (
+        curated.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_distinct("lang", "pack_id").alias("n_packs"),
+        )
+        .collect()
+    )
+    stats: dict[str, int] = {"input_docs": n_input, "curated_docs": 0}
+    for r in rows:
+        stats[f"{r['split']}_docs"] = r["n_docs"]
+        stats[f"{r['split']}_tokens"] = r["n_tokens"]
+        stats[f"{r['split']}_packs"] = r["n_packs"]
+        stats["curated_docs"] += r["n_docs"]
+    return stats
