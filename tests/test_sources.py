@@ -225,3 +225,34 @@ def test_xlsx_datasource_distributed_scan(spark, tmp_path):
         .load(str(tmp_path))
     )
     assert df2.count() == 12
+
+
+def test_read_json_source_lines_and_multiline(spark, tmp_path):
+    """S3: newline-delimited JSON (the distributed default — splittable)
+    and multiLine JSON arrays (whole-file, the API-response shape) both
+    land with inferred schemas; embedded JSON columns parse JVM-side."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.sources import parse_json_column, read_json_source
+
+    nd = tmp_path / "rows.jsonl"
+    nd.write_text(
+        "\n".join(json.dumps({"id": i, "name": f"e{i}", "tags": ["a", "b"][: i % 3]})
+                  for i in range(5))
+    )
+    df = read_json_source(spark, str(nd))
+    assert df.count() == 5
+    assert set(df.columns) == {"id", "name", "tags"}
+
+    ml = tmp_path / "doc.json"
+    ml.write_text(json.dumps([{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]))
+    df2 = read_json_source(spark, str(ml), multiline=True)
+    assert df2.count() == 2
+
+    embedded = spark.createDataFrame(
+        [('{"k": "K1", "n": 7}',)], "payload STRING"
+    ).select(parse_json_column(F.col("payload"), "k STRING, n LONG").alias("p"))
+    row = embedded.select("p.k", "p.n").first()
+    assert (row["k"], row["n"]) == ("K1", 7)
