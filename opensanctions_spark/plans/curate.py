@@ -74,6 +74,12 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> Data
         .filter(F.col("_rn") == 1)
         .drop("_rn", "fp")
     )
+    # consumed twice: as the shingling input of the near-dedup edge
+    # pipeline AND as the survivor side of the keeper join — persist so
+    # the scan + quality + fingerprint window runs once
+    from pyspark.storagelevel import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     from opensanctions_spark.catalog.text import minhash_pairs_of, shingles_of
 
