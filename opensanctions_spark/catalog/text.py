@@ -347,6 +347,24 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_of(_shingles(spark, sf_dir))
 
 
+def minhash_bands_of(shingles: DataFrame) -> DataFrame:
+    """(doc_id, k, mh) MinHash band rows: 8 band values per document, each
+    the min over one 8-hex-char window of the per-shingle md5 — one hash
+    per shingle, one groupBy(doc_id) with 8 min-aggs, then a stack
+    unpivot. This is the document's LSH signature — the persistent state
+    an incremental near-dedup keeps per corpus member."""
+    sh = shingles.select("doc_id", F.md5(F.col("shingle")).alias("h"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}") for k in range(8)]
+    )
+    stack_expr = "stack(8, " + ", ".join(
+        f"{k}, mh{k}" for k in range(8)
+    ) + ") as (k, mh)"
+    return sigs.select("doc_id", F.expr(stack_expr)).select(
+        "doc_id", F.col("k").cast("long").alias("k"), "mh"
+    )
+
+
 def minhash_pairs_of(shingles: DataFrame) -> DataFrame:
     """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
     dedup_minhash_lsh for the algorithm notes.
@@ -359,16 +377,7 @@ def minhash_pairs_of(shingles: DataFrame) -> DataFrame:
     is the same in both forms. At 100 TB add a bucket-size cap here
     (oversized buckets are stop-bands carrying no discriminative signal)."""
     spark = shingles.sparkSession
-    sh = shingles.select("doc_id", F.md5(F.col("shingle")).alias("h"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}") for k in range(8)]
-    )
-    stack_expr = "stack(8, " + ", ".join(
-        f"{k}, mh{k}" for k in range(8)
-    ) + ") as (k, mh)"
-    mh = sigs.select("doc_id", F.expr(stack_expr)).select(
-        "doc_id", F.col("k").cast("long").alias("k"), "mh"
-    )
+    mh = minhash_bands_of(shingles)
     # Re-spread the tiny one-row-per-bucket frame before the quadratic
     # in-bucket expansion: AQE would otherwise coalesce the stage onto a
     # few tasks based on pre-explode bytes (see operators/blocking.py).

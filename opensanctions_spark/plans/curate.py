@@ -146,3 +146,132 @@ def curation_stats(docs: DataFrame, curated: DataFrame) -> dict[str, int]:
         stats[f"{r['split']}_packs"] = r["n_packs"]
         stats["curated_docs"] += r["n_docs"]
     return stats
+
+
+def curation_index(docs: DataFrame, curated: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent curation index for the kept corpus: the state
+    an incremental run needs to dedupe NEW documents against the existing
+    corpus without re-reading it.
+
+    Returns (fingerprints, bands):
+    - fingerprints(fp): md5 content hashes of kept docs (exact-dup probe),
+    - bands(doc_id, k, mh): MinHash-LSH band signatures of kept docs
+      (near-dup probe).
+
+    Both are tiny next to the corpus (one row / eight rows per doc, no
+    text) — the J1 timestamp-index discipline applied to curation: carry
+    forward a compact index, not the data."""
+    from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+
+    kept = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    fps = kept.select(F.md5(F.col("text")).alias("fp")).distinct()
+    bands = minhash_bands_of(shingles_of(kept))
+    return fps, bands
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    fingerprints: DataFrame,
+    bands: DataFrame,
+    config: CurationConfig | None = None,
+) -> DataFrame:
+    """Curate ONE new wave of documents against an existing corpus index —
+    the nightly-increment path: cost scales with the wave, never with the
+    corpus.
+
+    Stages (first-wave-wins keeper policy — corpus members never churn):
+    1. quality gate on the new docs (same bounds as the batch plan),
+    2. exact dedup: drop new docs whose fingerprint is already in the
+       index, then keep min-doc_id per fingerprint within the wave,
+    3. near dedup: new-wave band signatures probe the index bands (an
+       equi-join on (k, mh) — the index side shuffles ONCE on the band
+       key and can be pre-bucketed on it at 100 TB); any new doc sharing
+       ≥ band-threshold bands with a corpus member drops. Survivors then
+       near-dedupe among themselves (connected components, min keeper),
+    4. the stable md5 split (content-independent → wave members land in
+       the same split they would have in a full batch run).
+
+    Packing is deliberately snapshot-scoped (pack ids are offsets in a
+    frozen stream), so the increment returns unpacked curated rows:
+    (doc_id, lang, source, n_tokens, split)."""
+    cfg = config or CurationConfig()
+
+    toks = new_docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(_word_tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    quality = toks.filter(
+        (F.col("n_tokens") >= cfg.min_tokens) & (F.col("n_tokens") <= cfg.max_tokens)
+    )
+
+    fresh = quality.join(fingerprints, "fp", "left_anti")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        fresh.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+
+    from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+
+    new_bands = minhash_bands_of(shingles_of(exact)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # new vs corpus: band-key equi-join, agreeing-band count per
+    # (new, prior) PAIR — the threshold is per prior document, so the
+    # prior doc_id must ride the join (pooling matches across different
+    # corpus members would over-drop)
+    vs_prior = (
+        new_bands.join(
+            bands.select(
+                F.col("doc_id").alias("prior_id"),
+                F.col("k").alias("k_p"),
+                F.col("mh").alias("mh_p"),
+            ),
+            (F.col("k") == F.col("k_p")) & (F.col("mh") == F.col("mh_p")),
+        )
+        .groupBy("doc_id", "prior_id")
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= cfg.near_dup_bands)
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = exact.join(vs_prior, "doc_id", "left_anti")
+
+    # new vs new among the survivors: the batch pair stage on a wave-sized
+    # input
+    from opensanctions_spark.catalog.text import minhash_pairs_of
+
+    surv_shingles = shingles_of(survivors)
+    edges = minhash_pairs_of(surv_shingles).filter(
+        F.col("n_bands") >= cfg.near_dup_bands
+    )
+    cc = connected_components(edges, src="left_id", dst="right_id")
+    mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
+    kept = (
+        survivors.join(mapping, "doc_id", "left")
+        .filter(F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+        .drop("component", "text")
+    )
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < cfg.train_pct, "train")
+        .when(bucket < cfg.train_pct + cfg.val_pct, "val")
+        .otherwise("test")
+    )
+    return kept.withColumn("split", split).select(
+        "doc_id", "lang", "source", "n_tokens", "split"
+    )

