@@ -719,3 +719,139 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensanctions_spark.plans.curate import curate_corpus
 
     return curate_corpus(load(spark, sf_dir, "documents"))
+
+
+def _curate_stage_sql(wave: str, src: str) -> str:
+    """Shared per-wave SQL fragments: tokens/quality (t{w}, q{w}) and
+    shingle→minhash-band CTEs over a given keeper CTE."""
+    return f"""
+t{wave} AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens,
+         md5(text) AS fp
+  FROM {src}
+),
+q{wave} AS (SELECT * FROM t{wave} WHERE n_tokens BETWEEN 10 AND 1000)
+"""
+
+
+def _minhash_sql(tag: str, src: str) -> str:
+    return f"""
+sh{tag} AS (
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM {src})
+  )
+),
+mh{tag} AS (
+  SELECT doc_id, k, MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
+  FROM sh{tag} CROSS JOIN (SELECT unnest(range(8)) AS k) perms
+  GROUP BY doc_id, k
+)
+"""
+
+
+def _cc_sql(tag: str, mh: str) -> str:
+    return f"""
+mp{tag} AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
+  FROM {mh} a JOIN {mh} b
+    ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym{tag} AS (
+  SELECT left_id AS a, right_id AS b FROM mp{tag} WHERE n_bands >= 4
+  UNION SELECT right_id, left_id FROM mp{tag} WHERE n_bands >= 4
+),
+reach{tag} AS (
+  SELECT a, b FROM sym{tag}
+  UNION
+  SELECT r.a, s.b FROM reach{tag} r JOIN sym{tag} s ON r.b = s.a
+),
+comp{tag} AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach{tag} GROUP BY a
+)
+"""
+
+
+_CURATE_INCREMENT_ORACLE = f"""
+WITH RECURSIVE
+w1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+{_curate_stage_sql('1', 'w1').strip()},
+exk1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q1
+  ) WHERE rn = 1
+),
+{_minhash_sql('1', 'exk1').strip()},
+{_cc_sql('1', 'mh1').strip()},
+keep1 AS (
+  SELECT e.doc_id, e.fp
+  FROM exk1 e LEFT JOIN comp1 c ON e.doc_id = c.node
+  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+),
+fps AS (SELECT DISTINCT fp FROM keep1),
+bands AS (SELECT m.* FROM mh1 m JOIN keep1 k ON m.doc_id = k.doc_id),
+w2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+{_curate_stage_sql('2', 'w2').strip()},
+fresh2 AS (SELECT * FROM q2 WHERE fp NOT IN (SELECT fp FROM fps)),
+exk2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fresh2
+  ) WHERE rn = 1
+),
+{_minhash_sql('2', 'exk2').strip()},
+vs_prior AS (
+  SELECT DISTINCT n.doc_id
+  FROM (
+    SELECT b2.doc_id, b1.doc_id AS prior_id, COUNT(*) AS n_bands
+    FROM mh2 b2 JOIN bands b1 ON b2.k = b1.k AND b2.mh = b1.mh
+    GROUP BY b2.doc_id, b1.doc_id
+  ) n WHERE n.n_bands >= 4
+),
+surv AS (SELECT * FROM exk2 WHERE doc_id NOT IN (SELECT doc_id FROM vs_prior)),
+{_minhash_sql('s', 'surv').strip()},
+{_cc_sql('s', 'mhs').strip()},
+kept2 AS (
+  SELECT e.doc_id, e.lang, e.source, e.n_tokens
+  FROM surv e LEFT JOIN comps c ON e.doc_id = c.node
+  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+)
+SELECT doc_id, lang, source, n_tokens,
+       CASE WHEN {_CURATE_BUCKET100} < 80 THEN 'train'
+            WHEN {_CURATE_BUCKET100} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM kept2
+"""
+
+
+@register("pipeline_curate_increment", oracle=_CURATE_INCREMENT_ORACLE)
+def pipeline_curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation END TO END: wave 1 (even doc_ids) is batch-
+    curated and reduced to its index (content fingerprints + MinHash band
+    signatures); wave 2 (odd doc_ids) is curated AGAINST that index —
+    fingerprint anti-join, per-prior-doc band-agreement probe, then
+    wave-internal near-dedup. The oracle replays both waves longhand
+    (two recursive-CTE component closures) — pinning that the increment
+    admits exactly the documents a from-scratch run over the union would
+    admit under the first-wave-wins keeper policy. See plans/curate.py
+    for the O(wave) scale argument."""
+    from opensanctions_spark.plans.curate import (
+        curate_corpus,
+        curate_increment,
+        curation_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+    curated1 = curate_corpus(wave1)
+    fps, bands = curation_index(wave1, curated1)
+    return curate_increment(wave2, fps, bands)
