@@ -46,6 +46,8 @@ HEADLINE = [
     # six-table join-ordering exhibit; semantic dedup end-to-end
     "q5_local_supplier_volume",
     "dedup_semantic_semdedup",
+    # the composed five-stage curation pipeline
+    "pipeline_curate_corpus",
 ]
 
 

@@ -365,7 +365,9 @@ def minhash_bands_of(shingles: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs_of(shingles: DataFrame) -> DataFrame:
+def minhash_pairs_of(
+    shingles: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
     dedup_minhash_lsh for the algorithm notes.
 
@@ -374,18 +376,28 @@ def minhash_pairs_of(shingles: DataFrame) -> DataFrame:
     array functions (sorted ids + slice — emits exactly n(n-1)/2 structs,
     no n² intermediate). One shuffle of the 8-rows to the buckets replaces
     the equi-self-join's two shuffled join inputs; the pair-count groupBy
-    is the same in both forms. At 100 TB add a bucket-size cap here
-    (oversized buckets are stop-bands carrying no discriminative signal)."""
+    is the same in both forms.
+
+    `max_bucket_size` is the stop-band cap for skewed corpora at scale:
+    a band bucket holding more ids than the cap carries no discriminative
+    signal (boilerplate shingles — the LSH analogue of stopwords) and
+    would cost |bucket|² pairs; such buckets are dropped entirely,
+    bounding worst-case pair cost to O(buckets × cap²). None = exact
+    (the oracle-checked default at test scale)."""
     spark = shingles.sparkSession
     mh = minhash_bands_of(shingles)
-    # Re-spread the tiny one-row-per-bucket frame before the quadratic
-    # in-bucket expansion: AQE would otherwise coalesce the stage onto a
-    # few tasks based on pre-explode bytes (see operators/blocking.py).
     buckets = (
         mh.groupBy("k", "mh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # Re-spread the tiny one-row-per-bucket frame before the quadratic
+    # in-bucket expansion: AQE would otherwise coalesce the stage onto a
+    # few tasks based on pre-explode bytes (see operators/blocking.py).
+    buckets = buckets.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     pair = F.explode(
         F.flatten(

@@ -38,6 +38,10 @@ class CurationConfig:
     min_tokens: int = 10
     max_tokens: int = 1000
     near_dup_bands: int = 4     # MinHash bands that must agree
+    # stop-band cap: LSH buckets larger than this are boilerplate bands
+    # carrying no signal; dropping them bounds pair cost at scale.
+    # None = exact (the oracle-checked default at test scale).
+    max_bucket_size: int | None = None
     context_tokens: int = 256   # packing window
     train_pct: int = 80         # of 100 md5 buckets
     val_pct: int = 10
@@ -83,9 +87,9 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> Data
 
     from opensanctions_spark.catalog.text import minhash_pairs_of, shingles_of
 
-    edges = minhash_pairs_of(shingles_of(exact)).filter(
-        F.col("n_bands") >= cfg.near_dup_bands
-    )
+    edges = minhash_pairs_of(
+        shingles_of(exact), max_bucket_size=cfg.max_bucket_size
+    ).filter(F.col("n_bands") >= cfg.near_dup_bands)
     cc = connected_components(edges, src="left_id", dst="right_id")
     mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
     near = (
@@ -251,9 +255,9 @@ def curate_increment(
     from opensanctions_spark.catalog.text import minhash_pairs_of
 
     surv_shingles = shingles_of(survivors)
-    edges = minhash_pairs_of(surv_shingles).filter(
-        F.col("n_bands") >= cfg.near_dup_bands
-    )
+    edges = minhash_pairs_of(
+        surv_shingles, max_bucket_size=cfg.max_bucket_size
+    ).filter(F.col("n_bands") >= cfg.near_dup_bands)
     cc = connected_components(edges, src="left_id", dst="right_id")
     mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
     kept = (

@@ -142,3 +142,20 @@ def test_incremental_curation_matches_batch_partition(spark):
     )
     fps_list = [r["fp"] for r in fp_rows]
     assert len(fps_list) == len(set(fps_list))
+
+
+def test_minhash_stop_band_cap(spark):
+    """The LSH bucket-size cap drops oversized (boilerplate) band buckets
+    entirely while leaving small buckets' pairs intact — bounding the
+    quadratic pair expansion on skewed corpora."""
+    from opensanctions_spark.catalog.text import minhash_pairs_of
+
+    rows = [(i, "boilerplate shingle") for i in range(20)]
+    rows += [(100, "rare shingle"), (101, "rare shingle")]
+    shingles = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    exact = minhash_pairs_of(shingles).collect()
+    assert len(exact) == 20 * 19 // 2 + 1
+
+    capped = minhash_pairs_of(shingles, max_bucket_size=10).collect()
+    assert {(r["left_id"], r["right_id"]) for r in capped} == {(100, 101)}
