@@ -78,6 +78,7 @@ def _import_all() -> None:
     from opensanctions_spark.catalog import (  # noqa: F401
         pipeline,
         relational,
+        tpch_shapes,
         linkage,
         text,
         vectors,
