@@ -442,11 +442,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """,
 )
@@ -462,18 +462,18 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst does not infer cross-side disjunction residuals. The full
     OR-of-ANDs then evaluates post-join on the survivors."""
     cond = (
-        (F.col("p_brand") == "Brand#12")
+        (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 5)
         & F.col("l_quantity").between(1, 11)
-        | (F.col("p_brand") == "Brand#23")
+        | (F.col("p_brand") == "Brand#2")
         & F.col("p_size").between(1, 10)
         & F.col("l_quantity").between(10, 20)
-        | (F.col("p_brand") == "Brand#34")
+        | (F.col("p_brand") == "Brand#3")
         & F.col("p_size").between(1, 15)
         & F.col("l_quantity").between(20, 30)
     )
     part = load(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
         & F.col("p_size").between(1, 15)
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))

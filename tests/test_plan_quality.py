@@ -180,3 +180,73 @@ def test_blocking_pair_expansion_runs_wide(spark, sf_dir):
     (AQE would coalesce the tiny pre-explode stage to a few tasks)."""
     plan = _executed_plan(QUERIES["j5_t1_blocking_topk"](spark, sf_dir))
     assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_q2_groupwise_min_is_one_shuffle(spark, sf_dir):
+    """Q2's correlated-MIN decorrelation: the window min over p_partkey
+    must reuse the distinct's hash partitioning — one shuffle total on
+    the pair side, all dimensions broadcast."""
+    plan = _executed_plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # distinct shuffles on (l_partkey, l_suppkey); the window re-shuffles
+    # on p_partkey alone — those keys differ, so two exchanges is the
+    # floor for this plan. The regression guard is that no third appears.
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 shuffles, saw {n}"
+
+
+def test_q7_broadcasts_every_dimension(spark, sf_dir):
+    """Q7 joins the nation dimension twice under different roles plus
+    supplier and customer — all four must broadcast; the only
+    partitioned join is lineitem x orders."""
+    plan = _executed_plan(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    """Q8's seven-table join: six dimension broadcasts around ONE
+    shuffled fact-fact join, and the ratio is one aggregate pass (no
+    second scan for the denominator)."""
+    plan = _executed_plan(QUERIES["q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    # each table scanned once — nation legitimately twice (two roles)
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_q15_reuses_revenue_view(spark, sf_dir):
+    """Q15's groupwise-max: the aggregated revenue view feeds both the
+    MAX probe and the equality filter; the max side must come back as a
+    broadcast (1-row), not a second sort-merge join."""
+    plan = _executed_plan(QUERIES["q15_top_supplier"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_stats_broadcast_back(spark, sf_dir):
+    """Q17's decorrelated per-part AVG joins back to the brand-filtered
+    scan as a broadcast — shuffling the lineitem side to meet a
+    dimension-sized stats frame would be the scale bug."""
+    plan = _executed_plan(QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_pushes_per_side_residuals(spark, sf_dir):
+    """Q19's OR-of-ANDs spans both join sides, so neither scan can take
+    the whole predicate — but the hand-derived per-side residuals must
+    reach the scans: quantity bounds on lineitem, brand/size on part."""
+    plan = _executed_plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) >= 2
+    assert any("l_quantity" in seg[:300] for seg in pushed[1:])
+    assert any("p_brand" in seg[:300] or "p_size" in seg[:300] for seg in pushed[1:])
+
+
+def test_q22_anti_join_after_scalar_filter(spark, sf_dir):
+    """Q22: the NOT EXISTS compiles to a left-anti join; the global-
+    average scalar threshold is a broadcast nested loop (1-row build),
+    never a shuffle of the customer scan."""
+    plan = _executed_plan(QUERIES["q22_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
