@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     # the composed five-stage curation pipeline
     "pipeline_curate_corpus",
+    # seven-table join with a one-pass conditional ratio
+    "q8_market_share",
 ]
 
 
