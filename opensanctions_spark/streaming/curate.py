@@ -1,0 +1,105 @@
+"""Streaming corpus curation: the incremental curation path driven by a
+document stream.
+
+Documents arrive continuously (file drops of crawled corpora); every
+micro-batch runs the SAME wave curation the nightly batch path uses
+(``plans/curate.curate_increment`` — quality gate, exact-dup probe
+against the corpus fingerprint index, near-dup probe against the corpus
+band index, in-wave near-dedup, stable split), appends the survivors to
+the curated corpus, and extends the on-disk index with the survivors'
+fingerprints and band signatures so the NEXT micro-batch dedupes against
+everything kept so far. First wave wins — corpus members never churn.
+
+``foreachBatch`` is the right tool (same reasoning as
+``streaming/ingest.py``): the sink is an append to a growing corpus plus
+an index mutation, and the dedup join needs the *latest* index as its
+right side, which changes between micro-batches — a stream-static join
+would pin the first snapshot.
+
+Scale notes: per batch, cost scales with the wave (the corpus is only
+touched through its compact index — one fingerprint row and eight band
+rows per kept doc, no text). At 100 TB the index parquet should be
+bucketed on its join keys (fp; (k, mh)) so the probe joins shuffle only
+the wave side. Retried micro-batches may append the same index rows
+twice; both probe joins are duplicate-insensitive (the fingerprint probe
+is an anti-join, the band probe re-distincts on read), so at-least-once
+delivery keeps results exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opensanctions_spark.plans.curate import CurationConfig, curate_increment
+
+_FP_SCHEMA = "fp string"
+_BANDS_SCHEMA = "doc_id long, k long, mh string"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def load_curation_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read the (fingerprints, bands) index, empty-schema'd if absent.
+
+    Band rows are re-distincted: (doc_id, k, mh) is naturally unique, so
+    a retried micro-batch's double-append cannot inflate the
+    agreeing-band counts of the near-dup probe."""
+    fps = _read_or_empty(spark, f"{index_dir}/fingerprints", _FP_SCHEMA).distinct()
+    bands = _read_or_empty(spark, f"{index_dir}/bands", _BANDS_SCHEMA).distinct()
+    return fps, bands
+
+
+def curate_document_stream(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: CurationConfig | None = None,
+) -> "object":
+    """Start the curation query: micro-batch of documents → wave curation
+    against the current index → append survivors to ``out_dir`` and their
+    fingerprints/bands to ``index_dir``. Returns the StreamingQuery.
+
+    The appended corpus rows are (doc_id, lang, source, n_tokens, split);
+    packing stays snapshot-scoped (run ``pack_sequences`` over the frozen
+    corpus when training starts — pack ids are offsets in a fixed stream,
+    meaningless while the stream still grows)."""
+    cfg = config or CurationConfig()
+    spark = stream.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+
+        fps, bands = load_curation_index(spark, index_dir)
+        # localCheckpoint, NOT persist: curated's lineage reads the index
+        # parquet, and the index appends below would invalidate a cache
+        # over that path — a later consumer would then silently RECOMPUTE
+        # curation against the already-mutated index (every survivor
+        # suddenly looks like a duplicate of itself). Cutting lineage
+        # makes the curated wave immutable for the rest of the sink.
+        curated = curate_increment(batch, fps, bands, cfg).localCheckpoint()
+        curated.write.mode("append").parquet(out_dir)
+        kept_docs = batch.join(
+            curated.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
+        kept_docs.select(F.md5(F.col("text")).alias("fp")).distinct().write.mode(
+            "append"
+        ).parquet(f"{index_dir}/fingerprints")
+        minhash_bands_of(shingles_of(kept_docs)).write.mode("append").parquet(
+            f"{index_dir}/bands"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -159,3 +159,70 @@ def test_minhash_stop_band_cap(spark):
 
     capped = minhash_pairs_of(shingles, max_bucket_size=10).collect()
     assert {(r["left_id"], r["right_id"]) for r in capped} == {(100, 101)}
+
+
+def test_streaming_curation_accumulates_index(spark, tmp_path):
+    """Three document waves through the streaming curation bridge: the
+    on-disk index must accumulate across micro-batches so wave-2 exact
+    copies of wave-1 documents are dropped (first wave wins), in-wave
+    duplicates keep the min doc_id, and the final corpus carries no
+    repeated content fingerprint."""
+    from opensanctions_spark.streaming.curate import (
+        curate_document_stream,
+        load_curation_index,
+    )
+
+    docs = _docs(spark)
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = docs.filter(F.col("doc_id") < 150)
+    # wave 2: fresh docs + exact copies of wave-1 content under new ids
+    # + one in-wave duplicate pair (same text, ids 20000/20001)
+    dup_text = docs.filter(F.col("doc_id") == 400).select("text", "lang", "source")
+    wave2 = (
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+        .unionByName(
+            wave1.limit(40).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+        .unionByName(
+            dup_text.crossJoin(
+                spark.range(20000, 20002).select(F.col("id").alias("doc_id"))
+            ).select("doc_id", "text", "lang", "source", F.lit(0).alias("n_chars"))
+        )
+    )
+    wave3 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 300))
+
+    schema = wave1.schema
+    for wave in (wave1, wave2, wave3):
+        wave.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = curate_document_stream(stream, index_dir, out_dir, ckpt)
+        q.awaitTermination()
+
+    curated = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    # wave-2 exact copies of wave-1 content never survive
+    assert not {i for i in ids if 10000 <= i < 20000}
+    # the in-wave duplicate pair keeps only the min id (doc 400's text may
+    # itself already be in the corpus from an earlier wave — then neither)
+    assert 20001 not in ids
+
+    # no repeated fingerprint across the whole streamed corpus
+    all_docs = spark.read.schema(schema).parquet(in_dir)
+    fps = (
+        all_docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+        .select(F.md5("text").alias("fp"))
+    )
+    assert fps.count() == fps.distinct().count()
+
+    # the index holds exactly the kept docs' fingerprints and band rows
+    fps_idx, bands_idx = load_curation_index(spark, index_dir)
+    assert fps_idx.count() == len(ids)
+    assert bands_idx.select("doc_id").distinct().count() == len(ids)
