@@ -235,3 +235,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_events_with_segment(
         load_events(spark, sf_dir), load(spark, sf_dir, "customer")
     )
+
+
+@register("stream_curate_corpus")
+def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation end-to-end on the REAL streaming engine:
+    the documents table split into two waves of file drops, each curated
+    in a micro-batch against the accumulating on-disk fingerprint/band
+    index (streaming/curate.py), survivors appended to the corpus.
+
+    No SQL oracle — the sink mutates state across micro-batches (the
+    genuinely-non-SQL-expressible case); the WAVE semantics themselves
+    are oracle-pinned by ``pipeline_curate_increment``'s recursive-CTE
+    replay, and the three-wave accumulation test pins first-wave-wins.
+    Returns the final curated corpus ordered for a stable rows check."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.streaming.curate import curate_document_stream
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = f"{tmp}/incoming"
+        for wave in (
+            docs.filter(F.col("doc_id") <= mid),
+            docs.filter(F.col("doc_id") > mid),
+        ):
+            wave.write.mode("append").parquet(in_dir)
+            q = curate_document_stream(
+                spark.readStream.schema(docs.schema).parquet(in_dir),
+                f"{tmp}/index",
+                f"{tmp}/corpus",
+                f"{tmp}/ckpt",
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{tmp}/corpus").orderBy("doc_id")
+        # the tempdir dies with this function — materialize off it
+        return spark.createDataFrame(out.toPandas())
