@@ -392,6 +392,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated equi-join, result-invariant vs the plain join
+    oracle: the big (lineitem) side gets a deterministic 16-way salt, the
+    dimension side is replicated across every salt bucket and broadcast,
+    and the join key becomes (key, salt) — no reducer ever meets a whole
+    hot key. The explicit-plan fallback for the skew AQE's splitter can't
+    fix (broadcastable small side, pathologically hot big-side key — the
+    mega-entity / stopword-token case called out in SCALE.md §2)."""
+    from opensanctions_spark.operators.skew import replicate_broadcast_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    joined = replicate_broadcast_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
     "j2_canonical_rekey",
     oracle="""
 SELECT 'c-' || (o_custkey % 100) AS canonical_id,
