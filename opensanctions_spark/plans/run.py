@@ -97,8 +97,15 @@ def run_dataset(
     out_dir: str,
     run_time: str,
     version: str | None = None,
+    canonical_map: DataFrame | None = None,
 ) -> RunResult:
-    """Execute the full pipeline for one dataset run."""
+    """Execute the full pipeline for one dataset run.
+
+    ``canonical_map`` is the resolver's (entity_id, canonical_id)
+    snapshot; when given, statements are rekeyed through it (J2,
+    broadcast) before assembly — the reference applies its linker the
+    same way, at store-read time (``zavod/zavod/store.py:36-47``), so
+    merged entities collapse into one canonical group in A1."""
     # 1. first_seen propagation from the previous version (J1); both seen-
     # timestamps are stamped at emit time like the reference's context.emit
     prev_version = archive.latest(config.name)
@@ -115,6 +122,12 @@ def run_dataset(
     # 2. versioned write, then read back (single lineage for all consumers)
     version = archive.write(statements, config.name, version)
     statements = archive.read(config.name, version=version, external=True)
+
+    # 2b. resolver rekey (J2) at read time, like the reference's linker
+    if canonical_map is not None:
+        from opensanctions_spark.operators.resolve import apply_canonical
+
+        statements = apply_canonical(statements, canonical_map)
 
     # 3. assembly — one shuffle, persisted for validators + exporters
     entities = assemble_entities(statements).persist()
