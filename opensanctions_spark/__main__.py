@@ -73,6 +73,40 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_xref(args: argparse.Namespace) -> int:
+    from opensanctions_spark.plans.xref import XrefConfig, review_queue, xref_and_resolve
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-xref")
+    spark.sparkContext.setLogLevel("WARN")
+    subjects = spark.read.parquet(args.subjects)
+    cfg = XrefConfig(
+        threshold=args.threshold, top_k=args.top_k, limit=args.limit
+    )
+    decisions, mapping = xref_and_resolve(subjects, cfg)
+    decisions = decisions.persist()
+    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions.parquet")
+    mapping.write.mode("overwrite").parquet(f"{args.out}/canonical_map.parquet")
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["judgement"]: r["n"]
+        for r in decisions.groupBy("judgement").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "decisions": counts,
+                "merged_entities": mapping.filter("entity_id <> canonical_id").count(),
+                "review_queue": review_queue(decisions).count(),
+            },
+            indent=2,
+        )
+    )
+    decisions.unpersist()
+    return 0
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from opensanctions_spark.catalog import QUERIES
     from opensanctions_spark.session import get_session
@@ -125,6 +159,17 @@ def main(argv: list[str] | None = None) -> int:
     c_p.add_argument("--max-tokens", type=int, default=1000)
     c_p.add_argument("--context-tokens", type=int, default=256)
     c_p.set_defaults(fn=_cmd_curate)
+
+    x_p = sub.add_parser("xref", help="record-linkage xref + resolve run")
+    x_p.add_argument(
+        "--subjects", required=True,
+        help="parquet with (id, name, strong_ids, id_numbers)",
+    )
+    x_p.add_argument("--out", required=True, help="decisions + canonical map dir")
+    x_p.add_argument("--threshold", type=float, default=0.7)
+    x_p.add_argument("--top-k", type=int, default=10)
+    x_p.add_argument("--limit", type=int, default=5000)
+    x_p.set_defaults(fn=_cmd_xref)
 
     q_p = sub.add_parser("query", help="run one catalog query")
     q_p.add_argument("name")

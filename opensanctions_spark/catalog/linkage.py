@@ -348,3 +348,126 @@ def j5_custom_scorer_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate_id",
         bigram_jaccard(F.col("a_name"), F.col("b_name")).alias("rescore"),
     )
+
+
+@register(
+    "pipeline_xref_resolve",
+    oracle="""
+WITH RECURSIVE subj AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id, p_name, p_brand, p_type, p_size
+  FROM part
+),
+toks AS (
+  SELECT DISTINCT id,
+         unnest(string_split(lower(p_name), ' '))
+             || replace(lower(p_brand), '#', '') AS token
+  FROM subj
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+pairs AS (
+  SELECT a.id AS l, b.id AS r, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT p.l, p.r,
+         CAST(p.shared AS DOUBLE)
+             / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS score
+  FROM pairs p
+  JOIN sizes sa ON p.l = sa.id
+  JOIN sizes sb ON p.r = sb.id
+),
+topk AS (
+  SELECT l, r, score FROM (
+    SELECT l, r, score,
+           row_number() OVER (PARTITION BY l ORDER BY score DESC, r) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+capped AS (SELECT l, r, score FROM topk ORDER BY score DESC, l, r LIMIT 1000),
+judged AS (
+  SELECT c.l, c.r, c.score,
+         CASE
+           WHEN len(ls.strong_ids) > 0 AND len(rs.strong_ids) > 0
+                AND list_has_any(ls.strong_ids, rs.strong_ids) THEN 'POSITIVE'
+           WHEN len(ls.id_numbers) > 0 AND len(rs.id_numbers) > 0
+                AND NOT list_has_any(ls.id_numbers, rs.id_numbers) THEN 'NEGATIVE'
+           WHEN c.score >= 0.5 THEN 'POSITIVE'
+           ELSE 'UNSURE'
+         END AS judgement
+  FROM capped c
+  JOIN (SELECT id,
+               CASE WHEN p_size <= 3
+                    THEN [p_type || '#' || CAST(p_size AS VARCHAR)]
+                    ELSE [] END AS strong_ids,
+               [p_type] AS id_numbers FROM subj) ls ON c.l = ls.id
+  JOIN (SELECT id,
+               CASE WHEN p_size <= 3
+                    THEN [p_type || '#' || CAST(p_size AS VARCHAR)]
+                    ELSE [] END AS strong_ids,
+               [p_type] AS id_numbers FROM subj) rs ON c.r = rs.id
+),
+edges AS (SELECT l, r FROM judged WHERE judgement = 'POSITIVE'),
+sym AS (
+  SELECT l AS a, r AS b FROM edges
+  UNION SELECT r, l FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT x.a, s.b FROM reach x JOIN sym s ON x.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+SELECT s.id AS entity_id,
+       COALESCE(c.component, s.id) AS canonical_id,
+       COALESCE(c.component, s.id) <> s.id AS merged
+FROM subj s LEFT JOIN comp c ON s.id = c.node
+""",
+)
+def pipeline_xref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.3 xref lifecycle as ONE composed plan (J5 → T1/T3 →
+    J9 → J6 → J2-ready mapping), driven by ``plans/xref.py``.
+
+    Parts stand in for entities: the blocking key is the (word, brand)
+    compound token (same bounded-bucket trick as ``j5_t1_blocking_topk``);
+    exact (name, brand) duplicates score 1.0 and auto-merge at the 0.5
+    threshold; single-word overlaps (score 1/3) queue as UNSURE; a
+    ``p_type`` mismatch vetoes regardless of score (the disjoint-id rule,
+    ``zavod/zavod/integration/logic.py:108-129``); identical type+size on
+    small parts forces a merge (the strong-registration-id rule, ibid.
+    11-107). POSITIVE decisions resolve through the same size-adaptive
+    connected components the entity resolver uses; the oracle replays the
+    closure with a recursive CTE."""
+    from opensanctions_spark.plans.xref import XrefConfig, xref_and_resolve
+
+    part = load(spark, sf_dir, "part")
+    brand_norm = F.regexp_replace(F.lower(F.col("p_brand")), "[^a-z0-9]", "")
+    subjects = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("p_name"), " "), lambda w: F.concat(w, brand_norm)
+            ),
+            " ",
+        ).alias("name"),
+        F.when(
+            F.col("p_size") <= 3,
+            F.array(F.concat_ws("#", F.col("p_type"), F.col("p_size"))),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("strong_ids"),
+        F.array(F.col("p_type")).alias("id_numbers"),
+    )
+    config = XrefConfig(threshold=0.5, top_k=5, limit=1000, max_token_freq=None)
+    _decisions, mapping = xref_and_resolve(subjects, config)
+    return (
+        subjects.select("id")
+        .join(mapping.withColumnRenamed("entity_id", "id"), "id", "left")
+        .select(
+            F.col("id").alias("entity_id"),
+            F.coalesce(F.col("canonical_id"), F.col("id")).alias("canonical_id"),
+            (F.coalesce(F.col("canonical_id"), F.col("id")) != F.col("id")).alias(
+                "merged"
+            ),
+        )
+    )

@@ -1,0 +1,124 @@
+"""The xref / dedupe lifecycle as ONE composed plan (SURVEY §3.3).
+
+Mirrors ``zavod xref`` (``zavod/zavod/cli/dedupe.py:20-56`` →
+``zavod/zavod/integration/dedupe.py:42-90``): a blocking index proposes
+scored candidate pairs, deterministic match heuristics
+(``zavod/zavod/integration/logic.py:131-148``) force or veto merges,
+pairs above the auto-threshold become POSITIVE judgements, the rest
+queue for human review, and the accumulated judgements resolve into an
+immutable entity_id→canonical_id snapshot consumed by every downstream
+read (J2 in ``plans/run.py``).
+
+Spark shape — each stage is the already-proven operator, chained with no
+extra shuffles beyond the inventory in SCALE.md §2:
+
+1. token blocking + Jaccard scoring (J5): ONE groupBy(token) shuffle,
+   pairs expand inside buckets, DF cap bounds the quadratic term,
+2. top-k per subject (T1) + global candidate cap (T3): one window /
+   one ordered limit over the already-pruned pair table,
+3. attribute attach: the pruned pair table (≤ k·n rows) joins the
+   subject attributes twice — AFTER pruning, so the heavy unpruned pair
+   table never re-shuffles,
+4. match rules (J9): pure column logic, a map stage,
+5. connected components over POSITIVE edges (J6) → canonical map,
+   size-adaptive (driver union-find under the broadcast cutoff).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opensanctions_spark.operators.blocking import (
+    jaccard_scored_pairs,
+    tokenize,
+    top_k_per_subject,
+)
+from opensanctions_spark.operators.match_rules import apply_match_rules
+from opensanctions_spark.operators.resolve import canonical_map
+
+
+@dataclass
+class XrefConfig:
+    """The reference's candidate budgets (`dedupe.py:47-56`,
+    `local_enricher.py:36-54`) as explicit knobs."""
+
+    threshold: float = 0.7        # score ≥ threshold → POSITIVE (auto-merge)
+    top_k: int = 10               # T1: matches kept per subject
+    limit: int | None = 5000      # T3: global candidate cap (xref limit)
+    max_token_freq: int | None = 100  # blocking DF cap (skew guard)
+
+
+def xref_pairs(subjects: DataFrame, config: XrefConfig) -> DataFrame:
+    """subjects(id, name, strong_ids, id_numbers) → judged decision pairs.
+
+    Returns (left_id, right_id, score, judgement) with left_id < right_id
+    (pairs are undirected for dedupe — the reference buckets unordered
+    pairs the same way). ``strong_ids`` / ``id_numbers`` are
+    array<string> (empty = none) feeding the J9 force/veto rules.
+    """
+    tokens = tokenize(subjects, "id", "name")
+    scored = jaccard_scored_pairs(tokens, max_token_freq=config.max_token_freq)
+    # undirect: every pair appears twice in the directional frame with
+    # identical score — keep the (smaller, larger) orientation only
+    pairs = scored.filter(F.col("subject_id") < F.col("candidate_id"))
+    pairs = top_k_per_subject(pairs, config.top_k).drop("rank")
+    if config.limit is not None:
+        # deterministic global cap: total order, ties broken by ids
+        pairs = pairs.orderBy(
+            F.col("score").desc(), "subject_id", "candidate_id"
+        ).limit(config.limit)
+    attrs = subjects.select("id", "strong_ids", "id_numbers")
+    pairs = (
+        pairs.join(
+            attrs.select(
+                F.col("id").alias("subject_id"),
+                F.col("strong_ids").alias("left_strong_ids"),
+                F.col("id_numbers").alias("left_id_numbers"),
+            ),
+            "subject_id",
+        )
+        .join(
+            attrs.select(
+                F.col("id").alias("candidate_id"),
+                F.col("strong_ids").alias("right_strong_ids"),
+                F.col("id_numbers").alias("right_id_numbers"),
+            ),
+            "candidate_id",
+        )
+    )
+    judged = apply_match_rules(pairs, threshold=config.threshold)
+    return judged.select(
+        F.col("subject_id").alias("left_id"),
+        F.col("candidate_id").alias("right_id"),
+        "score",
+        "judgement",
+    )
+
+
+def review_queue(decisions: DataFrame) -> DataFrame:
+    """UNSURE pairs ordered best-first — the human-TUI queue analogue
+    (``zavod/zavod/cli/dedupe.py:72-84``). Feed accepted rows back as
+    POSITIVE decisions (see ``sources/review.py`` for the S12 workflow).
+    """
+    return decisions.filter(F.col("judgement") == "UNSURE").orderBy(
+        F.col("score").desc(), "left_id", "right_id"
+    )
+
+
+def xref_and_resolve(
+    subjects: DataFrame, config: XrefConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Full §3.3 lifecycle: subjects → decisions → canonical map.
+
+    Returns (decisions, mapping); the mapping plugs straight into
+    ``run_dataset(..., canonical_map=mapping)`` / ``apply_canonical``.
+    The decisions frame is consumed twice (resolve + persistence /
+    review) — callers writing both should persist it.
+    """
+    config = config or XrefConfig()
+    decisions = xref_pairs(subjects, config)
+    mapping = canonical_map(decisions)
+    return decisions, mapping
