@@ -471,3 +471,152 @@ def pipeline_xref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_enrich_expand",
+    oracle="""
+WITH subj AS (
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS id, p_name, p_brand
+  FROM part WHERE p_partkey % 2 = 1
+),
+tgt AS (
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS id, p_name, p_brand
+  FROM part WHERE p_partkey % 2 = 0
+),
+stoks AS (
+  SELECT DISTINCT id,
+         unnest(string_split(lower(p_name), ' '))
+             || replace(lower(p_brand), '#', '') AS token
+  FROM subj
+),
+ttoks AS (
+  SELECT DISTINCT id,
+         unnest(string_split(lower(p_name), ' '))
+             || replace(lower(p_brand), '#', '') AS token
+  FROM tgt
+),
+ssz AS (SELECT id, COUNT(*) AS n FROM stoks GROUP BY id),
+tsz AS (SELECT id, COUNT(*) AS n FROM ttoks GROUP BY id),
+pairs AS (
+  SELECT s.id AS subject_id, t.id AS candidate_id, COUNT(*) AS shared
+  FROM stoks s JOIN ttoks t ON s.token = t.token
+  GROUP BY s.id, t.id
+),
+scored AS (
+  SELECT p.subject_id, p.candidate_id,
+         CAST(p.shared AS DOUBLE)
+             / CAST(a.n + b.n - p.shared AS DOUBLE) AS score
+  FROM pairs p
+  JOIN ssz a ON p.subject_id = a.id
+  JOIN tsz b ON p.candidate_id = b.id
+  WHERE CAST(p.shared AS DOUBLE) / CAST(a.n + b.n - p.shared AS DOUBLE) >= 0.5
+),
+topk AS (
+  SELECT subject_id, candidate_id FROM (
+    SELECT subject_id, candidate_id,
+           row_number() OVER (PARTITION BY subject_id
+                              ORDER BY score DESC, candidate_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+judgements AS (
+  SELECT 'p' || CAST(a.p_partkey AS VARCHAR) AS ja,
+         'p' || CAST(b.p_partkey AS VARCHAR) AS jb,
+         CASE (a.p_partkey + b.p_partkey) % 3
+           WHEN 0 THEN 'POSITIVE' WHEN 1 THEN 'NEGATIVE' ELSE 'UNSURE'
+         END AS judgement
+  FROM part a JOIN part b
+    ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+),
+seeds AS (
+  SELECT DISTINCT m.candidate_id AS node
+  FROM topk m
+  JOIN judgements j
+    ON LEAST(m.subject_id, m.candidate_id) = LEAST(j.ja, j.jb)
+   AND GREATEST(m.subject_id, m.candidate_id) = GREATEST(j.ja, j.jb)
+  WHERE j.judgement = 'POSITIVE'
+    AND m.candidate_id IN (
+      SELECT 'p' || CAST(p_partkey AS VARCHAR) FROM part
+      WHERE p_partkey % 2 = 0 AND p_size >= 10)
+),
+edges AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR)
+  FROM lineitem
+),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN seeds s ON e.src = s.node
+  WHERE e.dst NOT IN (SELECT node FROM seeds)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM seeds)
+    AND e.dst NOT IN (SELECT node FROM d1)
+)
+SELECT node, CAST(0 AS BIGINT) AS depth FROM seeds
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+""",
+)
+def pipeline_enrich_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.2 enrichment lifecycle as ONE composed plan
+    (J8 ∪ bipartite-J5 → T1 → judgement lookup → J12 gate → J4 BFS),
+    driven by ``plans/enrich.py``.
+
+    Odd parts are the subject scope, even parts the enrichment target
+    (the two stores of ``zavod/zavod/runner/local_enricher.py:62-71``);
+    (word, brand) compound tokens block candidates, exact (name, brand)
+    matches clear the 0.5 cutoff; a deterministic judgement table over
+    same-name pairs supplies POSITIVE/NEGATIVE/UNSURE; publishable =
+    p_size ≥ 10 (the topic gate); POSITIVE publishable matches expand
+    two hops through the part↔supplier lineitem graph. Output is the
+    internal-emission subgraph (node, minimal depth)."""
+    from opensanctions_spark.plans.enrich import EnrichConfig, enrich
+
+    part = load(spark, sf_dir, "part")
+    brand_norm = F.regexp_replace(F.lower(F.col("p_brand")), "[^a-z0-9]", "")
+    matchable = part.select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("p_name"), " "), lambda w: F.concat(w, brand_norm)
+            ),
+            " ",
+        ).alias("name"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_size"),
+    )
+    subjects = matchable.filter(F.col("key") % 2 == 1).select("id", "name")
+    targets = matchable.filter(F.col("key") % 2 == 0)
+    a = part.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    b = part.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    judgements = (
+        a.join(b, (F.col("na") == F.col("nb")) & (F.col("ka") < F.col("kb")))
+        .select(
+            F.concat(F.lit("p"), F.col("ka").cast("string")).alias("left_id"),
+            F.concat(F.lit("p"), F.col("kb").cast("string")).alias("right_id"),
+            F.when((F.col("ka") + F.col("kb")) % 3 == 0, "POSITIVE")
+            .when((F.col("ka") + F.col("kb")) % 3 == 1, "NEGATIVE")
+            .otherwise("UNSURE")
+            .alias("judgement"),
+        )
+    )
+    publishable = targets.filter(F.col("p_size") >= 10).select("id")
+    li = load(spark, sf_dir, "lineitem")
+    p_node = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = (
+        li.select(p_node.alias("src"), s_node.alias("dst"))
+        .unionByName(li.select(s_node.alias("src"), p_node.alias("dst")))
+        .distinct()
+    )
+    cfg = EnrichConfig(cutoff=0.5, top_k=5, max_token_freq=None, expand_depth=2)
+    _candidates, internal = enrich(
+        subjects, targets.select("id", "name"), edges, judgements, publishable, cfg
+    )
+    return internal.select("node", F.col("depth").cast("long").alias("depth"))

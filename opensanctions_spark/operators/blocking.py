@@ -172,3 +172,95 @@ def top_k_per_subject(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bipartite_jaccard_pairs(
+    subject_tokens: DataFrame,
+    target_tokens: DataFrame,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """Cross-frame candidate pairs: subjects match TARGETS only, never each
+    other — the enrichment matcher's shape (SURVEY §3.2: subject scope vs
+    the full_dataset target store, ``zavod/zavod/runner/local_enricher.py:
+    62-102``), where the self-join form would waste the whole
+    subject×subject and target×target quadrants.
+
+    Same single-shuffle bucket construction as ``jaccard_scored_pairs``:
+    both (id, token) frames are annotated with their per-id token counts,
+    tagged with a side marker, unioned, and bucketed by token in ONE
+    groupBy; pairs expand inside each bucket strictly across sides. The DF
+    cap is measured on the TARGET side (the big one at 100 TB — the
+    reference's max_candidates budget is per-subject for the same reason).
+
+    Returns (subject_id, candidate_id, shared, score) with Jaccard over
+    the union of both token sets.
+    """
+    s = subject_tokens.withColumn(
+        "n_tokens", F.count("*").over(Window.partitionBy("id"))
+    ).withColumn("side", F.lit("s"))
+    t = target_tokens.withColumn(
+        "n_tokens", F.count("*").over(Window.partitionBy("id"))
+    ).withColumn("side", F.lit("t"))
+    if max_token_freq is not None:
+        freq = target_tokens.groupBy("token").agg(F.count("*").alias("_df"))
+        keep = F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token"))
+        s = s.join(keep, "token")
+        t = t.join(keep, "token")
+    both = s.unionByName(t)
+    buckets = (
+        both.groupBy("token")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("side") == "s",
+                        F.struct(F.col("id"), F.col("n_tokens")),
+                    )
+                )
+            ).alias("subjects"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("side") == "t",
+                        F.struct(F.col("id"), F.col("n_tokens")),
+                    )
+                )
+            ).alias("targets"),
+        )
+        .filter((F.size("subjects") > 0) & (F.size("targets") > 0))
+    )
+    # re-spread before the |subjects|×|targets| expansion (AQE sizes the
+    # post-agg stage on pre-explode bytes and would under-parallelize it)
+    buckets = buckets.repartition(_parallelism(both))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("subjects"),
+                lambda x: F.transform(
+                    F.col("targets"),
+                    lambda y: F.struct(
+                        x["id"].alias("subject_id"),
+                        y["id"].alias("candidate_id"),
+                        x["n_tokens"].alias("subject_n"),
+                        y["n_tokens"].alias("candidate_n"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.subject_id", "p.candidate_id", "p.subject_n", "p.candidate_n")
+        .groupBy("subject_id", "candidate_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("subject_n").alias("subject_n"),
+            F.first("candidate_n").alias("candidate_n"),
+        )
+        .withColumn(
+            "score",
+            F.col("shared")
+            / (F.col("subject_n") + F.col("candidate_n") - F.col("shared")),
+        )
+        .drop("subject_n", "candidate_n")
+    )

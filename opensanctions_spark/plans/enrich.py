@@ -1,0 +1,146 @@
+"""The enrichment lifecycle as ONE composed plan (SURVEY §3.2).
+
+Mirrors an enrichment run (``zavod/zavod/runner/enrich.py:202-268`` +
+``zavod/zavod/runner/local_enricher.py:33-147``): subject entities are
+matched against an enrichment target dataset — same-ID equi-join (J8)
+plus the blocking/similarity matcher (J5) with the reference's candidate
+budgets (cutoff 0.5, top-10; ``local_enricher.py:36-54,79-80``) — then
+each match consults the resolver's judgements:
+
+- POSITIVE → the match's subgraph is expanded to bounded depth (J4,
+  ``local_enricher.py:123-147``) gated by the publishable-topic semi-join
+  (J12, ``zavod/zavod/runner/util.py:50-80``) and emitted as internal
+  statements,
+- NEGATIVE → dropped,
+- no judgement / UNSURE → the match is emitted as an ``external=True``
+  candidate for review (``runner/enrich.py:161-199``).
+
+Spark shape: the subject×target matcher is the BIPARTITE bucket join
+(one groupBy(token) shuffle, pairs expand strictly across sides — the
+self-join form would waste both same-side quadrants); judgement lookup
+is a broadcast join on the normalized pair key; expansion is the depth-k
+BFS with a visited anti-join. No stage shuffles the unpruned pair table
+twice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opensanctions_spark.operators.blocking import (
+    bipartite_jaccard_pairs,
+    tokenize,
+    top_k_per_subject,
+)
+from opensanctions_spark.operators.graph import expand_subgraph
+
+
+@dataclass
+class EnrichConfig:
+    cutoff: float = 0.5            # score cutoff (local_enricher.py:53)
+    top_k: int = 10                # matches kept per subject (T1)
+    max_token_freq: int | None = 100  # blocking DF cap on the target side
+    expand_depth: int = 2          # bounded J4 expansion
+
+
+def enrich_matches(
+    subjects: DataFrame, targets: DataFrame, config: EnrichConfig
+) -> DataFrame:
+    """Match subjects(id, name) against targets(id, name).
+
+    Returns (subject_id, candidate_id, score, via) — ``via`` is
+    ``same_id`` (J8, score 1.0) or ``blocking`` (J5), same-ID wins when
+    both propose the pair. Top-k per subject, deterministic ties.
+    """
+    same = (
+        subjects.select(F.col("id").alias("subject_id"))
+        .join(
+            targets.select(F.col("id").alias("candidate_id")),
+            F.col("subject_id") == F.col("candidate_id"),
+        )
+        .select(
+            "subject_id",
+            "candidate_id",
+            F.lit(1.0).alias("score"),
+            F.lit("same_id").alias("via"),
+        )
+    )
+    blocked = (
+        bipartite_jaccard_pairs(
+            tokenize(subjects, "id", "name"),
+            tokenize(targets, "id", "name"),
+            max_token_freq=config.max_token_freq,
+        )
+        .filter(F.col("score") >= config.cutoff)
+        .select(
+            "subject_id",
+            "candidate_id",
+            "score",
+            F.lit("blocking").alias("via"),
+        )
+    )
+    merged = (
+        same.unionByName(blocked)
+        .groupBy("subject_id", "candidate_id")
+        .agg(F.max("score").alias("score"), F.max("via").alias("via"))
+    )
+    return top_k_per_subject(merged, config.top_k).drop("rank")
+
+
+def enrich(
+    subjects: DataFrame,
+    targets: DataFrame,
+    edges: DataFrame,
+    judgements: DataFrame,
+    publishable: DataFrame,
+    config: EnrichConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full §3.2 run. Inputs:
+
+    - subjects/targets: (id, name) matchable views of the two scopes,
+    - edges: (src, dst) target-graph adjacency for expansion,
+    - judgements: (left_id, right_id, judgement) resolver decisions,
+      orientation-free (normalized on the least/greatest key here),
+    - publishable: (id) targets whose topics allow internal emission
+      (the J12 gate set).
+
+    Returns (candidates, internal): ``candidates`` are judged matches to
+    emit as ``external=True`` statements or queue for review —
+    (subject_id, candidate_id, score, via, judgement NULL/UNSURE);
+    ``internal`` is the expanded subgraph to emit as internal statements
+    — (node, depth) with depth ≤ config.expand_depth from any
+    POSITIVE-judged, publishable match.
+    """
+    config = config or EnrichConfig()
+    matches = enrich_matches(subjects, targets, config)
+    j = F.broadcast(
+        judgements.select(
+            F.least("left_id", "right_id").alias("_a"),
+            F.greatest("left_id", "right_id").alias("_b"),
+            "judgement",
+        )
+    )
+    judged = matches.join(
+        j,
+        (F.least("subject_id", "candidate_id") == F.col("_a"))
+        & (F.greatest("subject_id", "candidate_id") == F.col("_b")),
+        "left",
+    ).drop("_a", "_b")
+    candidates = judged.filter(
+        F.col("judgement").isNull() | (F.col("judgement") == "UNSURE")
+    )
+    seeds = (
+        judged.filter(F.col("judgement") == "POSITIVE")
+        .join(
+            publishable.select(F.col("id").alias("candidate_id")),
+            "candidate_id",
+            "left_semi",
+        )
+        .select(F.col("candidate_id").alias("node"))
+        .distinct()
+    )
+    internal = expand_subgraph(edges, seeds, depth=config.expand_depth)
+    return candidates, internal
