@@ -250,3 +250,43 @@ def test_q22_anti_join_after_scalar_filter(spark, sf_dir):
     plan = _executed_plan(QUERIES["q22_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_enrich_judgement_lookup_is_broadcast(spark, sf_dir):
+    """plans/enrich.py: the judgement table joins the pruned match table
+    as a broadcast (decisions are human/threshold-curated — SCALE.md §3),
+    and the publishable topic gate stays a semi-join, so the only hash
+    exchanges belong to the blocking bucket stage and the BFS."""
+    plan = _executed_plan(QUERIES["pipeline_enrich_expand"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the left_semi gate must not degrade into an inner join + distinct
+    assert "LeftSemi" in plan
+
+
+def test_xref_attribute_attach_follows_pruning(spark, sf_dir):
+    """plans/xref.py: the strong-id/id-number attach joins run on the
+    pair table AFTER top-k + global-cap pruning — the executed plan's
+    window (top-k) and limit must sit below the attribute joins, so the
+    unpruned pair table is never re-shuffled against the subjects."""
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.plans.xref import XrefConfig, xref_pairs
+    from pyspark.sql import functions as F
+
+    part = load(spark, sf_dir, "part")
+    subjects = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+        F.array(F.col("p_brand")).alias("strong_ids"),
+        F.array(F.col("p_type")).alias("id_numbers"),
+    )
+    decisions = xref_pairs(subjects, XrefConfig(top_k=5, limit=100))
+    plan = _executed_plan(decisions)
+    # global cap executes as a TakeOrderedAndProject/GlobalLimit, and the
+    # attach joins appear above it in the plan text (smaller index = higher)
+    assert "Limit" in plan or "TakeOrdered" in plan
+    join_at = plan.find("SortMergeJoin")
+    if join_at == -1:
+        join_at = plan.find("BroadcastHashJoin")
+    limit_at = max(plan.find("GlobalLimit"), plan.find("TakeOrdered"))
+    assert join_at != -1 and limit_at != -1
+    assert join_at < limit_at, "attribute joins must consume the capped pairs"

@@ -193,3 +193,46 @@ def test_jaccard_denominators_survive_df_cap(spark, rows):
             )
             < 1e-12
         )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # side: subject or target
+            st.integers(min_value=1, max_value=8),
+            st.sampled_from("tuv"),
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_bipartite_pairs_match_python_reference(spark, rows):
+    """The cross-side bucket expansion must emit exactly the
+    subject×target pairs (shared counts + Jaccard over the union of the
+    two token sets) that a naive bipartite join computes."""
+    from opensanctions_spark.operators.blocking import bipartite_jaccard_pairs
+
+    subj = sorted({(i, t) for is_subj, i, t in rows if is_subj})
+    tgt = sorted({(i, t) for is_subj, i, t in rows if not is_subj})
+    if not subj or not tgt:
+        return
+    sdf = spark.createDataFrame(subj, "id LONG, token STRING")
+    tdf = spark.createDataFrame(tgt, "id LONG, token STRING")
+    got = {
+        (r["subject_id"], r["candidate_id"]): (r["shared"], r["score"])
+        for r in bipartite_jaccard_pairs(sdf, tdf).collect()
+    }
+    s_tokens: dict = {}
+    t_tokens: dict = {}
+    for i, t in subj:
+        s_tokens.setdefault(i, set()).add(t)
+    for i, t in tgt:
+        t_tokens.setdefault(i, set()).add(t)
+    want = {}
+    for a, at in s_tokens.items():
+        for b, bt in t_tokens.items():
+            shared = len(at & bt)
+            if shared:
+                want[(a, b)] = (shared, shared / (len(at) + len(bt) - shared))
+    assert got == want
