@@ -57,20 +57,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+    """Read the events table, normalizing its timestamp column.
 
-    The events parquet carries nanosecond timestamps, which Spark's reader
-    rejects; read them as raw longs (legacy nanosAsLong) and floor-divide
-    to microseconds — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP view
-    does, so both engines see identical values.
+    Older generations of the test parquet carried TIMESTAMP(NANOS), which
+    Spark's reader rejects; those are read as raw longs (legacy nanosAsLong)
+    and floor-divided to microseconds — exactly what DuckDB's
+    TIMESTAMP_NS→TIMESTAMP view does. Newer generations carry
+    microsecond timestamps natively (TIMESTAMP_NTZ); those are cast to
+    TIMESTAMP — lossless under the UTC session timezone — so every
+    downstream query sees one ts type and both engines see identical values.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _import_all() -> None:

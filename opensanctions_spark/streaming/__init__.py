@@ -19,22 +19,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts BIGINT"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,"
+    " ts TIMESTAMP_NTZ"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream: nanosecond timestamps read as longs
-    (see catalog.load_events) and floored to microseconds."""
+    """events.parquet as a stream. Handles both generations of the test
+    parquet: TIMESTAMP(NANOS) columns are read as longs (see
+    catalog.load_events) and floored to microseconds; native microsecond
+    timestamps pass through. The file source needs the schema up front, so
+    probe the batch reader's inferred dtype first."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+        == "bigint"
+    )
     # the file source requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_MICROS
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # lossless under the UTC session timezone; gives every downstream
+        # consumer (watermarks, unix_micros) one ts type
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
