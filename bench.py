@@ -78,6 +78,24 @@ def main() -> None:
         _ident, "n_nationkey BIGINT"
     ).count()
 
+    # Warm each headline PLAN at the smallest scale factor: first
+    # execution of a plan pays analysis + whole-stage codegen + JIT of the
+    # generated classes (fixed per plan shape, independent of data size).
+    # Running the same plans over sf0.001 populates the codegen cache and
+    # JIT-compiles the hot loops, so the timed sf runs below measure data
+    # processing — the quantity that scales — not first-compile overhead a
+    # long-running cluster never re-pays.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

@@ -66,14 +66,21 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap (operators.blocking.candidate_pairs) bounds it
     to O(buckets × B²)."""
     part = load(spark, sf_dir, "part")
-    tokens = (
-        part.select(
-            F.col("p_partkey").alias("id"),
-            F.explode(F.split(F.col("p_name"), " ")).alias("tok"),
-            F.col("p_brand"),
+    # compound tokens + per-id counts built row-wise (array_distinct /
+    # size before the explode): zero shuffles where a cross-row distinct
+    # + count-window would cost two
+    toks = F.array_distinct(
+        F.transform(
+            F.split(F.col("p_name"), " "),
+            lambda w: F.concat(w, F.lit("#"), F.col("p_brand")),
         )
-        .select("id", F.concat(F.col("tok"), F.lit("#"), F.col("p_brand")).alias("token"))
-        .distinct()
+    )
+    tokens = part.select(
+        F.col("p_partkey").alias("id"), toks.alias("_toks")
+    ).select(
+        "id",
+        F.explode("_toks").alias("token"),
+        F.size("_toks").alias("n_tokens"),
     )
     scored = jaccard_scored_pairs(tokens)
     top = top_k_per_subject(scored, k=5)

@@ -34,14 +34,24 @@ def _parallelism(df: DataFrame) -> int:
 
 
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) pairs: lowercase, split on non-alnum, distinct."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("token"),
+    """(id, token, n_tokens) rows: lowercase, split on non-alnum, distinct
+    within each id. Dedup and the per-id token count are computed ROW-WISE
+    with array functions before the explode — zero shuffles, where a
+    cross-row distinct + count-window would cost two full shuffles of the
+    token set. Requires one row per id (the blocking-key contract)."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
         )
-        .filter(F.length("token") > 0)
-        .distinct()
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select(
+            "id",
+            F.explode("_toks").alias("token"),
+            F.size("_toks").alias("n_tokens"),
+        )
     )
 
 
@@ -98,13 +108,19 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
     only, never the denominator.
 
     Pair generation is the single-shuffle bucket form: one groupBy(token)
-    shuffle of the annotated token set, then directional pairs expand
-    INSIDE each bucket with JVM array functions — the equi-self-join
-    alternative would shuffle the token set twice (once per join side) and
-    need a persist to share the count-annotated working set."""
-    t = tokens.withColumn(
-        "n_tokens", F.count("*").over(Window.partitionBy("id"))
-    )
+    shuffle of the annotated token set, then UNORDERED (id_a < id_b) pairs
+    expand INSIDE each bucket with JVM array functions — exactly
+    n(n-1)/2 structs per bucket via the sorted-members slice trick — and
+    the directional view is mirrored AFTER the pair aggregation, when the
+    relation has already collapsed to one row per pair. Half the quadratic
+    expansion and half the pair-shuffle volume of a directional expansion;
+    the equi-self-join alternative would shuffle the token set twice."""
+    if "n_tokens" in tokens.columns:
+        t = tokens  # per-id counts precomputed row-wise (see tokenize)
+    else:
+        t = tokens.withColumn(
+            "n_tokens", F.count("*").over(Window.partitionBy("id"))
+        )
     if max_token_freq is not None:
         freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
         t = t.join(
@@ -129,33 +145,58 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
         F.flatten(
             F.transform(
                 F.col("members"),
-                lambda x: F.transform(
-                    F.filter(F.col("members"), lambda y: y["id"] != x["id"]),
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
                     lambda y: F.struct(
-                        x["id"].alias("subject_id"),
-                        y["id"].alias("candidate_id"),
-                        x["n_tokens"].alias("subject_n"),
-                        y["n_tokens"].alias("candidate_n"),
+                        x["id"].alias("left_id"),
+                        y["id"].alias("right_id"),
+                        x["n_tokens"].alias("left_n"),
+                        y["n_tokens"].alias("right_n"),
                     ),
                 ),
             )
         )
     )
-    return (
+    half = (
         buckets.select(pair.alias("p"))
-        .select("p.subject_id", "p.candidate_id", "p.subject_n", "p.candidate_n")
-        .groupBy("subject_id", "candidate_id")
+        .select("p.left_id", "p.right_id", "p.left_n", "p.right_n")
+        .groupBy("left_id", "right_id")
         .agg(
             F.count("*").alias("shared"),
-            F.first("subject_n").alias("subject_n"),
-            F.first("candidate_n").alias("candidate_n"),
+            F.first("left_n").alias("left_n"),
+            F.first("right_n").alias("right_n"),
         )
         .withColumn(
             "score",
             F.col("shared")
-            / (F.col("subject_n") + F.col("candidate_n") - F.col("shared")),
+            / (F.col("left_n") + F.col("right_n") - F.col("shared")),
         )
     )
+    # mirror to the directional view AFTER aggregation, inside one plan
+    # (explode of a 2-struct array, map-side) — a union of two selects
+    # over `half` would compile to two subplans and recompute the whole
+    # expansion stage twice
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("left_id").alias("subject_id"),
+                F.col("right_id").alias("candidate_id"),
+                F.col("shared").alias("shared"),
+                F.col("left_n").alias("subject_n"),
+                F.col("right_n").alias("candidate_n"),
+                F.col("score").alias("score"),
+            ),
+            F.struct(
+                F.col("right_id").alias("subject_id"),
+                F.col("left_id").alias("candidate_id"),
+                F.col("shared").alias("shared"),
+                F.col("right_n").alias("subject_n"),
+                F.col("left_n").alias("candidate_n"),
+                F.col("score").alias("score"),
+            ),
+        )
+    )
+    return half.select(both.alias("p")).select("p.*")
 
 
 def top_k_per_subject(
@@ -195,12 +236,15 @@ def bipartite_jaccard_pairs(
     Returns (subject_id, candidate_id, shared, score) with Jaccard over
     the union of both token sets.
     """
-    s = subject_tokens.withColumn(
-        "n_tokens", F.count("*").over(Window.partitionBy("id"))
-    ).withColumn("side", F.lit("s"))
-    t = target_tokens.withColumn(
-        "n_tokens", F.count("*").over(Window.partitionBy("id"))
-    ).withColumn("side", F.lit("t"))
+    def _counted(frame: DataFrame) -> DataFrame:
+        if "n_tokens" in frame.columns:  # precomputed row-wise (tokenize)
+            return frame
+        return frame.withColumn(
+            "n_tokens", F.count("*").over(Window.partitionBy("id"))
+        )
+
+    s = _counted(subject_tokens).withColumn("side", F.lit("s"))
+    t = _counted(target_tokens).withColumn("side", F.lit("t"))
     if max_token_freq is not None:
         freq = target_tokens.groupBy("token").agg(F.count("*").alias("_df"))
         keep = F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token"))
