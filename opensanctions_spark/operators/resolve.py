@@ -79,32 +79,27 @@ def connected_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
     )
-    # The symmetrized edge list is consumed at least twice on EVERY path
-    # (probe + collect on the driver path; one join per propagation round
-    # on the distributed path) and its upstream can be an expensive
-    # pipeline (e.g. the LSH stage feeding near-dup clustering) — persist
-    # it so that pipeline runs exactly once.
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     if driver_max_edges:
-        # bounded probe on the persisted frame: stops at the cutoff AND
-        # leaves the scanned partitions cached for the collect below
-        probe = sym.limit(2 * driver_max_edges + 1).count()
-        if probe <= 2 * driver_max_edges:
+        # ONE bounded Arrow collect of the RAW directional edges decides
+        # the path AND delivers the data: union-find is insensitive to
+        # edge direction and duplicates, so the symmetrize + distinct
+        # shuffle, the persist, and a separate probe action are all
+        # driver-path waste. If the limit overflows, fall through to the
+        # distributed solve (the collected prefix is discarded).
+        pdf = e.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
             from pyspark.sql.types import StructField, StructType
 
-            rows = sym.collect()
-            sym.unpersist()
-            labels = _driver_union_find([(r["a"], r["b"]) for r in rows])
+            labels = _driver_union_find(
+                list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+            )
             schema = StructType(
                 [
-                    StructField("node", sym.schema["a"].dataType),
-                    StructField("component", sym.schema["b"].dataType),
+                    StructField("node", e.schema["a"].dataType),
+                    StructField("component", e.schema["b"].dataType),
                 ]
             )
             if not labels:
@@ -113,8 +108,16 @@ def connected_components(
             # than row-at-a-time tuple pickling for big components
             import pandas as pd
 
-            pdf = pd.DataFrame(labels, columns=["node", "component"])
-            return edges.sparkSession.createDataFrame(pdf, schema=schema)
+            pdf_out = pd.DataFrame(labels, columns=["node", "component"])
+            return edges.sparkSession.createDataFrame(pdf_out, schema=schema)
+    sym = e.union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull()).distinct()
+    # The symmetrized edge list is consumed once per propagation round and
+    # its upstream can be an expensive pipeline (e.g. the LSH stage
+    # feeding near-dup clustering) — persist it so that pipeline runs
+    # exactly once.
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     # initial label = min(self, min neighbor)
     labels = (
         sym.groupBy("a")
