@@ -75,12 +75,17 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.concat(w, F.lit("#"), F.col("p_brand")),
         )
     )
-    tokens = part.select(
-        F.col("p_partkey").alias("id"), toks.alias("_toks")
-    ).select(
-        "id",
-        F.explode("_toks").alias("token"),
-        F.size("_toks").alias("n_tokens"),
+    tokens = (
+        part.select(F.col("p_partkey").alias("id"), toks.alias("_toks"))
+        .select(
+            "id",
+            # outer + null filter: explode of a computed array column
+            # triggers InferFiltersFromGenerate expression duplication
+            # (see operators/blocking.tokenize)
+            F.explode_outer("_toks").alias("token"),
+            F.size("_toks").alias("n_tokens"),
+        )
+        .filter(F.col("token").isNotNull())
     )
     scored = jaccard_scored_pairs(tokens)
     top = top_k_per_subject(scored, k=5)

@@ -227,17 +227,46 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load(spark, sf_dir, "documents"))
 
 
-def shingles_of(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per (doc_id, source)."""
-    w = _tokens(F.col("text"))
+def shingle_arrays_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, shingles: array<string>) — each document's DISTINCT
+    word-3-gram shingle set, computed entirely row-wise (array_distinct,
+    no shuffle). The array form is the preferred input of the MinHash
+    operators: per-document reductions (signature mins, set sizes) stay
+    map-side instead of costing a groupBy(doc_id) shuffle of the exploded
+    shingle set.
+
+    The token array is materialized as its OWN projection first, so the
+    shingle lambda captures a plain attribute: inlining the regex into
+    the lambda (one giant expression) grows past the codegen method
+    limit, drops the stage to interpreted eval, and re-runs the regex
+    per element — measured 8× slower. CollapseProject keeps the split
+    because the token array is referenced four times."""
+    w = F.col("_w")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(w) - 3),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
         ),
     )
+    return docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("_w")
+    ).select("doc_id", "source", F.array_distinct(sh).alias("shingles"))
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per (doc_id, source), exploded form.
+    Row-wise dedup (ids are unique per row) — zero shuffles.
+
+    explode_outer + null filter, NOT plain explode: explode of a computed
+    array column triggers InferFiltersFromGenerate, whose inferred
+    size(arr) > 0 filter gets the full shingle expression substituted in
+    during pushdown — re-running the regex pipeline per row (measured
+    25× slower). The outer form infers nothing; the null filter restores
+    inner-explode semantics for empty arrays."""
     return (
-        docs.select("doc_id", "source", F.explode(sh).alias("shingle")).distinct()
+        shingle_arrays_of(docs)
+        .select("doc_id", "source", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -268,8 +297,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     both Jaccard denominators, so the quadratic term stays per-shingle
     (never global) and the pair table is never re-joined to a sizes
     table."""
-    sh = _shingles(spark, sf_dir).withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    # per-doc set size comes free with the row-wise array form (size of
+    # the distinct-shingle array) — no count-window shuffle.
+    # explode_outer + null filter: see shingles_of.
+    sh = (
+        shingle_arrays_of(load(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer("shingles").alias("shingle"),
+            F.size("shingles").alias("n"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     buckets = (
         sh.groupBy("source", "shingle")
@@ -344,18 +383,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs_of(_shingles(spark, sf_dir))
+    return minhash_pairs_of(shingle_arrays_of(load(spark, sf_dir, "documents")))
 
 
 def minhash_bands_of(shingles: DataFrame) -> DataFrame:
     """(doc_id, k, mh) MinHash band rows: 8 band values per document, each
     the min over one 8-hex-char window of the per-shingle md5 — one hash
-    per shingle, one groupBy(doc_id) with 8 min-aggs, then a stack
-    unpivot. This is the document's LSH signature — the persistent state
-    an incremental near-dedup keeps per corpus member."""
+    per shingle. This is the document's LSH signature — the persistent
+    state an incremental near-dedup keeps per corpus member.
+
+    Accepts either shingle form (the array form of `shingle_arrays_of`,
+    or the exploded form); both run the same explode → md5 →
+    groupBy(doc_id) 8-min-agg plan. The per-document reduction is
+    deliberately a hash aggregate over exploded rows, NOT a row-wise
+    array fold: higher-order array functions (aggregate/zip_with) are
+    interpreted per element, while explode + md5 + hash-agg stay inside
+    whole-stage codegen — measured 4× faster at sf0.1 despite the extra
+    shuffle, and the shuffle rows are (doc_id, 8-char hash) — tiny."""
+    if "shingles" in shingles.columns:  # array form — explode it
+        # explode_outer + null filter: see shingles_of (avoids the
+        # InferFiltersFromGenerate expression-duplication trap)
+        shingles = shingles.select(
+            "doc_id", F.explode_outer("shingles").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
     sh = shingles.select("doc_id", F.md5(F.col("shingle")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}") for k in range(8)]
+        *[
+            F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}")
+            for k in range(8)
+        ]
     )
     stack_expr = "stack(8, " + ", ".join(
         f"{k}, mh{k}" for k in range(8)

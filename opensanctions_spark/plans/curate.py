@@ -85,10 +85,10 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> Data
 
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
-    from opensanctions_spark.catalog.text import minhash_pairs_of, shingles_of
+    from opensanctions_spark.catalog.text import minhash_pairs_of, shingle_arrays_of
 
     edges = minhash_pairs_of(
-        shingles_of(exact), max_bucket_size=cfg.max_bucket_size
+        shingle_arrays_of(exact), max_bucket_size=cfg.max_bucket_size
     ).filter(F.col("n_bands") >= cfg.near_dup_bands)
     cc = connected_components(edges, src="left_id", dst="right_id")
     mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
@@ -165,11 +165,11 @@ def curation_index(docs: DataFrame, curated: DataFrame) -> tuple[DataFrame, Data
     Both are tiny next to the corpus (one row / eight rows per doc, no
     text) — the J1 timestamp-index discipline applied to curation: carry
     forward a compact index, not the data."""
-    from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+    from opensanctions_spark.catalog.text import minhash_bands_of, shingle_arrays_of
 
     kept = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
     fps = kept.select(F.md5(F.col("text")).alias("fp")).distinct()
-    bands = minhash_bands_of(shingles_of(kept))
+    bands = minhash_bands_of(shingle_arrays_of(kept))
     return fps, bands
 
 
@@ -223,9 +223,9 @@ def curate_increment(
 
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
-    from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+    from opensanctions_spark.catalog.text import minhash_bands_of, shingle_arrays_of
 
-    new_bands = minhash_bands_of(shingles_of(exact)).persist(
+    new_bands = minhash_bands_of(shingle_arrays_of(exact)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -254,7 +254,7 @@ def curate_increment(
     # input
     from opensanctions_spark.catalog.text import minhash_pairs_of
 
-    surv_shingles = shingles_of(survivors)
+    surv_shingles = shingle_arrays_of(survivors)
     edges = minhash_pairs_of(
         surv_shingles, max_bucket_size=cfg.max_bucket_size
     ).filter(F.col("n_bands") >= cfg.near_dup_bands)

@@ -83,9 +83,19 @@ def parse_html_table(df: DataFrame, html_col: str) -> DataFrame:
     pile of landed HTML parses inside whole-stage codegen. Returns the
     input columns + (row_idx, cells array<string>).
     """
-    rows = df.withColumn(
-        "_rows", F.expr(f"regexp_extract_all({html_col}, '{_ROW_RE}', 1)")
-    ).select("*", F.posexplode("_rows").alias("row_idx", "_row")).drop("_rows")
+    # posexplode_outer + null filter, not plain posexplode: exploding a
+    # computed array column triggers InferFiltersFromGenerate, and
+    # pushdown substitutes the regexp_extract_all into the inferred
+    # size() filter — re-running the row regex per document (see
+    # operators/blocking.tokenize for the measured cost)
+    rows = (
+        df.withColumn(
+            "_rows", F.expr(f"regexp_extract_all({html_col}, '{_ROW_RE}', 1)")
+        )
+        .select("*", F.posexplode_outer("_rows").alias("row_idx", "_row"))
+        .filter(F.col("_row").isNotNull())
+        .drop("_rows")
+    )
     cells = F.expr(f"regexp_extract_all(_row, '{_CELL_RE}', 1)")
     cleaned = F.transform(
         cells, lambda c: F.trim(F.regexp_replace(c, _TAG_RE, ""))

@@ -76,7 +76,7 @@ def curate_document_stream(
     spark = stream.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        from opensanctions_spark.catalog.text import minhash_bands_of, shingles_of
+        from opensanctions_spark.catalog.text import minhash_bands_of, shingle_arrays_of
 
         fps, bands = load_curation_index(spark, index_dir)
         # localCheckpoint, NOT persist: curated's lineage reads the index
@@ -93,7 +93,7 @@ def curate_document_stream(
         kept_docs.select(F.md5(F.col("text")).alias("fp")).distinct().write.mode(
             "append"
         ).parquet(f"{index_dir}/fingerprints")
-        minhash_bands_of(shingles_of(kept_docs)).write.mode("append").parquet(
+        minhash_bands_of(shingle_arrays_of(kept_docs)).write.mode("append").parquet(
             f"{index_dir}/bands"
         )
 
