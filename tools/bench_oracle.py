@@ -41,9 +41,22 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # warm both engines
+    # warm both engines; warm every headline PLAN at sf0.001 (same
+    # discipline as bench.py — first execution of a plan pays analysis +
+    # codegen + JIT, a fixed cost a long-running cluster never re-pays,
+    # so timed runs measure data processing)
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey").count().count()
     con.execute("SELECT COUNT(*) FROM nation").fetchall()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:
+                print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
     # Spark's fixed per-query floor: a 1-row aggregation job (pure
     # scheduling + codegen, no data) — at toy scale this floor dominates
