@@ -290,3 +290,41 @@ def test_xref_attribute_attach_follows_pruning(spark, sf_dir):
     limit_at = max(plan.find("GlobalLimit"), plan.find("TakeOrdered"))
     assert join_at != -1 and limit_at != -1
     assert join_at < limit_at, "attribute joins must consume the capped pairs"
+
+
+def test_no_inferred_generate_filter_duplicates_token_pipeline(spark, sf_dir):
+    """Exploding a COMPUTED array column by attribute lets
+    InferFiltersFromGenerate add a size(arr) > 0 filter whose pushdown
+    substitutes the full array expression — re-running the regex/shingle
+    pipeline per row (measured 25× at sf0.1). The explode_outer + null
+    filter rendering must keep the expensive expression out of every
+    Filter node in the optimized plans of the token/shingle consumers."""
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.catalog.text import shingles_of
+    from opensanctions_spark.operators.blocking import tokenize
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    frames = {
+        "shingles_of": shingles_of(docs),
+        "tokenize": tokenize(
+            load(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("id"), "p_name"
+            ),
+            "id",
+            "p_name",
+        ),
+        "j5_tokens": QUERIES["j5_t1_blocking_topk"](spark, sf_dir),
+    }
+    for label, df in frames.items():
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            if line.strip().startswith("Filter ") or "+- Filter" in line:
+                assert "regexp_extract_all" not in line, (
+                    f"{label}: inferred generate filter re-runs the regex "
+                    f"pipeline: {line.strip()[:200]}"
+                )
+                assert "array_distinct" not in line, (
+                    f"{label}: inferred generate filter re-runs the array "
+                    f"pipeline: {line.strip()[:200]}"
+                )
