@@ -95,6 +95,9 @@ def main() -> None:
                 fn(spark, warm_dir).count()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        # drop frames persisted by composed plans during warmup so the
+        # timed runs don't compete with stale sf0.001 cache blocks
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
