@@ -85,8 +85,10 @@ def main() -> None:
     # JIT-compiles the hot loops, so the timed sf runs below measure data
     # processing — the quantity that scales — not first-compile overhead a
     # long-running cluster never re-pays.
+    # (also when the target IS sf0.001 — then warmup doubles as the
+    # plan-warm pass, keeping cross-sf totals comparable)
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+    if os.path.isdir(warm_dir):
         for name in HEADLINE:
             fn = QUERIES.get(name)
             if fn is None:
