@@ -70,6 +70,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→TIMESTAMP cast below reads the session timezone; pin it so
+    # a vanilla driver session in a non-UTC environment can't shift values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
