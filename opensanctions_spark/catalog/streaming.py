@@ -237,18 +237,90 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_curate_corpus")
+def _stream_curate_oracle() -> str:
+    """Two-wave recursive-CTE replay of the streaming curation run: wave 1
+    (even doc_ids) curated against an empty index, wave 2 (odd) against
+    wave 1's fingerprint/band index — first-wave-wins. Built from the
+    same SQL fragments as ``pipeline_curate_increment``'s oracle."""
+    from opensanctions_spark.catalog.pipeline import (
+        _CURATE_BUCKET100,
+        _cc_sql,
+        _curate_stage_sql,
+        _minhash_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+w1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+{_curate_stage_sql('1', 'w1').strip()},
+exk1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q1
+  ) WHERE rn = 1
+),
+{_minhash_sql('1', 'exk1').strip()},
+{_cc_sql('1', 'mh1').strip()},
+keep1 AS (
+  SELECT e.doc_id, e.lang, e.source, e.n_tokens, e.fp
+  FROM exk1 e LEFT JOIN comp1 c ON e.doc_id = c.node
+  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+),
+fps AS (SELECT DISTINCT fp FROM keep1),
+bands AS (SELECT m.* FROM mh1 m JOIN keep1 k ON m.doc_id = k.doc_id),
+w2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+{_curate_stage_sql('2', 'w2').strip()},
+fresh2 AS (SELECT * FROM q2 WHERE fp NOT IN (SELECT fp FROM fps)),
+exk2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fresh2
+  ) WHERE rn = 1
+),
+{_minhash_sql('2', 'exk2').strip()},
+vs_prior AS (
+  SELECT DISTINCT n.doc_id
+  FROM (
+    SELECT b2.doc_id, b1.doc_id AS prior_id, COUNT(*) AS n_bands
+    FROM mh2 b2 JOIN bands b1 ON b2.k = b1.k AND b2.mh = b1.mh
+    GROUP BY b2.doc_id, b1.doc_id
+  ) n WHERE n.n_bands >= 4
+),
+surv AS (SELECT * FROM exk2 WHERE doc_id NOT IN (SELECT doc_id FROM vs_prior)),
+{_minhash_sql('s', 'surv').strip()},
+{_cc_sql('s', 'mhs').strip()},
+kept2 AS (
+  SELECT e.doc_id, e.lang, e.source, e.n_tokens
+  FROM surv e LEFT JOIN comps c ON e.doc_id = c.node
+  WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+),
+united AS (
+  SELECT doc_id, lang, source, n_tokens FROM keep1
+  UNION ALL
+  SELECT doc_id, lang, source, n_tokens FROM kept2
+)
+SELECT doc_id, lang, source, n_tokens,
+       CASE WHEN {_CURATE_BUCKET100} < 80 THEN 'train'
+            WHEN {_CURATE_BUCKET100} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM united
+"""
+
+
+@register("stream_curate_corpus", oracle=_stream_curate_oracle())
 def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation end-to-end on the REAL streaming engine:
-    the documents table split into two waves of file drops, each curated
+    the documents table split into two waves of file drops (even doc_ids,
+    then odd — deterministic, so the run is SQL-replayable), each curated
     in a micro-batch against the accumulating on-disk fingerprint/band
     index (streaming/curate.py), survivors appended to the corpus.
 
-    No SQL oracle — the sink mutates state across micro-batches (the
-    genuinely-non-SQL-expressible case); the WAVE semantics themselves
-    are oracle-pinned by ``pipeline_curate_increment``'s recursive-CTE
-    replay, and the three-wave accumulation test pins first-wave-wins.
-    Returns the final curated corpus ordered for a stable rows check."""
+    The sink mutates state across micro-batches, but with a
+    deterministic wave split the whole run replays as two chained
+    recursive-CTE closures (the ``pipeline_curate_increment`` oracle
+    extended with wave 1's own output) — so even the stateful streaming
+    path is value-checked, not just row-counted. The three-wave
+    accumulation test additionally pins first-wave-wins."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -257,12 +329,11 @@ def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensanctions_spark.streaming.curate import curate_document_stream
 
     docs = load(spark, sf_dir, "documents")
-    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
     with tempfile.TemporaryDirectory() as tmp:
         in_dir = f"{tmp}/incoming"
         for wave in (
-            docs.filter(F.col("doc_id") <= mid),
-            docs.filter(F.col("doc_id") > mid),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
         ):
             wave.write.mode("append").parquet(in_dir)
             q = curate_document_stream(
