@@ -7,9 +7,13 @@ the reference provisions 1.2 CPU / 4 GB / 6 h for at production scale
 (BASELINE.md). Run 2 exercises the incremental path: first_seen carry-over
 against version 1 plus the ADD/MOD/DEL delta export.
 
-Usage: python tools/bench_pipeline.py [sf_dir]
+Usage: python tools/bench_pipeline.py [sf_dir] [replicate]
 Prints one JSON line with wall times and statements/second.
-"""
+
+`replicate` (default 1) multiplies the customer universe in-plan with
+shifted keys — the data-dominated-regime measurement: at ×1 the run is
+Spark's fixed job floor; at ×10/×100 the same plan shows its actual
+statements/second, which is what a cluster run scales."""
 
 from __future__ import annotations
 
@@ -38,11 +42,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey").count().count()
 
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
     work = tempfile.mkdtemp(prefix="bench_pipeline_")
     archive = StatementArchive(spark, os.path.join(work, "archive"))
     config = DatasetConfig(name="customers")
 
-    stmts1 = melt_customers(load(spark, sf_dir, "customer"))
+    def replicated(cust):
+        if rep <= 1:
+            return cust
+        max_key = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+        return (
+            cust.crossJoin(spark.range(rep).select(F.col("id").alias("_r")))
+            .withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * max_key)
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit("#"), F.col("_r")))
+            .drop("_r")
+            # the sf parquet is a single row-group (one scan task); spread
+            # the replicated frame so the pipeline uses every core
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    stmts1 = melt_customers(replicated(load(spark, sf_dir, "customer")))
     n_stmts = stmts1.count()
 
     t0 = time.time()
@@ -53,7 +73,7 @@ def main() -> int:
     t_run1 = time.time() - t0
 
     # run 2: same corpus with a value drift on every 5th entity → MOD ops
-    cust = load(spark, sf_dir, "customer")
+    cust = replicated(load(spark, sf_dir, "customer"))
     drifted = cust.withColumn(
         "c_acctbal",
         F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1).otherwise(
