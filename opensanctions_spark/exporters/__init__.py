@@ -381,9 +381,18 @@ def maritime_export(entities: DataFrame) -> DataFrame:
 
 
 def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
-               dataset: str = "default") -> dict[str, int]:
+               dataset: str = "default",
+               single_file: bool = True) -> dict[str, int]:
     """Run every file sink off one persisted entity scan; write the K12
-    metadata index manifest. Returns per-sink row counts."""
+    metadata index manifest. Returns per-sink row counts.
+
+    ``single_file=True`` (reference parity: one artifact file per sink,
+    ``zavod/zavod/exporters/__init__.py:49-84``) funnels each sink
+    through one write task — fine at dataset scale, a bottleneck past
+    millions of rows. ``single_file=False`` is the cluster path: the
+    global sort's range partitioning already gives a total order ACROSS
+    part files (part N < part N+1), so output stays deterministic while
+    every partition writes in parallel."""
     os.makedirs(out_dir, exist_ok=True)
     entities = entities.persist()
     adjacency = adjacent_entities(entities).persist()
@@ -412,12 +421,14 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
         # sampling pass re-executes everything below it, which would
         # double-count metrics attached under the exchange
         ordered = df.orderBy(*order).observe(obs, F.count(F.lit(1)).alias("n"))
+        if single_file:
+            ordered = ordered.coalesce(1)
         if fname.endswith(".csv"):
-            ordered.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+            ordered.write.mode("overwrite").option("header", True).csv(path)
         elif fname.endswith(".json"):
-            ordered.coalesce(1).write.mode("overwrite").json(path)
+            ordered.write.mode("overwrite").json(path)
         else:
-            ordered.coalesce(1).write.mode("overwrite").text(path)
+            ordered.write.mode("overwrite").text(path)
         counts[fname] = obs.get["n"]
 
     # K12: metadata index manifest (statements.csv is row-per-statement, so

@@ -98,6 +98,7 @@ def run_dataset(
     run_time: str,
     version: str | None = None,
     canonical_map: DataFrame | None = None,
+    single_file: bool = True,
 ) -> RunResult:
     """Execute the full pipeline for one dataset run.
 
@@ -166,8 +167,12 @@ def run_dataset(
         raise AssertionError("; ".join(violations))
     dangling = dangling_references(entities).count()
 
-    # 5. exports (shared scan)
-    export_counts = export_all(entities, statements, out_dir, dataset=config.name)
+    # 5. exports (shared scan; single_file=False is the cluster path —
+    # range-ordered multi-part sink files, see exporters.export_all)
+    export_counts = export_all(
+        entities, statements, out_dir, dataset=config.name,
+        single_file=single_file,
+    )
 
     # 6. delta vs previous version (D0/D1)
     if prev is not None:
@@ -176,7 +181,10 @@ def run_dataset(
             r["op"]: r["n"]
             for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()
         }
-        diff.orderBy("canonical_id").coalesce(1).write.mode("overwrite").json(
+        delta_out = diff.orderBy("canonical_id")
+        if single_file:
+            delta_out = delta_out.coalesce(1)
+        delta_out.write.mode("overwrite").json(
             os.path.join(out_dir, "delta.json")
         )
     else:

@@ -65,10 +65,15 @@ def main() -> int:
     stmts1 = melt_customers(replicated(load(spark, sf_dir, "customer")))
     n_stmts = stmts1.count()
 
+    # replicated runs exercise the cluster sink path (range-ordered
+    # multi-part files); ×1 keeps reference parity (one file per sink)
+    single_file = rep <= 1
+
     t0 = time.time()
     r1 = run_dataset(
         spark, stmts1, config, archive,
         os.path.join(work, "out1"), run_time="2026-08-01T00:00:00",
+        single_file=single_file,
     )
     t_run1 = time.time() - t0
 
@@ -84,6 +89,7 @@ def main() -> int:
     r2 = run_dataset(
         spark, melt_customers(drifted), config, archive,
         os.path.join(work, "out2"), run_time="2026-08-13T00:00:00",
+        single_file=single_file,
     )
     t_run2 = time.time() - t0
 
