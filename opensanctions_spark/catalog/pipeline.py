@@ -104,8 +104,12 @@ def a1_entity_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     LegalEntity base statements plus Person alias statements widen every
     third entity to Person via the lattice-rank max — the Spark rendering
     of ``zavod/zavod/store.py:36-74`` + ``zavod/zavod/entity.py:155-162``,
-    one shuffle, no Python in the row path."""
-    per_prop = assemble_properties(_customer_statements(spark, sf_dir))
+    one shuffle, no Python in the row path. The explicit canonical_id
+    repartition serves BOTH aggregations (subset clustering) — see
+    operators/assembly.py."""
+    per_prop = assemble_properties(
+        _customer_statements(spark, sf_dir).repartition("canonical_id")
+    )
     return (
         per_prop.groupBy("canonical_id")
         .agg(

@@ -10,11 +10,16 @@ one shuffle: ``groupBy(canonical_id)`` with
 - first_seen = min / last_seen = max over the statement bag (A6, FtM
   semantics consumed at ``zavod/zavod/exporters/simplecsv.py:107-109``).
 
-Scale note: this is a single hash-aggregate keyed by canonical_id. Entity
-ids are high-cardinality and near-uniform, so the shuffle partitions evenly;
-partial aggregation (map-side combine) applies because every agg here is
-associative. At 100 TB the only knob is shuffle partition count — there is
-no skew by construction (one entity is at most a few thousand statements).
+Scale note: ONE shuffle total. `assemble_entities` repartitions by
+canonical_id up front; hash partitioning on a SUBSET of the grouping keys
+satisfies the clustered distribution of both downstream aggregates, so
+the (canonical_id, prop) aggregation and the (canonical_id) pivot both
+run exchange-free on that partitioning (asserted in
+tests/test_plan_quality.py). Entity ids are high-cardinality and
+near-uniform, so the shuffle partitions evenly. At 100 TB the only knob
+is shuffle partition count — there is no skew by construction (one
+entity is at most a few thousand statements); with statements bucketed
+by canonical_id even this one shuffle disappears.
 """
 
 from __future__ import annotations
@@ -53,7 +58,9 @@ def assemble_entities(statements: DataFrame) -> DataFrame:
     (``zavod/zavod/entity.py:16-25``: a bag of statements sharing an id,
     every property a string list).
     """
-    per_prop = assemble_properties(statements)
+    # one explicit shuffle on canonical_id; both aggregations below then
+    # satisfy their distribution requirements on it (subset clustering)
+    per_prop = assemble_properties(statements.repartition("canonical_id"))
     return (
         per_prop.groupBy("canonical_id")
         .agg(

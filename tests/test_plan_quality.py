@@ -328,3 +328,12 @@ def test_no_inferred_generate_filter_duplicates_token_pipeline(spark, sf_dir):
                     f"{label}: inferred generate filter re-runs the array "
                     f"pipeline: {line.strip()[:200]}"
                 )
+
+
+def test_entity_assembly_is_one_shuffle(spark, sf_dir):
+    """A1 runs on ONE explicit canonical_id exchange: hash partitioning on
+    a subset of the grouping keys satisfies both the (canonical_id, prop)
+    aggregation and the (canonical_id) pivot, so neither adds its own."""
+    plan = _executed_plan(QUERIES["a1_entity_assembly"](spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"expected at most 1 hash exchange in assembly, saw {n}"
