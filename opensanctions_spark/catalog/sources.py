@@ -482,3 +482,63 @@ def audit_source_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         args=", ".join(f"'{c}', __f_{c}, __d_{c}" for c in leftover),
     )
     return one.select(F.expr(stack))
+
+
+@register(
+    "s10_archive_backfill",
+    oracle="""
+SELECT 'drifting' AS dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_statements,
+       CAST(SUM(CAST(c_acctbal + 1 AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+FROM customer
+UNION ALL
+SELECT 'stale' AS dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_statements,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+FROM customer
+""",
+)
+def s10_archive_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive backfill (S10, ``zavod/zavod/archive/__init__.py:155-231``):
+    version=None reads fall back to each dataset's LATEST SUCCESSFUL
+    version via the versions.json manifest — never a directory listing of
+    data files. Exercised end-to-end: a 'drifting' dataset written at two
+    versions (the fallback must pick the later: balances +1) and a
+    'stale' dataset written only at the first (the fallback must reach
+    back to it). The oracle states what each fallback read must contain."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    cust = load(spark, sf_dir, "customer")
+
+    def stmts(balance_shift: int) -> DataFrame:
+        return cust.select(
+            F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+            F.lit("balance").alias("prop"),
+            (F.col("c_acctbal") + balance_shift)
+            .cast(T.DecimalType(18, 2))
+            .alias("balance"),
+            F.lit(False).alias("external"),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        archive = StatementArchive(spark, tmp)
+        archive.write(stmts(0), "drifting", version="20260801-000000")
+        archive.write(stmts(0), "stale", version="20260801-000000")
+        archive.write(stmts(1), "drifting", version="20260813-000000")
+
+        frames = []
+        for name in ("drifting", "stale"):
+            df = archive.read(name)  # version=None → latest successful
+            frames.append(
+                df.groupBy(F.lit(name).alias("dataset")).agg(
+                    F.count(F.lit(1)).alias("n_statements"),
+                    F.sum("balance").cast("double").alias("balance_sum"),
+                )
+            )
+        out = frames[0].unionByName(frames[1])
+        # the tempdir dies with this function — materialize off it
+        return spark.createDataFrame(out.toPandas())
