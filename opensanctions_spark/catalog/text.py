@@ -242,12 +242,22 @@ def shingle_arrays_of(docs: DataFrame) -> DataFrame:
     per element — measured 8× slower. CollapseProject keeps the split
     because the token array is referenced four times."""
     w = F.col("_w")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+    # size guard: sequence(0, size-3) DESCENDS when size < 3 (Spark
+    # sequences run backwards for start > stop), and element_at on the
+    # short array then throws under ANSI mode — short/empty documents
+    # must yield an empty shingle set, not a task failure
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", "source", _tokens(F.col("text")).alias("_w")
     ).select("doc_id", "source", F.array_distinct(sh).alias("shingles"))
@@ -1087,12 +1097,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two groupBys, all JVM-side."""
     docs = load(spark, sf_dir, "documents")
     w = _tokens(F.col("text"))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+    # size guard: see shingle_arrays_of (descending sequence + ANSI
+    # element_at would fail the task on sub-3-token documents)
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     all_sh = docs.select("doc_id", F.explode(sh).alias("shingle"))
     counts = all_sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
     per_doc = counts.groupBy("doc_id").agg(

@@ -236,3 +236,59 @@ def test_bipartite_pairs_match_python_reference(spark, rows):
             if shared:
                 want[(a, b)] = (shared, shared / (len(at) + len(bt) - shared))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab c.X-", min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenize_matches_python_reference(spark, texts):
+    """Row-wise tokenize (array_distinct + size before explode) must
+    equal the naive per-row Python tokenization, including n_tokens."""
+    import re
+
+    from opensanctions_spark.operators.blocking import tokenize
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    got: dict = {}
+    for r in tokenize(df, "id", "name").collect():
+        got.setdefault(r["id"], set()).add(r["token"])
+        assert r["n_tokens"] == len(
+            {w for w in re.split(r"[^a-z0-9]+", rows[r["id"]][1].lower()) if w}
+        )
+    for i, t in rows:
+        want = {w for w in re.split(r"[^a-z0-9]+", t.lower()) if w}
+        assert got.get(i, set()) == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_shingles_match_python_reference(spark, texts):
+    """Row-wise shingle sets (array_distinct, explode_outer rendering)
+    must equal naive Python word-3-gram shingling per document."""
+    import re
+
+    from opensanctions_spark.catalog.text import shingles_of
+
+    rows = [(i, texts[i], "s") for i in range(len(texts))]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got: dict = {}
+    for r in shingles_of(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for i, t, _ in rows:
+        w = [x for x in re.findall(r"[a-z0-9]+", t.lower())]
+        want = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        assert got.get(i, set()) == want
