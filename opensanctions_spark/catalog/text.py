@@ -132,11 +132,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
     )
-    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    # try_divide: a token-less document must score null, not fail the
+    # task (ANSI divides throw on zero; unreachable in the oracle tables
+    # but routine in a real corpus)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens.cast("double"))
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        (n_alnum.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        F.try_divide(n_alnum.cast("double"), n_tokens.cast("double")).alias(
+            "mean_token_len"
+        ),
         stop_ratio.alias("stopword_ratio"),
         (
             F.lit(0.5) * stop_ratio
@@ -1038,7 +1043,10 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h"),
         n_tokens.cast("long").alias("n_tokens"),
         (
-            F.lit(0.5) * (n_stop.cast("double") / n_tokens.cast("double"))
+            # try_divide: token-less docs score null and fail the quality
+            # gate instead of failing the task (ANSI zero-divide throws)
+            F.lit(0.5)
+            * F.try_divide(n_stop.cast("double"), n_tokens.cast("double"))
             + F.lit(0.5)
             * F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
         ).alias("quality"),

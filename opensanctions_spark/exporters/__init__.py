@@ -234,7 +234,9 @@ def senzing_records(entities: DataFrame, dataset: str = "OPEN_SANCTIONS") -> Dat
         F.col("canonical_id").alias("RECORD_ID"),
         F.lit(dataset).alias("DATA_SOURCE"),
         record_type.alias("RECORD_TYPE"),
-        F.element_at(prop_values(props, "name"), 1).alias("NAME_FULL"),
+        # try_element_at: an entity with no name must export with a null
+        # NAME_FULL, not fail the task (ANSI element_at throws on empty)
+        F.try_element_at(prop_values(props, "name"), F.lit(1)).alias("NAME_FULL"),
         F.array_join(prop_values(props, "country"), "|").alias("COUNTRIES"),
     )
 
@@ -370,7 +372,8 @@ def maritime_export(entities: DataFrame) -> DataFrame:
         .select(
             F.explode(prop_values(props, "imoNumber")).alias("imo"),
             F.col("canonical_id").alias("id"),
-            F.element_at(prop_values(props, "name"), 1).alias("vessel_name"),
+            # try_element_at: name-less vessels export null, never throw
+            F.try_element_at(prop_values(props, "name"), F.lit(1)).alias("vessel_name"),
             F.array_join(prop_values(props, "flag"), ";").alias("flag"),
         )
     )

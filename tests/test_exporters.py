@@ -106,3 +106,37 @@ def test_reverse_adjacency_inverts_forward(spark, sf_dir):
     assert pointed.count() == entities.filter(
         F.col("canonical_id").startswith("c-")
     ).count()
+
+
+def test_degenerate_entities_export_without_error(spark):
+    """ANSI-mode regression: a matchable entity with NO name and a vessel
+    with no name must export with null name columns, not fail the task
+    (element_at on an empty array throws under ANSI)."""
+    from opensanctions_spark.exporters import maritime_export, senzing_records
+
+    entities = spark.createDataFrame(
+        [
+            ("e1", "Person", {"topics": ["crime"]}),
+            ("v1", "Vessel", {"imoNumber": ["IMO 9074729"]}),
+        ],
+        "canonical_id string, schema string, properties map<string,array<string>>",
+    )
+    senzing = senzing_records(entities).collect()  # Person + Vessel both matchable
+    assert [r["NAME_FULL"] for r in senzing] == [None, None]
+    vessels = maritime_export(entities).collect()
+    assert [r["vessel_name"] for r in vessels] == [None]
+
+
+def test_tokenless_documents_score_null_quality(spark, tmp_path):
+    """ANSI-mode regression: documents with zero tokens score null (and
+    fail the quality gate) instead of raising DIVIDE_BY_ZERO."""
+    from opensanctions_spark.catalog.text import text_quality
+
+    docs = spark.createDataFrame(
+        [(1, "...", "en", "s", 3), (2, "real words here", "en", "s", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in text_quality(spark.sparkSession if hasattr(spark, "sparkSession") else spark, str(tmp_path)).collect()}
+    assert rows[1]["quality"] is None and rows[1]["mean_token_len"] is None
+    assert rows[2]["quality"] is not None
