@@ -23,8 +23,10 @@ DEFAULT_AFTER_OFFICE = 5
 
 def _shift_years(prefix_date: Column, years: Column) -> Column:
     """Add N years to an ISO prefix date, lexicographically-safely: only
-    the leading year component changes."""
-    year = F.substring(prefix_date, 1, 4).cast("int") + years
+    the leading year component changes. try_cast: a malformed date yields
+    null (status falls through to 'unknown'), never a failed task (ANSI
+    casts throw)."""
+    year = F.substring(prefix_date, 1, 4).try_cast("int") + years
     return F.concat(year.cast("string"), F.substring(prefix_date, 5, 6))
 
 
