@@ -136,6 +136,82 @@ def _cmd_list(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_merge_cluster(args: argparse.Namespace) -> int:
+    """`zavod merge-cluster` analogue: force-merge entity ids by applying
+    a POSITIVE judgement between each pair and re-solving only the
+    affected components (incremental, never a global recompute)."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.operators.resolve import incremental_canonical_map
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-merge-cluster")
+    spark.sparkContext.setLogLevel("ERROR")
+    mapping = spark.read.parquet(args.mapping)
+    anchor = args.ids[0]
+    new = spark.createDataFrame(
+        [(anchor, other, "POSITIVE") for other in args.ids[1:]],
+        "left_id string, right_id string, judgement string",
+    )
+    updated = incremental_canonical_map(mapping, new)
+    updated.write.mode("overwrite").parquet(args.out)
+    merged = updated.filter(F.col("entity_id").isin(args.ids)).collect()
+    print(json.dumps({r["entity_id"]: r["canonical_id"] for r in merged}, indent=2))
+    return 0
+
+
+def _cmd_explode_cluster(args: argparse.Namespace) -> int:
+    """`zavod explode-cluster` analogue: retract every POSITIVE judgement
+    touching one entity and re-solve only its former component."""
+    from opensanctions_spark.operators.resolve import explode_cluster
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-explode-cluster")
+    spark.sparkContext.setLogLevel("ERROR")
+    mapping = spark.read.parquet(args.mapping)
+    decisions = spark.read.parquet(args.decisions)
+    new_mapping, retained = explode_cluster(mapping, decisions, args.entity_id)
+    new_mapping.write.mode("overwrite").parquet(args.out)
+    retained.write.mode("overwrite").parquet(args.out_decisions)
+    print(
+        json.dumps(
+            {
+                "entities": new_mapping.count(),
+                "retained_decisions": retained.count(),
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_dedupe_edges(args: argparse.Namespace) -> int:
+    """`zavod dedupe-edges` analogue: merge temporally-compatible edge
+    entities sharing endpoints (the composed J7 lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.operators.edges import dedupe_edges
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-dedupe-edges")
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.read.parquet(args.edges)
+    out = dedupe_edges(
+        edges,
+        undirected=args.undirected,
+        protected_props=args.protected or None,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "edges": out.count(),
+                "merged": out.filter(F.col("merged")).count(),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opensanctions_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -170,6 +246,41 @@ def main(argv: list[str] | None = None) -> int:
     x_p.add_argument("--top-k", type=int, default=10)
     x_p.add_argument("--limit", type=int, default=5000)
     x_p.set_defaults(fn=_cmd_xref)
+
+    m_p = sub.add_parser(
+        "merge-cluster", help="force-merge entities into one cluster"
+    )
+    m_p.add_argument("--mapping", required=True, help="canonical map parquet")
+    m_p.add_argument("--out", required=True, help="updated mapping parquet")
+    m_p.add_argument("ids", nargs="+", help="entity ids to merge")
+    m_p.set_defaults(fn=_cmd_merge_cluster)
+
+    e_p = sub.add_parser(
+        "explode-cluster", help="retract merges around one entity"
+    )
+    e_p.add_argument("--mapping", required=True, help="canonical map parquet")
+    e_p.add_argument("--decisions", required=True, help="decisions parquet")
+    e_p.add_argument("--out", required=True, help="updated mapping parquet")
+    e_p.add_argument(
+        "--out-decisions", required=True, help="retained decisions parquet"
+    )
+    e_p.add_argument("entity_id")
+    e_p.set_defaults(fn=_cmd_explode_cluster)
+
+    de_p = sub.add_parser(
+        "dedupe-edges", help="merge temporally-compatible duplicate edges"
+    )
+    de_p.add_argument(
+        "--edges", required=True,
+        help="parquet with (id, schema, src, tgt, starts, ends[, props])",
+    )
+    de_p.add_argument("--out", required=True, help="(id, canonical_id, merged) parquet")
+    de_p.add_argument("--undirected", action="store_true")
+    de_p.add_argument(
+        "--protected", action="append", metavar="PROP",
+        help="prop that must not conflict within a merge group (repeatable)",
+    )
+    de_p.set_defaults(fn=_cmd_dedupe_edges)
 
     q_p = sub.add_parser("query", help="run one catalog query")
     q_p.add_argument("name")

@@ -197,3 +197,56 @@ def test_cli_run_and_query(spark, tmp_path):
     ])
     assert rc == 1
     assert main(["list"]) == 0
+
+
+def test_cli_resolver_and_edge_verbs(spark, tmp_path):
+    """merge-cluster / explode-cluster / dedupe-edges round-trip through
+    the CLI on parquet state (the zavod dedupe command surface)."""
+    from opensanctions_spark.__main__ import main
+
+    mapping = str(tmp_path / "mapping.parquet")
+    spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")],
+        "entity_id string, canonical_id string",
+    ).write.parquet(mapping)
+
+    merged = str(tmp_path / "merged.parquet")
+    assert main(["merge-cluster", "--mapping", mapping, "--out", merged, "a", "b"]) == 0
+    got = {
+        r["entity_id"]: r["canonical_id"]
+        for r in spark.read.parquet(merged).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+    decisions = str(tmp_path / "decisions.parquet")
+    spark.createDataFrame(
+        [("a", "b", "POSITIVE")], "left_id string, right_id string, judgement string"
+    ).write.parquet(decisions)
+    exploded = str(tmp_path / "exploded.parquet")
+    retained = str(tmp_path / "retained.parquet")
+    assert main([
+        "explode-cluster", "--mapping", merged, "--decisions", decisions,
+        "--out", exploded, "--out-decisions", retained, "b",
+    ]) == 0
+    got = {
+        r["entity_id"]: r["canonical_id"]
+        for r in spark.read.parquet(exploded).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "c"}
+    assert spark.read.parquet(retained).count() == 0
+
+    edges = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [
+            ("e1", "Family", "x", "y", ["2020"], []),
+            ("e2", "Family", "y", "x", ["2020-06"], []),
+        ],
+        "id string, schema string, src string, tgt string,"
+        " starts array<string>, ends array<string>",
+    ).write.parquet(edges)
+    deduped = str(tmp_path / "deduped.parquet")
+    assert main([
+        "dedupe-edges", "--edges", edges, "--out", deduped, "--undirected",
+    ]) == 0
+    got = {r["id"]: r["canonical_id"] for r in spark.read.parquet(deduped).collect()}
+    assert got == {"e1": "e1", "e2": "e1"}
