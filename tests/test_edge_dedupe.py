@@ -113,3 +113,98 @@ def test_protected_prop_conflict_blocks_merge(spark):
     }
     assert got["e1"] == ("e1", False) and got["e2"] == ("e2", False)
     assert got["e4"] == ("e3", True)  # same value → merges
+
+
+def _python_dedupe(rows):
+    """Brute-force reference: bucket → range compat → CC → pairwise check
+    → min-id merge, in plain Python (mirrors zavod's edges.py logic)."""
+    import calendar
+    import re
+    from datetime import date
+    from itertools import combinations
+
+    def ranges(vals):
+        out = []
+        for v in vals:
+            if not re.match(r"^\d{4}(-\d{2}(-\d{2})?)?$", v):
+                continue
+            p = v.split("-")
+            try:
+                y = int(p[0])
+                if len(p) == 1:
+                    out.append((date(y, 1, 1), date(y, 12, 31)))
+                elif len(p) == 2:
+                    m = int(p[1])
+                    out.append((date(y, m, 1), date(y, m, calendar.monthrange(y, m)[1])))
+                else:
+                    d = date(y, int(p[1]), int(p[2]))
+                    out.append((d, d))
+            except ValueError:
+                continue
+        return out
+
+    def compat(lv, rv):
+        if not lv or not rv:
+            return True
+        lr, rr = ranges(lv), ranges(rv)
+        if lr and rr:
+            return any(a[0] <= b[1] and b[0] <= a[1] for a in lr for b in rr)
+        return bool(set(lv) & set(rv))
+
+    buckets: dict = {}
+    for r in rows:
+        key = (r[1], r[2], r[3])
+        buckets.setdefault(key, []).append(r)
+    canon = {r[0]: r[0] for r in rows}
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        pairs = {
+            (a[0], b[0]): compat(a[4], b[4]) and compat(a[5], b[5])
+            for a, b in combinations(members, 2)
+        }
+        # CC over compatible pairs
+        parent = {m[0]: m[0] for m in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for (a, b), ok in pairs.items():
+            if ok:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for m in members:
+            groups.setdefault(find(m[0]), []).append(m[0])
+        for group in groups.values():
+            if len(group) < 2:
+                continue
+            if all(
+                pairs.get((a, b), pairs.get((b, a), False))
+                for a, b in combinations(sorted(group), 2)
+            ):
+                keeper = min(group)
+                for g in group:
+                    canon[g] = keeper
+    return canon
+
+
+def test_dedupe_edges_matches_python_reference(spark):
+    """Randomized-ish grid: many buckets, mixed precisions, empties and
+    invalid values — the Spark plan must agree with the brute force."""
+    rows = []
+    dates = ["2019", "2019-06", "2019-06-15", "2020", "2020-01", "2021-02-29", ""]
+    for i in range(60):
+        starts = [dates[i % len(dates)]] if dates[i % len(dates)] else []
+        ends = [dates[(i * 3 + 1) % len(dates)]] if i % 4 else []
+        ends = [e for e in ends if e]
+        rows.append(
+            (f"e{i:02d}", "Directorship", f"s{i % 5}", f"t{(i // 5) % 4}", starts, ends)
+        )
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {r["id"]: r["canonical_id"] for r in dedupe_edges(df).collect()}
+    assert got == _python_dedupe(rows)
