@@ -278,7 +278,9 @@ def main(argv: list[str] | None = None) -> int:
     de_p.add_argument("--undirected", action="store_true")
     de_p.add_argument(
         "--protected", action="append", metavar="PROP",
-        help="prop that must not conflict within a merge group (repeatable)",
+        help="override the per-schema PROTECTED_PROPS default with an"
+        " explicit prop list (repeatable); by default the reference's"
+        " schema-keyed table applies",
     )
     de_p.set_defaults(fn=_cmd_dedupe_edges)
 

@@ -675,10 +675,20 @@ sym AS (
   SELECT l AS a, r2 AS b FROM pairs WHERE compat
   UNION SELECT r2, l FROM pairs WHERE compat
 ),
-reach AS (
+amb AS (
+  SELECT DISTINCT s1.a AS x
+  FROM sym s1
+  JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  JOIN pairs p ON p.l = s1.b AND p.r2 = s2.b AND NOT p.compat
+),
+cp AS (
   SELECT a, b FROM sym
+  WHERE a NOT IN (SELECT x FROM amb) AND b NOT IN (SELECT x FROM amb)
+),
+reach AS (
+  SELECT a, b FROM cp
   UNION
-  SELECT re.a, sy.b FROM reach re JOIN sym sy ON re.b = sy.a
+  SELECT re.a, sy.b FROM reach re JOIN cp sy ON re.b = sy.a
 ),
 g AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
 sizes AS (SELECT component, COUNT(*) AS n FROM g GROUP BY component),
@@ -715,10 +725,13 @@ def j7_edge_dedupe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zavod/zavod/integration/edges.py:78-422``): orders become
     directorship-style edges bucketed per customer, with start/end dates
     truncated to year/month/day precision — partial-ISO values compare
-    as the RANGE they can represent, groups merge only when PAIRWISE
-    compatible (range overlap is not transitive), canonical = min id.
-    The oracle replays bucketing, range expansion, the compat pair
-    table, a recursive-CTE closure, and the group-consistency count."""
+    as the RANGE they can represent, ambiguous temporal bridges (vague
+    edges compatible with two mutually-incompatible precise edges) are
+    removed before grouping, groups merge only when PAIRWISE compatible
+    (range overlap is not transitive), canonical = min id. The oracle
+    replays bucketing, range expansion, the compat pair table, the
+    ambiguous-node filter, a recursive-CTE closure, and the
+    group-consistency count."""
     from opensanctions_spark.operators.edges import dedupe_edges
 
     orders = load(spark, sf_dir, "orders")

@@ -446,6 +446,97 @@ def s6_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s7_pdf_tables",
+    oracle="""
+SELECT CAST(p_partkey AS VARCHAR) AS partkey, p_name AS name,
+       p_brand AS brand, p_type AS type, CAST(p_size AS VARCHAR) AS size
+FROM part WHERE p_partkey <= 300
+""",
+)
+def s7_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF table scan (S7, ``zavod/zavod/helpers/pdf.py:25-147``): a part
+    dimension slice rendered to a real multi-page digitally-born PDF
+    (stdlib writer, Flate-compressed content streams, headers repeated
+    per page like real source PDFs, multi-word cells), parsed back via
+    the positional table-recovery parser — serialize → parse → recover,
+    oracle sees the original table. Driver-side by design like S6:
+    crawler-landed PDFs are small single artifacts (the reference parses
+    them on one node too); fleets go through
+    ``read_pdf_tables_distributed``."""
+    import os
+    import tempfile
+
+    from opensanctions_spark.sources import read_pdf_tables
+    from opensanctions_spark.sources.pdf import write_pdf_table
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    rows = [
+        [r["p_partkey"], r["p_name"], r["p_brand"], r["p_type"], r["p_size"]]
+        for r in part.select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+        )
+        .orderBy("p_partkey")
+        .collect()
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="osp-pdf-"), "part.pdf")
+    write_pdf_table(
+        path,
+        ["partkey", "name", "brand", "type", "size"],
+        rows,
+        rows_per_page=40,
+        headers_per_page=True,
+    )
+    df = read_pdf_tables(spark, path, headers_per_page=True)
+    return df.select("partkey", "name", "brand", "type", "size")
+
+
+@register(
+    "s7_pdf_distributed",
+    oracle="""
+SELECT CAST(n_nationkey AS VARCHAR) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS VARCHAR) AS regionkey
+FROM nation
+""",
+)
+def s7_pdf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PDF fleet scan (S7 at scale): one PDF per region
+    written to a directory, scanned via the ``binaryFile`` source +
+    ``mapInPandas`` — one task per file, parsing on executors, the
+    driver never touches file bytes. Same serialize → parse → recover
+    oracle as ``s7_pdf_tables``."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from opensanctions_spark.sources.pdf import (
+        read_pdf_tables_distributed,
+        write_pdf_table,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    by_region: dict[int, list[list[object]]] = defaultdict(list)
+    for r in (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ):
+        by_region[r["n_regionkey"]].append(
+            [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        )
+    out = tempfile.mkdtemp(prefix="osp-pdf-dist-")
+    for region, rows in by_region.items():
+        write_pdf_table(
+            os.path.join(out, f"region{region}.pdf"),
+            ["nationkey", "name", "regionkey"],
+            rows,
+        )
+    df = read_pdf_tables_distributed(
+        spark, os.path.join(out, "*.pdf"), ["nationkey", "name", "regionkey"]
+    )
+    return df.select("nationkey", "name", "regionkey")
+
+
+@register(
     "audit_source_columns",
     oracle="""
 SELECT 'p_type' AS column, COUNT(p_type) AS n_filled,

@@ -83,13 +83,16 @@ def connected_components(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
     if driver_max_edges:
-        # ONE bounded Arrow collect of the RAW directional edges decides
-        # the path AND delivers the data: union-find is insensitive to
-        # edge direction and duplicates, so the symmetrize + distinct
-        # shuffle, the persist, and a separate probe action are all
-        # driver-path waste. If the limit overflows, fall through to the
+        # ONE bounded Arrow collect of the DISTINCT directional edges
+        # decides the path AND delivers the data: union-find is
+        # insensitive to edge direction, so symmetrization and a persist
+        # + separate probe action are driver-path waste, but dedup keeps
+        # duplicate-heavy inputs (e.g. LSH band pairs pre-dedup) on the
+        # cheap driver path whenever their DISTINCT size fits — one
+        # map-side-combined shuffle vs the far costlier distributed
+        # solve. If the limit still overflows, fall through to the
         # distributed solve (the collected prefix is discarded).
-        pdf = e.limit(driver_max_edges + 1).toPandas()
+        pdf = e.distinct().limit(driver_max_edges + 1).toPandas()
         if len(pdf) <= driver_max_edges:
             from pyspark.sql.types import StructField, StructType
 

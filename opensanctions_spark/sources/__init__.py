@@ -337,10 +337,20 @@ def read_excel_source(spark: SparkSession, path: str, sheet: str | int = 0) -> D
     return spark.createDataFrame(data, schema)
 
 
-def read_pdf_tables(spark: SparkSession, path: str) -> DataFrame:
-    """PDF table scan (zavod/zavod/helpers/pdf.py:25-147) — pdfplumber is
-    not installed; out of engine scope per SURVEY §2.1 S7."""
-    raise NotImplementedError("PDF table extraction needs pdfplumber")
+def read_pdf_tables(
+    spark: SparkSession,
+    path: str,
+    headers_per_page: bool = False,
+    skiprows: int = 0,
+) -> DataFrame:
+    """PDF table scan (S7, zavod/zavod/helpers/pdf.py:25-147): parse the
+    table on each page of a digitally-born PDF into a string-typed
+    DataFrame keyed by slugified headers. Dependency-light stdlib
+    implementation (see ``opensanctions_spark.sources.pdf``); scanned
+    PDFs need OCR and stay out of scope."""
+    from opensanctions_spark.sources.pdf import read_pdf_tables as _impl
+
+    return _impl(spark, path, headers_per_page, skiprows)
 
 
 # --------------------------------------------------------------------------

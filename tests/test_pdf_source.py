@@ -1,0 +1,156 @@
+"""PDF table scan (SURVEY S7, zavod/zavod/helpers/pdf.py:25-147):
+stdlib writer → positional parser round-trips, reference header/row
+semantics, and the distributed binaryFile + mapInPandas fleet scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opensanctions_spark.sources.pdf import (
+    extract_pdf_text,
+    header_slug,
+    page_table_rows,
+    parse_pdf_table,
+    read_pdf_tables,
+    read_pdf_tables_distributed,
+    write_pdf_table,
+)
+
+
+def _pdf_bytes(tmp_path, headers, rows, **kw) -> bytes:
+    path = os.path.join(tmp_path, "t.pdf")
+    write_pdf_table(str(path), headers, rows, **kw)
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def test_roundtrip_single_page(tmp_path):
+    data = _pdf_bytes(
+        tmp_path, ["id", "name"], [[1, "alpha"], [2, "beta gamma"]]
+    )
+    rows = list(parse_pdf_table(data))
+    assert rows == [
+        {"id": "1", "name": "alpha"},
+        {"id": "2", "name": "beta gamma"},
+    ]
+
+
+def test_roundtrip_multi_page_with_repeated_headers(tmp_path):
+    rows_in = [[i, f"name-{i}"] for i in range(25)]
+    data = _pdf_bytes(
+        tmp_path, ["id", "name"], rows_in, rows_per_page=10,
+        headers_per_page=True,
+    )
+    # repeated header rows must be skipped, not emitted as data
+    rows = list(parse_pdf_table(data))
+    assert [r["id"] for r in rows] == [str(i) for i in range(25)]
+
+
+def test_headers_per_page_mode(tmp_path):
+    rows_in = [[i, f"n{i}"] for i in range(12)]
+    data = _pdf_bytes(
+        tmp_path, ["id", "name"], rows_in, rows_per_page=5,
+        headers_per_page=True,
+    )
+    rows = list(parse_pdf_table(data, headers_per_page=True))
+    assert len(rows) == 12
+
+
+def test_special_characters_escape_roundtrip(tmp_path):
+    data = _pdf_bytes(
+        tmp_path,
+        ["k", "v"],
+        [[1, "paren (x) and \\ backslash"], [2, "50% (approx)"]],
+    )
+    rows = list(parse_pdf_table(data))
+    assert rows[0]["v"] == "paren (x) and \\ backslash"
+    assert rows[1]["v"] == "50% (approx)"
+
+
+def test_uncompressed_streams_parse_too(tmp_path):
+    data = _pdf_bytes(tmp_path, ["a"], [["x"], ["y"]], compress=False)
+    assert b"/FlateDecode" not in data
+    assert [r["a"] for r in parse_pdf_table(data)] == ["x", "y"]
+
+
+def test_empty_cells_come_back_as_none(tmp_path):
+    data = _pdf_bytes(tmp_path, ["a", "b"], [["x", None], [None, "y"]])
+    rows = list(parse_pdf_table(data))
+    assert rows == [{"a": "x", "b": None}, {"a": None, "b": "y"}]
+
+
+def test_duplicate_headers_raise(tmp_path):
+    data = _pdf_bytes(tmp_path, ["a", "a"], [["x", "y"]])
+    with pytest.raises(ValueError, match="Duplicate headers"):
+        list(parse_pdf_table(data))
+
+
+def test_header_slug_matches_reference_shape():
+    assert header_slug("Full  Name (English)") == "full_name_english"
+    assert header_slug("") == ""
+
+
+def test_extract_pdf_text_positions(tmp_path):
+    data = _pdf_bytes(tmp_path, ["a", "b"], [["1", "2"]], col_width=100.0)
+    pages = extract_pdf_text(data)
+    assert len(pages) == 1
+    xs = sorted({round(x) for x, _, _ in pages[0]})
+    assert xs == [40, 140]
+
+
+def test_page_table_rows_clusters_jittered_positions():
+    # real PDFs place cells with sub-point jitter; clustering must still
+    # recover a clean grid
+    chunks = [
+        (40.0, 700.0, "h1"), (140.5, 700.4, "h2"),
+        (40.2, 686.1, "a"), (139.8, 685.9, "b"),
+        (40.1, 672.0, "c"), (140.1, 671.8, "d"),
+    ]
+    assert page_table_rows(chunks) == [["h1", "h2"], ["a", "b"], ["c", "d"]]
+
+
+def test_td_relative_positioning_parses():
+    # hand-built content stream using Td/TD/T* instead of Tm
+    import zlib
+
+    content = (
+        b"BT /F1 9 Tf 2 TL 40 700 Td (h1) Tj 100 0 Td (h2) Tj "
+        b"-100 -14 Td (a) Tj 100 0 Td (b) Tj ET"
+    )
+    body = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(body)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    rows = list(parse_pdf_table(pdf))
+    assert rows == [{"h1": "a", "h2": "b"}]
+
+
+def test_read_pdf_tables_dataframe(spark, tmp_path):
+    path = os.path.join(tmp_path, "t.pdf")
+    write_pdf_table(str(path), ["id", "name"], [[1, "x"], [2, "y"]])
+    df = read_pdf_tables(spark, str(path))
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
+
+
+def test_read_pdf_tables_distributed(spark, tmp_path):
+    for i in range(3):
+        write_pdf_table(
+            os.path.join(tmp_path, f"f{i}.pdf"),
+            ["id", "name"],
+            [[i * 10 + j, f"n{i}-{j}"] for j in range(4)],
+        )
+    df = read_pdf_tables_distributed(
+        spark, os.path.join(str(tmp_path), "*.pdf"), ["id", "name"]
+    )
+    rows = df.collect()
+    assert len(rows) == 12
+    assert len({r["_path"] for r in rows}) == 3
