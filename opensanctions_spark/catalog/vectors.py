@@ -182,6 +182,157 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_cosine_fast",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+normed AS (
+  SELECT vec_id, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor({_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm)
+                    * 1000000000) AS BIGINT) AS score_q
+  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, score_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k on the PRODUCTION scoring path.
+
+    The oracle twin (``ann_cosine_topk``) interprets one HOF fold per
+    pair — CPU-bound at scale (the round-1 design flag). Here the
+    bounded query block collects once (N_QUERIES rows) into a numpy
+    matrix that closes over the ``mapInPandas`` scorer; candidates
+    stream through Python ONCE (each embedding ships once, not once per
+    query), every Arrow batch scores with a single BLAS gemm
+    ``C @ Q.T``, and each batch emits only its per-query top-k — so the
+    shuffle into the final exact top-k window carries
+    O(batches · queries · k) rows, independent of corpus size. Scores
+    quantize to integer nano-units on both engines because BLAS and a
+    sequential fold differ in the last ulp."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    Q = np.stack([np.asarray(r["emb"]) for r in q_rows])
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["emb"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            c_nrm = np.sqrt(np.einsum("ij,ij->i", C, C))
+            S = (C @ Q.T) / (c_nrm[:, None] * q_nrm[None, :])
+            sq = np.floor(S * 1000000000).astype("int64")
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                col = sq[:, qi]
+                mask = ids != q_ids[qi]
+                cand_ids, cand_s = ids[mask], col[mask]
+                # exact per-batch top-k under the global tie-break
+                # (score desc, neighbor asc) — integer scores tie, so a
+                # plain argpartition could keep the wrong tied member
+                keep = np.lexsort((cand_ids, -cand_s))[:TOP_K]
+                out_q += [q_ids[qi]] * len(keep)
+                out_n += list(cand_ids[keep])
+                out_s += list(cand_s[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score_q": out_s}
+            )
+
+    pairs = emb.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, score_q bigint"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "dedup_embedding_fast",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, emb, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+scored AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         CAST(floor({_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm)
+                    * 1000000000) AS BIGINT) AS score_q
+  FROM normed a JOIN normed b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, score_q FROM scored WHERE score_q >= 250000000
+""",
+)
+def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on the PRODUCTION scoring path.
+
+    The oracle twin (``dedup_embedding_cosine``) interprets one HOF fold
+    per candidate pair, and a naive pandas-UDF pair scorer would ship
+    every embedding through Arrow once PER PAIR (quadratic bytes). Here
+    ``applyInPandas`` groups by the cluster label, each embedding ships
+    once per group, and the whole within-group pair matrix computes as a
+    single BLAS gram matrix ``G @ G.T`` — the shuffle is the one bucket
+    repartition the candidate generation needs anyway, and Python sees
+    O(corpus) bytes, not O(pairs). Integer nano-unit scores keep both
+    engines exactly comparable."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        G = np.stack(pdf["emb"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        G, ids = G[order], ids[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", G, G))
+        S = (G @ G.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), k=1)
+        sq = np.floor(S[iu] * 1000000000).astype("int64")
+        m = sq >= 250000000
+        return pd.DataFrame(
+            {
+                "left_id": ids[iu[0][m]],
+                "right_id": ids[iu[1][m]],
+                "score_q": sq[m],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        gram, "left_id bigint, right_id bigint, score_q bigint"
+    )
+
+
 def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: integer weights in [-8, 7]
     derived from md5(plane-dim) — no RNG seed, identical in any engine or

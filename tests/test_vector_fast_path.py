@@ -1,0 +1,85 @@
+"""Production ANN scoring path (functions/vector_math.py + the _fast
+catalog queries): the BLAS-batched scorer must agree with the
+oracle-deterministic HOF fold modulo nano-unit quantization, and the
+per-batch top-k must survive partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opensanctions_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dot_fast_matches_hof_fold(spark):
+    from opensanctions_spark.catalog.vectors import dot
+    from opensanctions_spark.functions.vector_math import dot_fast
+
+    df = spark.range(200).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) / 50.0,
+        ).alias("a"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.pmod(F.xxhash64(i, F.col("id")), F.lit(100)) / 50.0,
+        ).alias("b"),
+    )
+    got = df.select(
+        (F.abs(dot(F.col("a"), F.col("b")) - dot_fast(F.col("a"), F.col("b")))
+         < 1e-9).alias("ok")
+    )
+    assert got.filter(~F.col("ok")).count() == 0
+
+
+def test_cosine_fast_range(spark):
+    from opensanctions_spark.functions.vector_math import cosine_fast
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 1.0], [-1.0, -1.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r[0] for r in df.select(cosine_fast(F.col("a"), F.col("b"))).collect()]
+    assert abs(vals[0] - 1.0) < 1e-12
+    assert abs(vals[1]) < 1e-12
+    assert abs(vals[2] + 1.0) < 1e-12
+
+
+def test_ann_fast_agrees_with_oracle_twin(spark):
+    """Same neighbors and ranks as the exact HOF brute force — the fast
+    path changes the compute shape, not the answer."""
+    slow = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in QUERIES["ann_cosine_fast"](spark, SF_DIR).collect()
+    }
+    assert fast == slow
+
+
+def test_dedup_fast_agrees_with_oracle_twin(spark):
+    slow = {
+        (r["left_id"], r["right_id"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    fast = {
+        (r["left_id"], r["right_id"])
+        for r in QUERIES["dedup_embedding_fast"](spark, SF_DIR).collect()
+    }
+    assert fast == slow
+
+
+def test_ann_fast_survives_many_partitions(spark):
+    """Per-batch top-k + global window must be exact regardless of how
+    candidates split into batches."""
+    from opensanctions_spark.catalog import load
+
+    base = QUERIES["ann_cosine_fast"](spark, SF_DIR).collect()
+    emb = load(spark, SF_DIR, "embeddings")
+    n_parts = emb.rdd.getNumPartitions()
+    assert n_parts > 1  # the catalog loader repartitions embeddings
+    assert len(base) > 0
