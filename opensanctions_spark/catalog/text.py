@@ -742,8 +742,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf variant keeps the score a single exact multiply+divide so both
     engines agree bit-for-bit (log-idf ranks identically but ties the
     hash check to libm). Shape at scale: one groupBy for tf, one for df
-    (broadcast back — the vocabulary is small next to the corpus), one
-    per-doc window. The vocabulary-statistics pass of tokenizer
+    (joined back with NO forced broadcast — web-scale vocabularies have a
+    typo tail of hundreds of millions of terms that would blow a
+    broadcast limit, so AQE picks broadcast only when the vocabulary
+    actually fits, and its skew handling covers hot terms otherwise),
+    one per-doc window. The vocabulary-statistics pass of tokenizer
     training / quality filtering."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -753,7 +756,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -337,3 +337,36 @@ def test_entity_assembly_is_one_shuffle(spark, sf_dir):
     plan = _executed_plan(QUERIES["a1_entity_assembly"](spark, sf_dir))
     n = plan.count("Exchange hashpartitioning")
     assert n <= 1, f"expected at most 1 hash exchange in assembly, saw {n}"
+
+
+def test_tfidf_vocabulary_join_is_not_hard_broadcast(spark, sf_dir):
+    """The df (vocabulary) table must NOT carry a forced broadcast hint —
+    web-scale vocabularies can exceed any broadcast limit, so the join
+    strategy is AQE's call. Only the 1-row n_docs frame may hint."""
+    df = QUERIES["text_tfidf_topk"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints == 1, (
+        f"expected exactly one broadcast hint (n_docs), saw {n_hints}"
+    )
+
+
+def test_ann_fast_plan_ships_each_embedding_once(spark, sf_dir):
+    """The production ANN path must be a single pass over the embeddings
+    (one scan feeding mapInPandas), not a pair-expanded join that ships
+    arrays once per query."""
+    df = QUERIES["ann_cosine_fast"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "MapInPandas" in plan
+    # one parquet scan of embeddings in the whole plan
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
+
+
+def test_dedup_fast_plan_is_one_bucket_shuffle(spark, sf_dir):
+    """The per-bucket gram scorer shuffles once on the label bucket and
+    runs a grouped-map Pandas stage; no pair-level Python transfer."""
+    df = QUERIES["dedup_embedding_fast"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"expected at most 1 exchange, saw {n}"
