@@ -385,9 +385,14 @@ def maritime_export(entities: DataFrame) -> DataFrame:
 
 def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
                dataset: str = "default",
-               single_file: bool = True) -> dict[str, int]:
+               single_file: bool = True,
+               version: str = "1",
+               run_time: str = "1970-01-01T00:00:00",
+               issue_levels: dict[str, int] | None = None) -> dict[str, int]:
     """Run every file sink off one persisted entity scan; write the K12
-    metadata index manifest. Returns per-sink row counts.
+    metadata artifacts (index.json / resources.json / statistics.json
+    with the reference's published field set — see
+    ``exporters/metadata.py``). Returns per-sink row counts.
 
     ``single_file=True`` (reference parity: one artifact file per sink,
     ``zavod/zavod/exporters/__init__.py:49-84``) funnels each sink
@@ -409,7 +414,6 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
             nested_entities(entities, adjacency, reverse_adjacency(entities)), ["id"]),
         "senzing.json": (senzing_records(entities), ["RECORD_ID"]),
         "names.txt": (names_export(entities), ["name"]),
-        "statistics.json": (statistics_facets(entities), ["facet", "value"]),
         "maritime.csv": (maritime_export(entities), ["imo"]),
     }
     # per-sink row counts ride the write action itself (df.observe) — no
@@ -434,15 +438,22 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
             ordered.write.mode("overwrite").text(path)
         counts[fname] = obs.get["n"]
 
-    # K12: metadata index manifest (statements.csv is row-per-statement, so
-    # its observed count IS the statement count — no extra scan)
-    index = {
-        "dataset": dataset,
-        "entity_count": counts.get("entities.ftm.json", 0),
-        "statement_count": counts.get("statements.csv", 0),
-        "resources": sorted(counts),
-        "row_counts": counts,
-    }
+    # K12: the reference's metadata artifact set (index.json /
+    # resources.json / statistics.json) off the same persisted view —
+    # statement_count rides the statements.csv observation, the facet
+    # aggregations are bounded by schemata × countries × properties
+    from opensanctions_spark.exporters.metadata import write_metadata
+
+    index = write_metadata(
+        out_dir,
+        dataset,
+        entities,
+        counts,
+        version=version,
+        run_time=run_time,
+        issue_levels=issue_levels,
+    )
+    index["statement_count"] = counts.get("statements.csv", 0)
     with open(os.path.join(out_dir, "index.json"), "w") as fh:
         json.dump(index, fh, indent=2, sort_keys=True)
     adjacency.unpersist()

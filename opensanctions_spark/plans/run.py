@@ -171,7 +171,7 @@ def run_dataset(
     # range-ordered multi-part sink files, see exporters.export_all)
     export_counts = export_all(
         entities, statements, out_dir, dataset=config.name,
-        single_file=single_file,
+        single_file=single_file, version=str(version), run_time=run_time,
     )
 
     # 6. delta vs previous version (D0/D1)

@@ -34,11 +34,41 @@ def test_export_all(spark, sf_dir, tmp_path):
     assert counts["names.txt"] == names_export(entities).count()
     assert counts["maritime.csv"] == 0  # no Vessel entities in this view
 
+    # K12 metadata parity: the exact fields the reference's exporter test
+    # checks (zavod/zavod/tests/exporters/test_exporters.py:80-110)
     with open(os.path.join(out, "index.json")) as fh:
         index = json.load(fh)
     assert index["dataset"] == "testdataset"
+    assert index["name"] == "testdataset"
     assert index["entity_count"] == n_entities
     assert sorted(index["row_counts"]) == sorted(counts)
+    assert index["result"] == "success"
+    assert {"version", "updated_at", "last_export", "issue_count",
+            "issue_levels", "thing_count", "target_count", "last_change",
+            "index_url", "issues_url", "statistics_url"} <= set(index)
+    resource_names = {r["name"] for r in index["resources"]}
+    for expected in ("entities.ftm.json", "targets.nested.json",
+                     "targets.simple.csv", "senzing.json", "names.txt",
+                     "statistics.json"):
+        assert expected in resource_names
+    for r in index["resources"]:
+        assert {"name", "path", "url", "mime_type", "title"} <= set(r)
+
+    with open(os.path.join(out, "resources.json")) as fh:
+        resources = {r["name"] for r in json.load(fh)["resources"]}
+    assert resource_names == resources
+
+    with open(os.path.join(out, "statistics.json")) as fh:
+        stats = json.load(fh)
+    assert stats["entity_count"] == n_entities
+    assert stats["target_count"] == index["target_count"]
+    assert stats["targets"]["total"] == stats["target_count"]
+    assert stats["things"]["total"] == index["thing_count"]
+    assert sum(f["count"] for f in stats["things"]["schemata"]) == \
+        stats["things"]["total"]
+    assert {"schemata", "properties", "last_change"} <= set(stats)
+    for f in stats["things"]["entities_with_prop"]:
+        assert 0.0 < f["fill_rate"] <= 1.0
 
     # K1 JSON round-trips with the multi-valued property shape intact
     ftm = spark.read.json(os.path.join(out, "entities.ftm.json"))
