@@ -21,8 +21,66 @@ from pyspark.sql import functions as F
 
 def _no_model(prompt: str) -> str:  # pragma: no cover - the stub itself
     raise NotImplementedError(
-        "no LLM client available in this environment; inject extract_fn"
+        "no LLM client configured; inject extract_fn (e.g. http_extractor)"
     )
+
+
+def http_extractor(
+    base_url: str,
+    api_key: str = "",
+    model: str = "gpt-4o-mini",
+    max_tokens: int = 3000,
+    timeout: float = 60.0,
+    retries: int = 3,
+) -> Callable[[str], str]:
+    """Concrete model client for ``run_extraction``: an OpenAI-compatible
+    ``/chat/completions`` call over stdlib urllib (the reference wires the
+    ``openai`` SDK the same way — ``zavod/zavod/extract/llm.py:28-32,
+    144-183``: one user message, ``json_object`` response format, the
+    first choice's content is the raw response).
+
+    Config-keyed (base_url/api_key/model) so tests point it at a local
+    fake server and production at any hosted endpoint. Retries with
+    doubling backoff mirror the reference's HTTP session defaults
+    (``zavod/zavod/settings.py:69-79``: 60 s timeout, 3 retries).
+    Deliberately driver-side and sequential, like the reference's crawl
+    loop — never shipped into executors."""
+    import json as _json
+    import time
+    import urllib.error
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/chat/completions"
+
+    def extract(prompt: str) -> str:
+        body = _json.dumps(
+            {
+                "model": model,
+                "messages": [{"role": "user", "content": prompt}],
+                "response_format": {"type": "json_object"},
+                "max_tokens": max_tokens,
+            }
+        ).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        last: Exception | None = None
+        for attempt in range(retries):
+            req = urllib.request.Request(url, data=body, headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = _json.loads(resp.read().decode("utf-8"))
+                content = payload["choices"][0]["message"]["content"]
+                if content is None:
+                    raise ValueError("model returned empty content")
+                return str(content)
+            except (urllib.error.URLError, KeyError, ValueError) as exc:
+                last = exc
+                if attempt + 1 < retries:
+                    time.sleep(min(2.0**attempt, 120.0) * 0.01)
+        raise RuntimeError(f"LLM request failed after {retries} tries: {last}")
+
+    return extract
 
 
 def extraction_requests(docs: DataFrame, prompt_template: str,

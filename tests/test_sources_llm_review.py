@@ -46,6 +46,117 @@ def test_extraction_without_model_raises(spark):
         run_extraction(reqs, None, RESPONSE_SCHEMA)
 
 
+def _start_fake_server(requests_log):
+    """OpenAI-compatible /chat/completions fake: extracts the doc marker
+    from the user message and answers deterministic JSON. Records every
+    request so the test can assert auth headers + single-call-per-miss."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (stdlib API name)
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            requests_log.append(
+                {
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                    "body": body,
+                }
+            )
+            prompt = body["messages"][0]["content"]
+            key = prompt.split("#")[-1].strip()
+            content = json.dumps({"name": f"entity-{key}", "risk": "low"})
+            payload = json.dumps(
+                {"choices": [{"message": {"role": "assistant",
+                                          "content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def test_http_extractor_end_to_end(spark):
+    """S11 with a REAL HTTP client against a local fake endpoint: cache
+    hits skip the network, misses make exactly one authorized
+    chat-completions call each, responses parse through the same typed
+    schema."""
+    from opensanctions_spark.sources.llm import http_extractor
+
+    log: list = []
+    server = _start_fake_server(log)
+    try:
+        base = f"http://127.0.0.1:{server.server_port}/v1"
+        extract = http_extractor(base, api_key="test-key", model="test-model")
+
+        docs = spark.createDataFrame(
+            [(1, "doc #one"), (2, "doc #two"), (3, "doc #two")],
+            "doc_id INT, text STRING",
+        )
+        reqs = extraction_requests(docs, "Extract from: {doc}")
+        cache = reqs.filter(F.col("doc_id") == 1).select(
+            "request_hash",
+            F.lit('{"name": "cached-one", "risk": "high"}').alias(
+                "response_raw"
+            ),
+        )
+        out = run_extraction(reqs, cache, RESPONSE_SCHEMA, extract_fn=extract)
+        rows = {r["doc_id"]: r["response"] for r in out.collect()}
+        assert rows[1]["name"] == "cached-one"  # cache hit: no HTTP call
+        assert rows[2]["name"] == "entity-two"
+        assert rows[3]["name"] == "entity-two"  # same text → same answer
+
+        # docs 2 and 3 share one prompt hash → exactly ONE model call
+        assert len(log) == 1
+        assert log[0]["path"] == "/v1/chat/completions"
+        assert log[0]["auth"] == "Bearer test-key"
+        assert log[0]["body"]["model"] == "test-model"
+        assert log[0]["body"]["response_format"] == {"type": "json_object"}
+    finally:
+        server.shutdown()
+
+
+def test_http_extractor_retries_then_raises(spark):
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from opensanctions_spark.sources.llm import http_extractor
+
+    calls = []
+
+    class Failing(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            calls.append(1)
+            self.send_response(500)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Failing)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        extract = http_extractor(
+            f"http://127.0.0.1:{server.server_port}/v1", retries=3
+        )
+        with pytest.raises(RuntimeError, match="after 3 tries"):
+            extract("prompt")
+        assert len(calls) == 3
+    finally:
+        server.shutdown()
+
+
 def test_apply_review(spark):
     extractions = spark.createDataFrame(
         [("e1", "Alice"), ("e2", "Bob"), ("e3", "Carol")],
