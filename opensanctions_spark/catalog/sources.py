@@ -446,6 +446,44 @@ def s6_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6_xls_scan",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s6_xls_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .xls scan (S6's last format gap,
+    ``zavod/zavod/helpers/excel.py:72-210`` via xlrd): the nation
+    dimension written to a REAL OLE2+BIFF8 workbook (stdlib writer:
+    compound-document container, SST shared strings, NUMBER cells) and
+    parsed back with the stdlib BIFF reader — serialize → parse →
+    recover, oracle sees the original table."""
+    import os
+    import tempfile
+
+    from opensanctions_spark.sources import read_excel_source
+    from opensanctions_spark.sources.xls import write_xls
+
+    nation = load(spark, sf_dir, "nation")
+    rows = [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="osp-xls-"), "nation.xls")
+    write_xls(path, ["nationkey", "name", "regionkey"], rows)
+    df = read_excel_source(spark, path)
+    return df.select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("name"),
+        F.col("regionkey").cast("long").alias("regionkey"),
+    )
+
+
+@register(
     "s7_pdf_tables",
     oracle="""
 SELECT CAST(p_partkey AS VARCHAR) AS partkey, p_name AS name,

@@ -319,13 +319,20 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
 
 def read_excel_source(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """Excel scan (S6, zavod/zavod/helpers/excel.py:72-210): header row +
-    string cells → DataFrame. .xlsx parses with the stdlib on the driver
+    string cells → DataFrame. Parses with the stdlib on the driver
     (crawler-landed workbooks are small source artifacts, exactly the
-    reference's driver-side position); .xls would need xlrd and stays gated.
-    """
-    if not path.lower().endswith(".xlsx"):
-        raise NotImplementedError("legacy .xls needs xlrd; land as CSV/XLSX")
-    rows = _xlsx_rows(path, sheet)
+    reference's driver-side position). .xlsx goes through the zip+XML
+    parser; legacy .xls through the OLE2+BIFF8 reader
+    (``opensanctions_spark.sources.xls`` — the reference uses xlrd)."""
+    if path.lower().endswith(".xls"):
+        from opensanctions_spark.sources.xls import xls_rows
+
+        if not isinstance(sheet, int):
+            raise ValueError(".xls reader selects sheets by index")
+        with open(path, "rb") as fh:
+            rows = xls_rows(fh.read(), sheet)
+    else:
+        rows = _xlsx_rows(path, sheet)
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
     header = [h if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
