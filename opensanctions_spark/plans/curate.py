@@ -72,6 +72,11 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> Data
         (F.col("n_tokens") >= cfg.min_tokens) & (F.col("n_tokens") <= cfg.max_tokens)
     )
 
+    # exact dedup as ONE fp-partitioned window: a single full-width
+    # exchange. (A keeper-agg + semi-join form was benched in round 2 and
+    # measured 0.8 s slower at sf0.1 — two extra AQE stage boundaries —
+    # while at scale both shapes shuffle the corpus exactly once, so the
+    # window keeps the lower stage count at every size.)
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     exact = (
         quality.withColumn("_rn", F.row_number().over(w_fp))
