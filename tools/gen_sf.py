@@ -29,7 +29,10 @@ SHIFTS = {
     "lineitem": {"l_orderkey": 150_000},
     "events": {"event_id": 100_000, "user_id": None},  # None → max+1 probe
     "documents": {"doc_id": 5_000},
-    "embeddings": {"vec_id": 2_000},
+    # label shifts too: cluster COUNT scales with the corpus (real IVF
+    # behavior) — replicating labels verbatim would grow every bucket K×
+    # and the bucketed-pair workloads quadratically
+    "embeddings": {"vec_id": 2_000, "label": None},
 }
 COPY_AS_IS = ["region", "nation", "part", "supplier"]
 
@@ -63,6 +66,20 @@ def main() -> int:
                         f"SELECT MAX({c}) + 1 FROM {src}"
                     ).fetchone()[0]
                 exprs.append(f"{c} + i.i * {domain} AS {c}")
+            elif t == "embeddings" and c == "embedding":
+                # dimension-rotate each copy so replicas are NOT
+                # near-identical vectors: verbatim copies would form
+                # K-way cosine-1 cliques in every label bucket, turning
+                # the semantic-dedup workload into one giant component
+                # (and the oracle's recursive closure quadratic in it).
+                # A per-copy rotation keeps the same value distribution
+                # with independent directions.
+                exprs.append(
+                    "(CASE WHEN i.i = 0 THEN embedding ELSE "
+                    "list_transform(range(len(embedding)), "
+                    "j -> embedding[1 + ((j + i.i * 7) % len(embedding))])"
+                    " END)::FLOAT[] AS embedding"
+                )
             else:
                 exprs.append(c)
         con.execute(
