@@ -73,6 +73,12 @@ def _export_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         dataset="geo", schema_name="Address",
     )
     stmts = base.unionByName(aliases).unionByName(topics).unionByName(addr_ref).unionByName(addr_stmts)
+    # NOT persisted, although exporter queries consume the view 2-4
+    # times: at query scale the duplicated assembly subplans pipeline in
+    # parallel across cores, while a persist is a materialization
+    # barrier (measured +0.24 s on k3 at sf0.1, interleaved A/B). The
+    # multi-sink batch path (export_all) persists instead — there EIGHT
+    # consumers amortize the barrier.
     return assemble_entities(stmts)
 
 

@@ -464,12 +464,14 @@ def minhash_pairs_of(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # Re-spread the tiny one-row-per-bucket frame before the quadratic
-    # in-bucket expansion: AQE would otherwise coalesce the stage onto a
-    # few tasks based on pre-explode bytes (see operators/blocking.py).
-    buckets = buckets.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    # NO re-spread exchange here, unlike the token-blocking expansion
+    # (operators/blocking.py): LSH band buckets are hash-random and
+    # collision-sized — expansion work grows WITH the bucket-frame bytes,
+    # so AQE's byte-based stage sizing is a faithful proxy and an extra
+    # exchange only adds a stage (measured +0.36 s at sf0.1 for zero
+    # width gain). Token blocking is the opposite regime: few rows,
+    # quadratic members² work invisible to byte sizing — it keeps the
+    # explicit re-spread (measured 2× there WITHOUT it).
     pair = F.explode(
         F.flatten(
             F.transform(

@@ -498,7 +498,8 @@ edges AS (
   SELECT a.vec_id AS left_id, b.vec_id AS right_id
   FROM normed a JOIN normed b
     ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= 0.25
+  WHERE CAST(floor({_dot_sql('a.emb', 'b.emb')} / (a.nrm * b.nrm)
+             * 1000000000) AS BIGINT) >= 250000000
 ),
 sym AS (
   SELECT left_id AS a, right_id AS b FROM edges
@@ -535,31 +536,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    normed = emb.select(
-        "vec_id", "label", "emb", norm(F.col("emb")).alias("nrm")
-    )
-    a = normed.select(
-        F.col("label"),
-        F.col("vec_id").alias("left_id"),
-        F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = normed.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("right_id"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    score = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
-    edges = (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("left_id") < F.col("right_id")),
-        )
-        .withColumn("score", score)
-        .filter(F.col("score") >= 0.25)
-        .select("left_id", "right_id")
+    # similarity edges on the PRODUCTION scoring path: one BLAS gram
+    # matrix per label group under applyInPandas (see
+    # dedup_embedding_fast) — O(corpus) bytes into Python instead of a
+    # pair-expanded HOF fold, thresholded on the integer nano-unit score
+    # so the oracle (same floor(cos·1e9) expression) compares exactly
+    edges = dedup_embedding_fast(spark, sf_dir).select(
+        "left_id", "right_id"
     )
     cc = connected_components(edges, src="left_id", dst="right_id")
     mapping = cc.select(

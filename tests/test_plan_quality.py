@@ -370,3 +370,13 @@ def test_dedup_fast_plan_is_one_bucket_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 1, f"expected at most 1 exchange, saw {n}"
+
+
+def test_minhash_bucket_expansion_has_no_respread_exchange(spark, sf_dir):
+    """LSH band buckets are collision-sized: expansion work tracks bucket
+    bytes, so AQE's byte sizing is a faithful proxy and the only
+    RoundRobin exchange in the plan is the documents-scan spread. (Token
+    blocking keeps its explicit re-spread — the opposite regime.)"""
+    plan = _executed_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    n = plan.count("Exchange RoundRobinPartitioning")
+    assert n == 1, f"expected 1 RoundRobin exchange (doc scan spread), saw {n}"
