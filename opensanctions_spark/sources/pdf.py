@@ -179,6 +179,33 @@ def _page_content_streams(data: bytes) -> list[bytes]:
                 return None
         return raw
 
+    # PDF 1.5+ object streams (/Type /ObjStm): catalog/page-tree objects
+    # of digitally-born PDFs routinely live compressed inside them — the
+    # header is N (objnum, offset) integer pairs, bodies start at /First.
+    # Content streams themselves can never nest there, so unpacking the
+    # dictionaries is enough to walk the page tree.
+    for num in list(objects):
+        body = objects[num]
+        if b"/ObjStm" not in body:
+            continue
+        payload = decoded_stream(body)
+        if payload is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        if n_m is None or first_m is None:
+            continue
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = payload[:first].split()
+        if len(header) < 2 * n:
+            continue
+        entries = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for i, (objnum, off) in enumerate(entries):
+            end = entries[i + 1][1] if i + 1 < n else len(payload) - first
+            objects.setdefault(objnum, payload[first + off : first + end])
+
     # page order from the /Pages tree when present
     page_nums: list[int] = []
     for body in objects.values():

@@ -154,3 +154,44 @@ def test_read_pdf_tables_distributed(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 12
     assert len({r["_path"] for r in rows}) == 3
+
+
+def test_objstm_page_tree_parses():
+    """PDF 1.5+ layout: catalog + pages + page dicts packed inside a
+    compressed object stream; only the content stream is a top-level
+    object. The parser must unpack /ObjStm members to walk the page
+    tree."""
+    import zlib
+
+    content = b"BT /F1 9 Tf 1 0 0 1 40 700 Tm (h1) Tj " \
+              b"1 0 0 1 140 700 Tm (h2) Tj " \
+              b"1 0 0 1 40 686 Tm (a) Tj 1 0 0 1 140 686 Tm (b) Tj ET"
+    cbody = zlib.compress(content)
+
+    # objects 1 (catalog), 2 (pages), 3 (page) live inside ObjStm obj 5
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    header = b""
+    bodies = b""
+    for num, body in inner:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b" "
+    first = len(header)
+    objstm_payload = zlib.compress(header + bodies)
+
+    pdf = (
+        b"%PDF-1.5\n"
+        b"5 0 obj\n<< /Type /ObjStm /N 3 /First " + str(first).encode() +
+        b" /Length " + str(len(objstm_payload)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + objstm_payload +
+        b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(cbody)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + cbody +
+        b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    rows = list(parse_pdf_table(pdf))
+    assert rows == [{"h1": "a", "h2": "b"}]
