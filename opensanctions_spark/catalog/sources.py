@@ -446,6 +446,42 @@ def s6_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_change_detection",
+    oracle="""
+WITH artifacts AS (
+  SELECT doc_id AS artifact_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN md5(text || '-stale')
+              ELSE md5(text) END AS expected_hash,
+         md5(text) AS actual_hash
+  FROM documents
+)
+SELECT artifact_id, expected_hash, actual_hash,
+       (expected_hash IS NULL OR expected_hash <> actual_hash) AS changed
+FROM artifacts
+""",
+)
+def d4_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection (D4, ``zavod/zavod/helpers/change.py:14-129``):
+    hash every source artifact and compare against the recorded
+    expectation in one map-only pass — docs whose expectation is stale
+    (doc_id % 3) or missing (doc_id % 7) flag as changed. The
+    fleet-of-crawler-guards form of the reference's per-URL assert."""
+    from opensanctions_spark.operators.change import check_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    artifacts = docs.select(
+        F.col("doc_id").alias("artifact_id"),
+        F.col("text").alias("content"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 0, F.md5(F.concat(F.col("text"), F.lit("-stale"))))
+        .otherwise(F.md5(F.col("text")))
+        .alias("expected_hash"),
+    )
+    return check_hashes(artifacts)
+
+
+@register(
     "s6_xls_scan",
     oracle="""
 SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
