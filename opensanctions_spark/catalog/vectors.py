@@ -605,3 +605,219 @@ def ann_centroid_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+N_CLUSTERS = 8  # k for the trained-loop query
+
+
+def _quantized_dims(emb_df, id_col: str = "vec_id"):
+    """(id, dim, q) integer micro-unit coordinates — the exact-arithmetic
+    substrate every cross-engine vector query shares."""
+    return emb_df.select(
+        id_col,
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        id_col,
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim,
+         CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+),
+c0 AS (
+  SELECT vec_id AS cid, dim, q AS cq FROM dims WHERE vec_id < {N_CLUSTERS}
+),
+d1 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c0 c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN a1 ON d.vec_id = a1.vec_id
+  GROUP BY a1.cid, d.dim
+),
+d2 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS cluster, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia_q
+FROM a2 GROUP BY cid
+"""
+
+
+@register("ann_kmeans_loop", oracle=_KMEANS_ORACLE)
+def ann_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full k-means training loop (two Lloyd iterations, k=8): init
+    centroids from the first k vectors, assign every vector to its
+    nearest centroid, recompute centroids as per-dimension means,
+    re-assign — returning per-cluster sizes and total inertia.
+
+    All arithmetic is integer micro-units (floor(x·1e6)): squared-L2
+    distances, floor-division means and inertia sums are exact and
+    order-independent, so both engines agree bit-for-bit — the full-loop
+    extension of ``ann_centroid_step``. Scale shape per iteration: the
+    k×64-cell centroid table broadcasts into the assignment join (never
+    a shuffle of the corpus side beyond the one (vec_id, cid) distance
+    aggregation), and the centroid update aggregates k·64 cells of
+    state. This IS the IVF trainer: the resulting assignment is the
+    bucket map ``ann_ivf_bucketed`` consumes."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = _quantized_dims(emb)
+    from pyspark.sql import Window
+
+    def assign(cent):
+        d = (
+            dims.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    c0 = dims.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+    )
+    a1 = assign(c0).select("vec_id", "cid")
+    c1 = (
+        dims.join(a1, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.expr("sum(q) div count(*)").cast("long").alias("cq"))
+    )
+    a2 = assign(c1)
+    return a2.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia_q"),
+    )
+
+
+@register(
+    "ann_ivf_nprobe2",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+buckets AS (
+  SELECT vec_id, emb,
+         CAST(list_position(emb, list_aggregate(emb, 'max')) AS BIGINT) AS b1
+  FROM vecs
+),
+normed AS (
+  SELECT vec_id, emb, b1, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM buckets
+),
+probes AS (
+  SELECT vec_id, emb, nrm, b1,
+         CAST(list_position(list_transform(range(1, len(emb) + 1),
+                i -> CASE WHEN i = b1 THEN -1e18 ELSE emb[i] END),
+              list_aggregate(list_transform(range(1, len(emb) + 1),
+                i -> CASE WHEN i = b1 THEN -1e18 ELSE emb[i] END), 'max'))
+              AS BIGINT) AS b2
+  FROM normed
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) AS score
+  FROM probes q JOIN normed c
+    ON c.b1 IN (q.b1, q.b2) AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: the query probes its TWO nearest coarse
+    buckets (argmax and second-argmax dimensions under the stand-in
+    quantizer) while candidates stay in their single home bucket — the
+    recall/latency dial every real IVF deployment turns. Scale shape:
+    the query block explodes ×2 on its probe list and the candidate join
+    stays a bucket equi-join (union of two probes, never a widening of
+    the corpus side)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    b1 = F.array_position(F.col("emb"), F.array_max(F.col("emb")))
+    emb = emb.withColumn("b1", b1)
+    masked = F.transform(
+        F.col("emb"),
+        lambda x, i: F.when(i + 1 == F.col("b1"), F.lit(-1e18)).otherwise(x),
+    )
+    normed = emb.select(
+        "vec_id", "emb", "b1", norm(F.col("emb")).alias("nrm")
+    )
+    probes = normed.withColumn(
+        "b2", F.array_position(masked, F.array_max(masked))
+    )
+    q = (
+        probes.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.array("b1", "b2")).alias("probe"),
+        )
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("b1").alias("bucket_c"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("probe") == F.col("bucket_c"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
