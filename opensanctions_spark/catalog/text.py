@@ -1423,3 +1423,115 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(
         F.desc("n_occurrences"), F.asc("bigram")
     ).limit(20)
+
+
+_BPE_WORDS_SQL = """
+SELECT w, COUNT(*) AS c FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+) GROUP BY w
+"""
+
+
+def _bpe_round_sql(n: int) -> str:
+    """One BPE merge round as chained CTEs: weighted adjacent-pair counts
+    over s{n-1}, argmax pair (count desc, pair asc), merged sequences."""
+    return f"""
+p{n} AS (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(range(len(t) - 1),
+                  i -> t[i+1] || ' ' || t[i+2])) AS pair, c
+    FROM (SELECT string_split(seq, ' ') AS t, c FROM s{n - 1})
+  ) GROUP BY pair
+),
+t{n} AS (SELECT pair, n FROM p{n} ORDER BY n DESC, pair LIMIT 1),
+s{n} AS (
+  SELECT w, c, replace(seq, (SELECT pair FROM t{n}),
+                       replace((SELECT pair FROM t{n}), ' ', '')) AS seq
+  FROM s{n - 1}
+)"""
+
+
+_BPE_ORACLE = (
+    "WITH wc AS (" + _BPE_WORDS_SQL + "),\n"
+    "s0 AS (SELECT w, c, array_to_string(list_transform(range(length(w)), "
+    "i -> w[i+1]), ' ') AS seq FROM wc),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, n FROM t1
+  UNION ALL
+  SELECT 2, pair, replace(pair, ' ', ''), n FROM t2
+  UNION ALL
+  SELECT 3, pair, replace(pair, ' ', ''), n FROM t3
+)
+"""
+)
+
+
+@register("text_bpe_train", oracle=_BPE_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of BPE merge training over the corpus vocabulary —
+    the tokenizer-training primitive (count-level BPE, the classic
+    trainer shape): words reduce to (word, count) ONCE, each round
+    counts weighted adjacent symbol pairs, picks the argmax pair
+    (count desc, pair asc tie-break) and merges it in every sequence.
+
+    Scale shape per round: pair counting is explode + hash-agg over the
+    DISTINCT-word table (vocabulary-sized, not corpus-sized — the whole
+    point of count-level BPE); the winning 1-row pair broadcasts into
+    the merge via a column-argument replace, so the loop stays fully
+    declarative with zero driver round-trips. Real trainers run ~30k
+    rounds of exactly this plan with the pair table cached and
+    incrementally updated."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    seq = wc.select(
+        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+    )
+
+    def merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = F.split(F.col("seq"), " ")
+        pairs = (
+            s.filter(F.size(toks) > 1)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
+        merged = s.crossJoin(F.broadcast(top)).select(
+            "w",
+            "c",
+            F.replace(
+                F.col("seq"),
+                F.col("pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            ).alias("seq"),
+        )
+        return merged, top
+
+    out = None
+    s = seq
+    for rnd in (1, 2, 3):
+        s, top = merge_round(s)
+        row = top.select(
+            F.lit(rnd).cast("long").alias("round"),
+            "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            "n",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
