@@ -8,6 +8,7 @@ frame digests in plain SQL while Spark runs the real mapInPandas path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import load, register
 from opensanctions_spark.multimodal import (
@@ -67,3 +68,35 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = pack_media(docs, id_col="doc_id", payload_col="text", kind="raw")
     return sample_frames(media, every=4, frame_bytes=16)
+
+
+@register(
+    "mm_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS out_bytes,
+       md5(substr(text, 1, 64) ||
+           repeat(chr(0), GREATEST(0, 64 - len(text)))) AS digest
+FROM documents
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the decoded buffer: truncate/zero-pad every
+    payload to a fixed 64-byte frame (the deterministic stand-in for
+    pixel-grid interpolation — the container ships no image libs), then
+    digest the padded buffer. Exercises the fixed-size-binary Arrow
+    batch shape downstream featurizers depend on; the oracle replays
+    truncation + NUL padding character-wise."""
+    from opensanctions_spark.multimodal import resize_buffer
+
+    docs = load(spark, sf_dir, "documents")
+    media = pack_media(docs, id_col="doc_id", payload_col="text")
+    decoded = media.select(
+        "media_id", F.col("content").alias("buf")
+    )
+    resized = resize_buffer(decoded, target_bytes=64)
+    return resized.select(
+        "media_id",
+        F.length(F.col("buf")).cast("long").alias("out_bytes"),
+        F.md5(F.col("buf")).alias("digest"),
+    )
