@@ -44,9 +44,16 @@ def test_parse_html_table_cells(spark):
     assert rows[1]["cells"] == ["a", "b"]
 
 
-def test_pdf_source_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        read_pdf_tables(spark, "/nonexistent.pdf")
+def test_pdf_source_reads_real_tables(spark, tmp_path):
+    # S7 is implemented since round 2 (sources/pdf.py) — the facade in
+    # sources/__init__ must route to it
+    from opensanctions_spark.sources.pdf import write_pdf_table
+
+    path = str(tmp_path / "t.pdf")
+    write_pdf_table(path, ["id", "name"], [[1, "x"], [2, "y"]])
+    df = read_pdf_tables(spark, path)
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
 
 
 def test_archive_versioning_and_backfill(spark, sf_dir, tmp_path):
