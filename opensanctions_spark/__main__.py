@@ -49,6 +49,62 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 1 if result.violations else 0
 
 
+def _cmd_crawl(args: argparse.Namespace) -> int:
+    """`zavod crawl` analogue: statements → one immutable archive version
+    (timestamp propagation included), no validation or export."""
+    from opensanctions_spark.plans.run import crawl_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-crawl-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    statements = spark.read.parquet(args.statements)
+    version = crawl_dataset(
+        spark, statements, args.dataset,
+        StatementArchive(spark, args.archive), run_time=args.run_time,
+    )
+    print(json.dumps({"dataset": args.dataset, "version": version}))
+    return 0
+
+
+def _cmd_validate(args: argparse.Namespace) -> int:
+    """`zavod validate` analogue: rebuild the entity view from the
+    archive and run validators + assertions without exporting."""
+    from opensanctions_spark.plans.run import Assertion, validate_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-validate-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    assertions = []
+    for spec in args.asserts or []:
+        metric, op, threshold = spec.rsplit(":", 2)
+        assertions.append(Assertion(metric=metric, op=op, threshold=int(threshold)))
+    manifest = validate_dataset(
+        spark, StatementArchive(spark, args.archive), args.dataset,
+        assertions=assertions, version=args.version,
+    )
+    print(json.dumps(manifest, indent=2, default=str))
+    return 1 if any(v.startswith("error") for v in manifest["violations"]) else 0
+
+
+def _cmd_export(args: argparse.Namespace) -> int:
+    """`zavod export` analogue: all sinks + K12 metadata + delta from one
+    archived version, never re-crawling."""
+    from opensanctions_spark.plans.run import export_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-export-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    manifest = export_dataset(
+        spark, StatementArchive(spark, args.archive), args.dataset,
+        out_dir=args.out, run_time=args.run_time, version=args.version,
+    )
+    print(json.dumps(manifest, indent=2, default=str))
+    return 0
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     from opensanctions_spark.plans.curate import (
         CurationConfig,
@@ -227,6 +283,31 @@ def main(argv: list[str] | None = None) -> int:
         help="assertion, e.g. entity_count:min:10 (repeatable)",
     )
     run_p.set_defaults(fn=_cmd_run)
+
+    cr_p = sub.add_parser("crawl", help="statements → one archive version")
+    cr_p.add_argument("--statements", required=True)
+    cr_p.add_argument("--dataset", required=True)
+    cr_p.add_argument("--archive", required=True)
+    cr_p.add_argument("--run-time", default="2024-01-01T00:00:00")
+    cr_p.set_defaults(fn=_cmd_crawl)
+
+    v_p = sub.add_parser("validate", help="validators + assertions, no export")
+    v_p.add_argument("--dataset", required=True)
+    v_p.add_argument("--archive", required=True)
+    v_p.add_argument("--version", default=None)
+    v_p.add_argument(
+        "--assert", dest="asserts", action="append", metavar="METRIC:OP:N",
+        help="assertion, e.g. entity_count:min:10 (repeatable)",
+    )
+    v_p.set_defaults(fn=_cmd_validate)
+
+    ex_p = sub.add_parser("export", help="all sinks + metadata from one archived version")
+    ex_p.add_argument("--dataset", required=True)
+    ex_p.add_argument("--archive", required=True)
+    ex_p.add_argument("--out", required=True)
+    ex_p.add_argument("--version", default=None)
+    ex_p.add_argument("--run-time", default="2024-01-01T00:00:00")
+    ex_p.set_defaults(fn=_cmd_export)
 
     c_p = sub.add_parser("curate", help="corpus-curation pipeline run")
     c_p.add_argument("--documents", required=True, help="documents parquet path")

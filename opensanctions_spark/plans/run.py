@@ -208,3 +208,150 @@ def run_dataset(
         )
     entities.unpersist()
     return result
+
+
+def crawl_dataset(
+    spark: SparkSession,
+    statements: DataFrame,
+    name: str,
+    archive: StatementArchive,
+    run_time: str,
+    version: str | None = None,
+) -> str:
+    """The standalone crawl stage (``zavod crawl``,
+    ``zavod/zavod/cli/etl.py:24-36``): stamp seen timestamps, propagate
+    first_seen from the previous version (J1), write ONE immutable
+    archive version. Returns the version id — validation/export read it
+    back, so re-running either never re-crawls."""
+    prev_version = archive.latest(name)
+    prev = archive.read(name) if prev_version else None
+    statements = statements.drop("first_seen").withColumn(
+        "last_seen", F.lit(run_time)
+    )
+    if prev is not None:
+        statements = propagate_first_seen(
+            statements, prev.select("id", "first_seen"), run_time=run_time
+        )
+    else:
+        statements = statements.withColumn("first_seen", F.lit(run_time))
+    return archive.write(statements, name, version)
+
+
+def _entity_stats(entities: DataFrame) -> tuple[int, int, dict[str, int]]:
+    """(entity_count, target_count, schema_counts) in ONE GROUPING SETS
+    pass over the entity view — the shared validator scan."""
+    from opensanctions_spark.exporters import target_flag
+
+    stat_rows = (
+        entities.select(
+            "schema",
+            target_flag(F.col("properties")).cast("long").alias("is_target"),
+        )
+        .groupingSets([["schema"], []], "schema")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_target").alias("n_target"),
+            F.grouping("schema").alias("g"),
+        )
+        .collect()
+    )
+    schema_counts = {r["schema"]: r["n"] for r in stat_rows if r["g"] == 0}
+    total = next(r for r in stat_rows if r["g"] == 1)
+    return total["n"], total["n_target"] or 0, schema_counts
+
+
+def validate_dataset(
+    spark: SparkSession,
+    archive: StatementArchive,
+    name: str,
+    assertions: list[Assertion] | None = None,
+    version: str | None = None,
+    canonical_map: DataFrame | None = None,
+) -> dict:
+    """The standalone validate stage (``zavod validate``,
+    ``zavod/zavod/cli/etl.py:38-55``): rebuild the entity view from the
+    archived statements and run the shared-scan validators + assertion
+    checks WITHOUT exporting. Returns the validation manifest."""
+    statements = archive.read(name, version=version, external=True)
+    if canonical_map is not None:
+        from opensanctions_spark.operators.resolve import apply_canonical
+
+        statements = apply_canonical(statements, canonical_map)
+    entities = assemble_entities(statements).persist()
+    entity_count, target_count, schema_counts = _entity_stats(entities)
+    stats = {
+        "entity_count": entity_count,
+        "target_count": target_count,
+        **{f"schema:{k}": v for k, v in schema_counts.items()},
+    }
+    violations = check_assertions(stats, assertions or [])
+    dangling = dangling_references(entities).count()
+    entities.unpersist()
+    return {
+        "dataset": name,
+        "version": version or archive.latest(name),
+        "entity_count": entity_count,
+        "target_count": target_count,
+        "schema_counts": schema_counts,
+        "dangling_count": dangling,
+        "violations": violations,
+    }
+
+
+def export_dataset(
+    spark: SparkSession,
+    archive: StatementArchive,
+    name: str,
+    out_dir: str,
+    run_time: str,
+    version: str | None = None,
+    canonical_map: DataFrame | None = None,
+    single_file: bool = True,
+) -> dict:
+    """The standalone export stage (``zavod export``,
+    ``zavod/zavod/cli/etl.py:57-73``): rebuild the entity view from one
+    archived version, run every sink + the K12 metadata set, and write
+    the ADD/MOD/DEL delta against the PREVIOUS archived version."""
+    import os
+
+    version = version or archive.latest(name)
+    if version is None:
+        raise ValueError(f"no archived versions for dataset {name!r}")
+    statements = archive.read(name, version=version, external=True)
+    if canonical_map is not None:
+        from opensanctions_spark.operators.resolve import apply_canonical
+
+        statements = apply_canonical(statements, canonical_map)
+    entities = assemble_entities(statements).persist()
+    export_counts = export_all(
+        entities, statements, out_dir, dataset=name,
+        single_file=single_file, version=str(version), run_time=run_time,
+    )
+    versions = archive.versions(name)
+    prior = None
+    if version in versions:
+        idx = versions.index(version)
+        prior = versions[idx - 1] if idx > 0 else None
+    delta_ops: dict[str, int] = {}
+    if prior is not None:
+        prev_stmts = archive.read(name, version=prior, external=True)
+        diff = version_diff(
+            hashed_entities(prev_stmts), hashed_entities(statements)
+        )
+        delta_ops = {
+            r["op"]: r["n"]
+            for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        delta_out = diff.orderBy("canonical_id")
+        if single_file:
+            delta_out = delta_out.coalesce(1)
+        delta_out.write.mode("overwrite").json(
+            os.path.join(out_dir, "delta.json")
+        )
+    entities.unpersist()
+    return {
+        "dataset": name,
+        "version": version,
+        "export_counts": export_counts,
+        "delta_ops": delta_ops,
+    }

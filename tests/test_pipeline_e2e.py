@@ -250,3 +250,65 @@ def test_cli_resolver_and_edge_verbs(spark, tmp_path):
     ]) == 0
     got = {r["id"]: r["canonical_id"] for r in spark.read.parquet(deduped).collect()}
     assert got == {"e1": "e1", "e2": "e1"}
+
+
+def test_staged_lifecycle_matches_fused_run(spark, paths):
+    """crawl → validate → export (the reference's separate CLI stages,
+    zavod/zavod/cli/etl.py:24-93) must agree with the fused run_dataset
+    manifest on every shared number, across two versions."""
+    from opensanctions_spark.plans.run import (
+        crawl_dataset,
+        export_dataset,
+        validate_dataset,
+    )
+
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+
+    ver1 = crawl_dataset(
+        spark, crawl(spark, v1_csv), "fixture", archive, run_time="2024-01-01"
+    )
+    val1 = validate_dataset(
+        spark, archive, "fixture",
+        assertions=[Assertion("entity_count", "min", 10)],
+    )
+    assert val1["entity_count"] == 12
+    assert val1["target_count"] == 6
+    assert val1["violations"] == []
+    # p7 references x9 which is never emitted → one dangling ref
+    assert val1["dangling_count"] == 1
+    exp1 = export_dataset(
+        spark, archive, "fixture", out_dir, run_time="2024-01-01"
+    )
+    assert exp1["version"] == ver1
+    assert exp1["delta_ops"] == {}  # no prior version
+    assert exp1["export_counts"]["entities.ftm.json"] == 12
+
+    ver2 = crawl_dataset(
+        spark, crawl(spark, v2_csv), "fixture", archive, run_time="2024-02-01"
+    )
+    exp2 = export_dataset(
+        spark, archive, "fixture", out_dir, run_time="2024-02-01"
+    )
+    assert exp2["version"] == ver2
+    assert exp2["delta_ops"] == {"ADD": 1, "MOD": 1, "DEL": 1}
+    with open(os.path.join(out_dir, "index.json")) as fh:
+        index = json.load(fh)
+    assert index["version"] == str(ver2)
+    assert index["entity_count"] == 12  # 12 again: -p8 +p9
+
+
+def test_validate_flags_assertion_violations(spark, paths):
+    from opensanctions_spark.plans.run import crawl_dataset, validate_dataset
+
+    v1_csv, _, archive_dir, _ = paths
+    archive = StatementArchive(spark, archive_dir)
+    crawl_dataset(spark, crawl(spark, v1_csv), "fixture", archive,
+                  run_time="2024-01-01")
+    val = validate_dataset(
+        spark, archive, "fixture",
+        assertions=[Assertion("entity_count", "min", 500),
+                    Assertion("schema:Person", "max", 3, level="warning")],
+    )
+    assert len(val["violations"]) == 2
+    assert any(v.startswith("error") for v in val["violations"])
