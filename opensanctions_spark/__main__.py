@@ -105,6 +105,36 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_xref_prune(args: argparse.Namespace) -> int:
+    """`zavod xref-prune` analogue: drop undecided candidate edges from
+    the persisted decisions, keep judgements only."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.plans.xref import prune_decisions
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-xref-prune")
+    spark.sparkContext.setLogLevel("WARN")
+    decisions = spark.read.parquet(args.decisions)
+    kept = prune_decisions(decisions).persist()
+    kept.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "before": decisions.count(),
+                "after": kept.count(),
+                "kept": {
+                    r["judgement"]: r["n"]
+                    for r in kept.groupBy("judgement")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                },
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_curate(args: argparse.Namespace) -> int:
     from opensanctions_spark.plans.curate import (
         CurationConfig,
@@ -327,6 +357,13 @@ def main(argv: list[str] | None = None) -> int:
     x_p.add_argument("--top-k", type=int, default=10)
     x_p.add_argument("--limit", type=int, default=5000)
     x_p.set_defaults(fn=_cmd_xref)
+
+    xp_p = sub.add_parser(
+        "xref-prune", help="drop undecided candidate edges from decisions"
+    )
+    xp_p.add_argument("--decisions", required=True, help="decisions parquet")
+    xp_p.add_argument("--out", required=True, help="pruned decisions parquet")
+    xp_p.set_defaults(fn=_cmd_xref_prune)
 
     m_p = sub.add_parser(
         "merge-cluster", help="force-merge entities into one cluster"

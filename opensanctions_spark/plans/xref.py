@@ -122,3 +122,12 @@ def xref_and_resolve(
     decisions = xref_pairs(subjects, config)
     mapping = canonical_map(decisions)
     return decisions, mapping
+
+
+def prune_decisions(decisions: DataFrame) -> DataFrame:
+    """``zavod xref-prune`` analogue (``zavod/zavod/cli/dedupe.py:60-69``,
+    ``Resolver.prune``): drop the undecided candidate edges (UNSURE) so
+    the persisted resolver state carries only human/auto judgements —
+    the next xref run regenerates candidates from scratch instead of
+    replaying stale ones."""
+    return decisions.filter(F.col("judgement") != "UNSURE")

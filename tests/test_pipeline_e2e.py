@@ -312,3 +312,44 @@ def test_validate_flags_assertion_violations(spark, paths):
     )
     assert len(val["violations"]) == 2
     assert any(v.startswith("error") for v in val["violations"])
+
+
+def test_cli_lifecycle_and_prune_verbs(spark, tmp_path, paths):
+    """crawl / validate / export / xref-prune round-trip through the CLI
+    (the zavod etl.py + dedupe.py command surface)."""
+    from opensanctions_spark.__main__ import main
+
+    v1_csv, _, archive_dir, out_dir = paths
+    stmts = str(tmp_path / "stmts.parquet")
+    crawl(spark, v1_csv).write.parquet(stmts)
+
+    assert main([
+        "crawl", "--statements", stmts, "--dataset", "fx",
+        "--archive", archive_dir,
+    ]) == 0
+    assert main([
+        "validate", "--dataset", "fx", "--archive", archive_dir,
+        "--assert", "entity_count:min:10",
+    ]) == 0
+    # failing min assertion → nonzero exit
+    assert main([
+        "validate", "--dataset", "fx", "--archive", archive_dir,
+        "--assert", "entity_count:min:500",
+    ]) == 1
+    assert main([
+        "export", "--dataset", "fx", "--archive", archive_dir,
+        "--out", out_dir,
+    ]) == 0
+    assert os.path.exists(os.path.join(out_dir, "index.json"))
+    assert os.path.exists(os.path.join(out_dir, "statistics.json"))
+
+    decisions = str(tmp_path / "dec.parquet")
+    spark.createDataFrame(
+        [("a", "b", 0.9, "POSITIVE"), ("c", "d", 0.6, "UNSURE"),
+         ("e", "f", 0.2, "NEGATIVE")],
+        "left_id string, right_id string, score double, judgement string",
+    ).write.parquet(decisions)
+    pruned = str(tmp_path / "pruned.parquet")
+    assert main(["xref-prune", "--decisions", decisions, "--out", pruned]) == 0
+    kept = {r["judgement"] for r in spark.read.parquet(pruned).collect()}
+    assert kept == {"POSITIVE", "NEGATIVE"}
