@@ -301,3 +301,58 @@ def p7_person_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         death.alias("death"),
         check_person_cutoff(birth, death, RUN_DATE).alias("dropped"),
     )
+
+
+@register(
+    "wikidata_deref",
+    oracle="""
+WITH subjects AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN 'bogus-' || c_custkey
+              ELSE 'Q' || (c_custkey + 1) END AS qid
+  FROM customer
+),
+redirects AS (
+  SELECT 'Q' || (o_custkey + 1) AS qid,
+         'Q' || (o_custkey + 1000000) AS target
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+dedup AS (
+  SELECT qid, MIN(target) AS target FROM redirects GROUP BY qid
+)
+SELECT s.c_custkey AS custkey,
+       CASE WHEN s.qid NOT LIKE 'Q%' THEN NULL
+            ELSE COALESCE(d.target, s.qid) END AS qid
+FROM subjects s LEFT JOIN dedup d ON s.qid = d.qid
+""",
+)
+def wikidata_deref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata QID dereferencing
+    (``zavod/zavod/helpers/wikidata.py:8-46``): invalid ids null out,
+    merge-redirected QIDs resolve through the cached redirects table in
+    one join, everything else passes through — the static-source
+    hygiene pass run over a whole column instead of per-entity API
+    calls."""
+    from opensanctions_spark.functions.wikidata import deref_qids
+
+    cust = load(spark, sf_dir, "customer")
+    subjects = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.concat(F.lit("bogus-"), F.col("c_custkey")),
+        )
+        .otherwise(F.concat(F.lit("Q"), F.col("c_custkey") + 1))
+        .alias("qid"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    redirects = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("Q"), F.col("o_custkey") + 1).alias("qid"),
+            F.concat(F.lit("Q"), F.col("o_custkey") + 1000000).alias("target"),
+        )
+        .groupBy("qid")
+        .agg(F.min("target").alias("target"))
+    )
+    return deref_qids(subjects, "qid", redirects)

@@ -88,3 +88,38 @@ def test_occupancy_status_branches(spark):
     assert status(None, None) == "unknown"
     # municipal grace is 1 year: ended 2024 is already expired
     assert status("2010-01-01", "2024-05", topic="gov.muni") is None
+
+
+def test_wikidata_deref_with_fetcher(spark):
+    """Misses resolve through the injected fetcher exactly once per
+    distinct unknown QID (the cache-days discipline)."""
+    from opensanctions_spark.functions.wikidata import deref_qids
+
+    df = spark.createDataFrame(
+        [("a", "Q1"), ("b", "Q2"), ("c", "Q2"), ("d", "nope"), ("e", None)],
+        "id string, qid string",
+    )
+    redirects = spark.createDataFrame(
+        [("Q1", "Q100")], "qid string, target string"
+    )
+    calls = []
+
+    def fetch(q):
+        calls.append(q)
+        return "Q200" if q == "Q2" else None
+
+    out = {r["id"]: r["qid"] for r in deref_qids(df, "qid", redirects, fetch).collect()}
+    assert out == {"a": "Q100", "b": "Q200", "c": "Q200", "d": None, "e": None}
+    assert calls == ["Q2"]  # one call per distinct miss
+
+
+def test_wikidata_qid_validation(spark):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.wikidata import is_qid
+
+    df = spark.createDataFrame(
+        [("Q1",), ("Q007",), ("q1",), ("Q0",), ("Q12x",), ("",)], "v string"
+    )
+    got = [r[0] for r in df.select(is_qid(F.col("v"))).collect()]
+    assert got == [True, False, False, False, False, False]
