@@ -115,3 +115,30 @@ def valid_iban(col: Column) -> Column:
         .otherwise((acc * 100 + (F.ascii(ch) - 55).cast("long")) % 97),
     )
     return ok_shape & (rem == 1)
+
+
+def imo_id_key(col: Column) -> Column:
+    """The IMO portion of a stable vessel/org entity id
+    (``zavod/zavod/helpers/vessels.py:5-18``): a checksum-valid IMO
+    reduces to its canonical seven digits (an ``IMO`` prefix and stray
+    spacing stripped); a present-but-invalid value falls back to a slug
+    of the raw text so a faulty source IMO still keys a stable entity;
+    NULL only when no usable text exists."""
+    from opensanctions_spark.operators.edges import slugify_value
+
+    digits = F.regexp_replace(F.upper(col), r"^\s*IMO\s*|\s", "")
+    canonical = F.when(valid_imo(digits), digits)
+    return F.coalesce(canonical, slugify_value(col))
+
+
+def make_vessel_imo_id(col: Column) -> Column:
+    """``imo-vsl-<key>`` vessel entity id (vessels.py:21-31); NULL
+    passes through."""
+    key = imo_id_key(col)
+    return F.when(key.isNotNull(), F.concat(F.lit("imo-vsl-"), key))
+
+
+def make_org_imo_id(col: Column) -> Column:
+    """``imo-org-<key>`` IMO-company entity id (vessels.py:34-44)."""
+    key = imo_id_key(col)
+    return F.when(key.isNotNull(), F.concat(F.lit("imo-org-"), key))

@@ -123,3 +123,30 @@ def test_wikidata_qid_validation(spark):
     )
     got = [r[0] for r in df.select(is_qid(F.col("v"))).collect()]
     assert got == [True, False, False, False, False, False]
+
+
+def test_imo_entity_id_keys(spark):
+    """vessels.py semantics: valid IMO → canonical digits; invalid →
+    slug fallback; empty → NULL."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.identifiers import (
+        make_org_imo_id,
+        make_vessel_imo_id,
+    )
+
+    df = spark.createDataFrame(
+        [("IMO 9074729",), ("9074729",), ("9074728",), ("Not Known",), (None,)],
+        "v string",
+    )
+    got = [r[0] for r in df.select(make_vessel_imo_id(F.col("v"))).collect()]
+    # 9074729 passes the IMO checksum; 9074728 fails -> slug fallback
+    assert got == [
+        "imo-vsl-9074729",
+        "imo-vsl-9074729",
+        "imo-vsl-9074728",
+        "imo-vsl-not-known",
+        None,
+    ]
+    org = df.select(make_org_imo_id(F.col("v"))).collect()[0][0]
+    assert org == "imo-org-9074729"
