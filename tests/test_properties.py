@@ -292,3 +292,60 @@ def test_shingles_match_python_reference(spark, texts):
         w = [x for x in re.findall(r"[a-z0-9]+", t.lower())]
         want = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
         assert got.get(i, set()) == want
+
+
+# ---------------------------------------------------------------------------
+# round-2 parsers: serialize → parse → recover must be the identity for
+# arbitrary printable payloads (escaping, SST dedup, cell gaps)
+
+_cell = st.text(
+    alphabet=st.characters(
+        codec="latin-1", categories=("L", "N", "P", "S", "Zs")
+    ),
+    min_size=1,
+    max_size=24,
+).map(lambda s: s.strip()).filter(lambda s: s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=2, max_size=4), min_size=1, max_size=8))
+def test_pdf_roundtrip_property(tmp_path_factory, rows):
+    import os
+
+    from opensanctions_spark.sources.pdf import parse_pdf_table, write_pdf_table
+
+    width = len(rows[0])
+    rows = [(r + ["x"] * width)[:width] for r in rows]
+    headers = [f"c{i}" for i in range(width)]
+    path = os.path.join(str(tmp_path_factory.mktemp("pdfprop")), "t.pdf")
+    write_pdf_table(path, headers, rows)
+    with open(path, "rb") as fh:
+        got = list(parse_pdf_table(fh.read()))
+    # single text chunks per cell: whitespace inside a cell collapses to
+    # the space-joined recovery, so compare whitespace-normalized
+    def norm(v):
+        return " ".join(str(v).split())
+
+    assert len(got) == len(rows)
+    for want, have in zip(rows, got):
+        assert [norm(w) for w in want] == [
+            norm(have[h]) if have[h] is not None else "" for h in headers
+        ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=2, max_size=4), min_size=1, max_size=8))
+def test_xls_roundtrip_property(tmp_path_factory, rows):
+    import os
+
+    from opensanctions_spark.sources.xls import write_xls, xls_rows
+
+    width = len(rows[0])
+    rows = [(r + ["x"] * width)[:width] for r in rows]
+    headers = [f"c{i}" for i in range(width)]
+    path = os.path.join(str(tmp_path_factory.mktemp("xlsprop")), "t.xls")
+    write_xls(path, headers, rows)
+    with open(path, "rb") as fh:
+        got = xls_rows(fh.read())
+    assert got[0] == headers
+    assert [[str(c) for c in r] for r in rows] == got[1:]
