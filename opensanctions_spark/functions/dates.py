@@ -80,3 +80,26 @@ def within_max_age(col: Column, run_date: str, max_years: int) -> Column:
     against the cutoff prefix is correct for ISO prefixes."""
     cutoff = f"{int(run_date[:4]) - max_years}{run_date[4:10]}"
     return col >= F.lit(cutoff)
+
+
+def convert_excel_date(col: Column) -> Column:
+    """Excel date serials → ISO timestamp strings
+    (``zavod/zavod/helpers/excel.py:47-69``): numeric strings and floats
+    truncate to an integer day count; values outside the plausible
+    [4000, 100000] window (≈1910–2173) null out — the reference's guard
+    against row numbers and phone-number-looking cells. The 1900 epoch
+    quirk (serial 1 = 1900-01-01, with Excel's phantom 1900-02-29)
+    matches via the -2 day adjustment."""
+    serial = F.floor(col.try_cast("double")).cast("long")
+    in_range = (serial >= 4000) & (serial <= 100000)
+    day = F.date_add(F.lit("1900-01-01").cast("date"), (serial - 2).cast("int"))
+    return F.when(
+        in_range, F.concat(day.cast("string"), F.lit("T00:00:00"))
+    )
+
+
+def backdate(date: Column, days: int) -> Column:
+    """Partial ISO date string ``days`` before the given timestamp
+    (``zavod/zavod/helpers/dates.py:204-207``) — the recency-window
+    cutoff builder P6/P7 filters use."""
+    return F.date_sub(date.cast("date"), days).cast("string")

@@ -150,3 +150,27 @@ def test_imo_entity_id_keys(spark):
     ]
     org = df.select(make_org_imo_id(F.col("v"))).collect()[0][0]
     assert org == "imo-org-9074729"
+
+
+def test_convert_excel_date(spark):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.dates import convert_excel_date
+
+    df = spark.createDataFrame(
+        [("44876",), ("44876.7",), ("3999",), ("100001",), ("xx",), (None,)],
+        "v string",
+    )
+    got = [r[0] for r in df.select(convert_excel_date(F.col("v"))).collect()]
+    # 44876 = 2022-11-11 (the reference docstring's own example)
+    assert got == ["2022-11-11T00:00:00", "2022-11-11T00:00:00",
+                   None, None, None, None]
+
+
+def test_backdate(spark):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.dates import backdate
+
+    df = spark.createDataFrame([("2024-03-01",)], "d string")
+    assert df.select(backdate(F.col("d"), 30)).collect()[0][0] == "2024-01-31"
