@@ -87,8 +87,12 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token").isNotNull())
     )
-    scored = jaccard_scored_pairs(tokens)
-    top = top_k_per_subject(scored, k=5)
+    # fused J5+T1 (operators/blocking.top_k_blocked_matches): the pair
+    # table crosses the wire once, keyed on subject — the agg and the
+    # rank window share that single exchange
+    from opensanctions_spark.operators.blocking import top_k_blocked_matches
+
+    top = top_k_blocked_matches(tokens, k=5)
     return top.select(
         "subject_id",
         "candidate_id",

@@ -380,3 +380,13 @@ def test_minhash_bucket_expansion_has_no_respread_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
     n = plan.count("Exchange RoundRobinPartitioning")
     assert n == 1, f"expected 1 RoundRobin exchange (doc scan spread), saw {n}"
+
+
+def test_j5_fused_topk_single_pair_exchange(spark, sf_dir):
+    """The fused J5+T1 must ship the pair table through ONE subject-keyed
+    exchange reused by the aggregation and the rank window — 2 hash
+    exchanges total (token buckets + subject), never a third for the
+    window."""
+    plan = _executed_plan(QUERIES["j5_t1_blocking_topk"](spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 hash exchanges in fused j5, saw {n}"
