@@ -544,7 +544,9 @@ def dedup_near_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     edges = _minhash_pairs(spark, sf_dir).filter(F.col("n_bands") >= 4)
-    cc = connected_components(edges, src="left_id", dst="right_id")
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     mapping = cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("_canon")
     )

@@ -544,7 +544,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_embedding_fast(spark, sf_dir).select(
         "left_id", "right_id"
     )
-    cc = connected_components(edges, src="left_id", dst="right_id")
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     mapping = cc.select(
         F.col("node").alias("vec_id"), F.col("component").alias("_canon")
     )

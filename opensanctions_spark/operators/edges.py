@@ -271,7 +271,9 @@ def dedupe_edges(
         ambiguous, compat_pairs["left_id"] == ambiguous["amb_id"], "left_anti"
     ).join(ambiguous, F.col("right_id") == ambiguous["amb_id"], "left_anti")
 
-    cc = connected_components(clean_pairs, src="left_id", dst="right_id")
+    cc = connected_components(
+        clean_pairs, src="left_id", dst="right_id", distinct_edges=False
+    )
     groups = cc.select(F.col("node").alias("id"), F.col("component"))
 
     # pairwise consistency: a group merges only if EVERY member pair is

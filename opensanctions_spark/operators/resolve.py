@@ -68,6 +68,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     driver_max_edges: int | None = DRIVER_CC_MAX_EDGES,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """Label each node with the minimum node id of its component.
 
@@ -90,9 +91,12 @@ def connected_components(
         # duplicate-heavy inputs (e.g. LSH band pairs pre-dedup) on the
         # cheap driver path whenever their DISTINCT size fits — one
         # map-side-combined shuffle vs the far costlier distributed
-        # solve. If the limit still overflows, fall through to the
-        # distributed solve (the collected prefix is discarded).
-        pdf = e.distinct().limit(driver_max_edges + 1).toPandas()
+        # solve. Callers whose edges come out of an aggregation (already
+        # one row per pair) pass distinct_edges=False and skip that
+        # shuffle entirely. If the limit still overflows, fall through
+        # to the distributed solve (the collected prefix is discarded).
+        bounded = e.distinct() if distinct_edges else e
+        pdf = bounded.limit(driver_max_edges + 1).toPandas()
         if len(pdf) <= driver_max_edges:
             from pyspark.sql.types import StructField, StructType
 

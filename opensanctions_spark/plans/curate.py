@@ -95,7 +95,9 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None) -> Data
     edges = minhash_pairs_of(
         shingle_arrays_of(exact), max_bucket_size=cfg.max_bucket_size
     ).filter(F.col("n_bands") >= cfg.near_dup_bands)
-    cc = connected_components(edges, src="left_id", dst="right_id")
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
     near = (
         exact.join(mapping, "doc_id", "left")
@@ -263,7 +265,9 @@ def curate_increment(
     edges = minhash_pairs_of(
         surv_shingles, max_bucket_size=cfg.max_bucket_size
     ).filter(F.col("n_bands") >= cfg.near_dup_bands)
-    cc = connected_components(edges, src="left_id", dst="right_id")
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     mapping = cc.select(F.col("node").alias("doc_id"), F.col("component"))
     kept = (
         survivors.join(mapping, "doc_id", "left")
