@@ -27,16 +27,20 @@ def _dec(c: str):
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))
-           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+      AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+      AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      / 10000 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+      / 1000000 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
       / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
       / CAST(COUNT(*) AS DOUBLE) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem
@@ -49,20 +53,38 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape to verify at scale: filter and projection pushed to the
     parquet scan, partial aggregation map-side, one shuffle on the 6-value
-    grouping key. No skew hazard (tiny key space + partial agg)."""
+    grouping key. No skew hazard (tiny key space + partial agg).
+
+    Money math is integer cents (``round(x·100)`` before any arithmetic):
+    a DOUBLE→DECIMAL cast rounds via the shortest decimal string on the
+    JVM but via the binary value in DuckDB, a sub-ulp divergence that
+    stays invisible at small scale and surfaced at sf1 when the ×10 sums
+    crossed a double-ulp boundary (round-2 finding) — ``round(x·100)``
+    multiplies first, which collapses both engines onto the same
+    integer, and every sum thereafter is exact at any scale factor."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+
+    def cents(c: str) -> Column:
+        return F.round(F.col(c) * 100).cast("long")
+
+    disc_e4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge_e6 = disc_e4 * (F.lit(100) + cents("l_tax"))
+    # sums go through DECIMAL(38,0): ~4e11 per charge row would overflow
+    # an int64 accumulator around sf10 (DuckDB's SUM(BIGINT) is already
+    # 128-bit HUGEINT)
+    dec = "decimal(38,0)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*").cast("double")).alias("avg_price"),
+            (F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(disc_e4.cast(dec)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(charge_e6.cast(dec)).cast("double") / 1000000).alias("sum_charge"),
+            (F.sum(cents("l_quantity")).cast("double") / 100
+             / F.count("*").cast("double")).alias("avg_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100
+             / F.count("*").cast("double")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
