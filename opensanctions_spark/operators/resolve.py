@@ -208,7 +208,10 @@ def canonical_map(decisions: DataFrame) -> DataFrame:
     ``zavod/zavod/integration/dedupe.py:93-128``.
     """
     pos = decisions.filter(F.col("judgement") == "POSITIVE")
-    cc = connected_components(pos, src="left_id", dst="right_id")
+    # decision edges are one row per judged pair — no dedup shuffle needed
+    cc = connected_components(
+        pos, src="left_id", dst="right_id", distinct_edges=False
+    )
     return cc.select(
         F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
     )
@@ -264,7 +267,9 @@ def incremental_canonical_map(
         F.col("canonical_id").alias("right_id"),
     )
     edges = old_edges.unionByName(pos.select("left_id", "right_id"))
-    cc = connected_components(edges, src="left_id", dst="right_id")
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     updated = cc.select(
         F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
     )
@@ -305,7 +310,9 @@ def explode_cluster(
             "left_semi",
         )
     )
-    resolved = connected_components(comp_edges, src="left_id", dst="right_id")
+    resolved = connected_components(
+        comp_edges, src="left_id", dst="right_id", distinct_edges=False
+    )
     re_mapped = members.join(
         resolved.withColumnRenamed("node", "entity_id"), "entity_id", "left"
     ).select(
