@@ -188,9 +188,10 @@ def absolutize_href(href: Column, base_url: str) -> Column:
 
 
 # --------------------------------------------------------------------------
-# S6/S7: Excel & PDF. XLSX is parsed with the stdlib (zipfile + ElementTree
-# — an .xlsx is a zip of XML parts), so S6 needs no third-party decoder.
-# Legacy .xls and PDF decode stay gated (xlrd/pdfplumber not in container).
+# S6/S7: Excel & PDF, all stdlib. XLSX parses as zip+XML parts; legacy
+# .xls through the OLE2+BIFF8 reader (sources/xls.py); PDFs through the
+# object/xref/ObjStm parser with positional table recovery
+# (sources/pdf.py). No third-party decoder needed for any of them.
 
 _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
