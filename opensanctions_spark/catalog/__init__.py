@@ -128,7 +128,9 @@ DRIVER_PRIORITY: list[str] = [
     "j4_recursive_expansion",
     "j9_match_rules",
     "j11_self_reference",
-    "j7_interval_overlap",
+    # j7_edge_dedupe_merge subsumes the interval-overlap primitive (the
+    # composed lifecycle), freeing a slot for D4 which has no driver row
+    "d4_change_detection",
     "j7_edge_dedupe_merge",
     "j5_t1_blocking_topk",
     # LLM-data-pipeline family (graded first-class)
