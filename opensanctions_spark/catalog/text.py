@@ -1537,3 +1537,151 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+WITH injected AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234' ELSE '' END
+         AS body
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\d{3}-\d{4}-\d{4}|\d{3}-\d{2,4}-\d{4}', '<PHONE>', 'g') AS body
+  FROM injected
+)
+SELECT doc_id,
+       md5(body) AS redacted_md5,
+       length(body) - length(replace(body, '<EMAIL>', '')) > 0 AS had_email,
+       length(body) - length(replace(body, '<PHONE>', '')) > 0 AS had_phone
+FROM redacted
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION (the transform half of the scan/redact pair): emails
+    and phone-shaped tokens replace with typed placeholders in one
+    map-only regexp pass — the pre-training privacy scrub. Deterministic
+    PII is injected first (same scheme as ``text_pii_scan``); the oracle
+    replays injection + redaction and compares content digests, so a
+    missed or mangled replacement fails the hash."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-1234"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{4}-\d{4}|\d{3}-\d{2,4}-\d{4}"
+    red = F.regexp_replace(
+        F.regexp_replace(body, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        red.contains("<EMAIL>").alias("had_email"),
+        red.contains("<PHONE>").alias("had_phone"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_symbols,
+         length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+         length(regexp_replace(text, '[^.]', '', 'g')) AS n_dots
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_words,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> length(x) > 10)) AS DOUBLE)
+                   / len(toks) END AS long_word_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                   / len(toks) END AS mean_word_len,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE CAST(n_hash + n_dots AS DOUBLE) / n_chars END AS hash_dot_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       long_word_ratio, symbol_ratio,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio <= 0.1 AND hash_dot_ratio <= 0.1
+        AND long_word_ratio <= 0.1) AS keep
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (the Rae et al. 2021 /
+    MassiveText filter family every pretraining pipeline reimplements):
+    word-count bounds, mean-word-length window, symbol-to-char and
+    #/ellipsis ratios, over-long-word ratio — composed into one keep
+    verdict, all computed in a single map-only JVM pass (one regex
+    tokenization shared by every rule). Mirrors ``text_quality``'s scan
+    shape; at 100 TB this is a zero-shuffle filter stage."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_symbols = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    n_hash = F.length(F.regexp_replace(F.col("text"), r"[^#]", ""))
+    n_dots = F.length(F.regexp_replace(F.col("text"), r"[^.]", ""))
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        total_len / n_words
+    )
+    long_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda x: F.length(x) > 10)).cast("double")
+        / n_words
+    )
+    symbol_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_symbols.cast("double") / n_chars
+    )
+    hash_dot_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_dots).cast("double") / n_chars
+    )
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (symbol_ratio <= 0.1) & (hash_dot_ratio <= 0.1)
+        & (long_word_ratio <= 0.1)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        long_word_ratio.alias("long_word_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
