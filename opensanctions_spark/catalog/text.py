@@ -1685,3 +1685,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ratio.alias("symbol_ratio"),
         keep.alias("keep"),
     )
+
+
+@register(
+    "mixture_temperature",
+    oracle="""
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS weight_q
+  FROM sizes
+),
+tot AS (SELECT SUM(weight_q) AS tw FROM weighted)
+SELECT w.source, CAST(w.n AS BIGINT) AS n_docs, w.weight_q,
+       CAST((1000 * w.weight_q) // t.tw AS BIGINT) AS quota,
+       CAST(LEAST((1000 * w.weight_q) // t.tw, w.n) AS BIGINT) AS n_kept
+FROM weighted w CROSS JOIN tot t
+""",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (α = 0.5): per-source
+    sampling quotas ∝ n^α out of a 1000-document budget — the standard
+    multi-source balancing of multilingual/multi-domain pretraining
+    (up-samples small sources, damps giants; α=1 is proportional, α=0
+    uniform). Weights quantize to integer micro-units after the
+    correctly-rounded IEEE sqrt, so the quota division is exact integer
+    math in both engines. One groupBy + one broadcast of the tiny
+    totals frame; the actual document selection reuses the
+    ``mixture_cap_per_source`` md5-rank pattern with these quotas as
+    the per-source k."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count("*").alias("n"))
+    weighted = sizes.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("weight_q"),
+    )
+    tot = weighted.agg(F.sum("weight_q").alias("tw"))
+    quota = F.expr("(1000 * weight_q) div tw")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "weight_q",
+            quota.cast("long").alias("quota"),
+            F.least(quota, F.col("n")).cast("long").alias("n_kept"),
+        )
+    )
