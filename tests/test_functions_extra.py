@@ -174,3 +174,35 @@ def test_backdate(spark):
 
     df = spark.createDataFrame([("2024-03-01",)], "d string")
     assert df.select(backdate(F.col("d"), 30)).collect()[0][0] == "2024-01-31"
+
+
+def test_article_statements_factory(spark):
+    """articles.py parity: one Article per URL (duplicate mentions
+    collapse), one Documentation edge per (entity, article) pair."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.articles import article_statements
+
+    mentions = spark.createDataFrame(
+        [
+            ("p1", "https://x.test/a", "Story A", "2024-01-01"),
+            ("p2", "https://x.test/a", "Story A", "2024-01-01"),
+            ("p1", "https://x.test/b", "Story B", None),
+        ],
+        "entity_id string, url string, title string, published_at string",
+    )
+    stmts = article_statements(mentions, dataset="news")
+    by_schema = {
+        r["schema"]: r["n"]
+        for r in stmts.groupBy("schema").agg(F.count("*").alias("n")).collect()
+    }
+    # article A: url+title+publishedAt (3); article B: url+title (2, null date dropped)
+    assert by_schema["Article"] == 5
+    # three (entity, article) pairs: A has date rows (entity+document+date),
+    # B has entity+document only
+    assert by_schema["Documentation"] == 3 * 2 + 2 * 1
+    # the two mentions of article A produced ONE article entity
+    n_articles = stmts.filter(
+        (F.col("schema") == "Article") & (F.col("prop") == "sourceUrl")
+    ).count()
+    assert n_articles == 2
