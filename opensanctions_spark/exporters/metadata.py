@@ -293,3 +293,39 @@ def write_metadata(
     with open(os.path.join(out_dir, "resources.json"), "w") as fh:
         json.dump({"resources": index["resources"]}, fh, indent=2)
     return index
+
+
+def write_catalog(
+    out_root: str,
+    dataset_dirs: list[str],
+    run_time: str = "1970-01-01T00:00:00",
+) -> dict[str, Any]:
+    """Collection-level ``catalog.json``
+    (``zavod/zavod/exporters/metadata/__init__.py:165-197`` +
+    ``CATALOG_FILE``): one document listing every member dataset's
+    latest published index — the file catalog consumers poll instead of
+    crawling per-dataset paths. Datasets without an index yet surface
+    with a bare name, matching the reference's pre-first-export
+    behavior."""
+    datasets: list[dict[str, Any]] = []
+    for d in sorted(dataset_dirs):
+        index_path = os.path.join(d, "index.json")
+        if os.path.isfile(index_path):
+            with open(index_path) as fh:
+                datasets.append(json.load(fh))
+        else:
+            datasets.append({"name": os.path.basename(d.rstrip("/"))})
+    catalog = {
+        "datasets": datasets,
+        "updated_at": run_time,
+        "dataset_count": len(datasets),
+        "entity_count": sum(
+            d.get("entity_count", 0) for d in datasets
+        ),
+        "target_count": sum(
+            d.get("target_count", 0) for d in datasets
+        ),
+    }
+    with open(os.path.join(out_root, "catalog.json"), "w") as fh:
+        json.dump(catalog, fh, indent=2, sort_keys=True)
+    return catalog

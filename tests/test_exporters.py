@@ -170,3 +170,27 @@ def test_tokenless_documents_score_null_quality(spark, tmp_path):
     rows = {r["doc_id"]: r for r in text_quality(spark.sparkSession if hasattr(spark, "sparkSession") else spark, str(tmp_path)).collect()}
     assert rows[1]["quality"] is None and rows[1]["mean_token_len"] is None
     assert rows[2]["quality"] is not None
+
+
+def test_write_catalog_rolls_up_dataset_indexes(spark, sf_dir, tmp_path):
+    """catalog.json lists every member dataset's index and rolls up the
+    counts (reference get_catalog_datasets + CATALOG_FILE)."""
+    from opensanctions_spark.exporters.metadata import write_catalog
+
+    entities = _export_entities(spark, sf_dir)
+    statements = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    d1 = str(tmp_path / "ds1")
+    d2 = str(tmp_path / "ds2")
+    export_all(entities, statements, d1, dataset="ds1")
+    export_all(entities, statements, d2, dataset="ds2")
+    d3 = str(tmp_path / "ds3")  # never exported
+    os.makedirs(d3)
+
+    catalog = write_catalog(str(tmp_path), [d1, d2, d3])
+    assert os.path.exists(os.path.join(tmp_path, "catalog.json"))
+    assert catalog["dataset_count"] == 3
+    names = [d.get("name") for d in catalog["datasets"]]
+    assert names == ["ds1", "ds2", "ds3"]
+    n = entities.count()
+    assert catalog["entity_count"] == 2 * n  # ds3 contributes nothing
+    assert catalog["datasets"][2] == {"name": "ds3"}
