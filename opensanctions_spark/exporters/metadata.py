@@ -329,3 +329,35 @@ def write_catalog(
     with open(os.path.join(out_root, "catalog.json"), "w") as fh:
         json.dump(catalog, fh, indent=2, sort_keys=True)
     return catalog
+
+
+def write_delta_index(
+    out_dir: str,
+    dataset: str,
+    versions: list[str],
+    max_versions: int = 100,
+    artifact_base: str = "artifacts:/",
+) -> dict[str, Any] | None:
+    """``delta_index.json`` for a dataset
+    (``zavod/zavod/exporters/metadata/__init__.py:200-256``): the delta
+    versions available for download, newest first, as both the keyed map
+    and the list form (``unstable.version_list``) the reference ships
+    for tooling that cannot iterate object keys. Returns None (and
+    writes nothing) when no delta versions exist, like the reference."""
+    newest_first = list(reversed(versions))[:max_versions]
+    version_map = {
+        v: f"{artifact_base}/{dataset}/{v}/delta.json" for v in newest_first
+    }
+    if not version_map:
+        return None
+    data = {
+        "versions": version_map,
+        "unstable": {
+            "version_list": [
+                {"version": v, "url": u} for v, u in version_map.items()
+            ]
+        },
+    }
+    with open(os.path.join(out_dir, "delta_index.json"), "w") as fh:
+        json.dump(data, fh, indent=2, sort_keys=True)
+    return data

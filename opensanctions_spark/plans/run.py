@@ -348,6 +348,11 @@ def export_dataset(
         delta_out.write.mode("overwrite").json(
             os.path.join(out_dir, "delta.json")
         )
+        # K8/K12: the delta-versions index (every archived version after
+        # the first can carry a delta against its predecessor)
+        from opensanctions_spark.exporters.metadata import write_delta_index
+
+        write_delta_index(out_dir, name, versions[1:])
     entities.unpersist()
     return {
         "dataset": name,

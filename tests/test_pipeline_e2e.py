@@ -296,6 +296,11 @@ def test_staged_lifecycle_matches_fused_run(spark, paths):
         index = json.load(fh)
     assert index["version"] == str(ver2)
     assert index["entity_count"] == 12  # 12 again: -p8 +p9
+    # the delta-versions index lists the second version, newest first
+    with open(os.path.join(out_dir, "delta_index.json")) as fh:
+        didx = json.load(fh)
+    assert list(didx["versions"]) == [str(ver2)]
+    assert didx["unstable"]["version_list"][0]["version"] == str(ver2)
 
 
 def test_validate_flags_assertion_violations(spark, paths):
