@@ -361,3 +361,16 @@ def write_delta_index(
     with open(os.path.join(out_dir, "delta_index.json"), "w") as fh:
         json.dump(data, fh, indent=2, sort_keys=True)
     return data
+
+
+def write_issues(out_dir: str, issues: list[dict[str, Any]]) -> dict[str, int]:
+    """``issues.json`` (``zavod/zavod/runtime/issues.py:100-107``:
+    ``{"issues": [...]}``) + the by-level counts the index embeds."""
+    with open(os.path.join(out_dir, "issues.json"), "w") as fh:
+        json.dump({"issues": issues}, fh, indent=2, sort_keys=True)
+    levels: dict[str, int] = {}
+    for issue in issues:
+        level = issue.get("level")
+        if level is not None:
+            levels[level] = levels.get(level, 0) + 1
+    return levels

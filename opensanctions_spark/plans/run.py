@@ -167,11 +167,35 @@ def run_dataset(
         raise AssertionError("; ".join(violations))
     dangling = dangling_references(entities).count()
 
+    # issues.json + by-level counts for the index (the reference's
+    # DatasetIssues artifact: validation findings become issue records)
+    from opensanctions_spark.exporters.metadata import write_issues
+
+    issues = [
+        {
+            "level": v.split(":", 1)[0],
+            "message": v.split(": ", 1)[-1],
+            "dataset": config.name,
+        }
+        for v in violations
+    ]
+    if dangling:
+        issues.append(
+            {
+                "level": "warning",
+                "message": f"{dangling} dangling entity references",
+                "dataset": config.name,
+            }
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    issue_levels = write_issues(out_dir, issues)
+
     # 5. exports (shared scan; single_file=False is the cluster path —
     # range-ordered multi-part sink files, see exporters.export_all)
     export_counts = export_all(
         entities, statements, out_dir, dataset=config.name,
         single_file=single_file, version=str(version), run_time=run_time,
+        issue_levels=issue_levels,
     )
 
     # 6. delta vs previous version (D0/D1)

@@ -358,3 +358,31 @@ def test_cli_lifecycle_and_prune_verbs(spark, tmp_path, paths):
     assert main(["xref-prune", "--decisions", decisions, "--out", pruned]) == 0
     kept = {r["judgement"] for r in spark.read.parquet(pruned).collect()}
     assert kept == {"POSITIVE", "NEGATIVE"}
+
+
+def test_issues_artifact_written_with_levels(spark, paths):
+    """issues.json carries validation findings; index.json embeds the
+    by-level counts (the DatasetIssues artifact pair)."""
+    v1_csv, _, archive_dir, out_dir = paths
+    result = run_dataset(
+        spark,
+        crawl(spark, v1_csv),
+        DatasetConfig(
+            name="fixture",
+            assertions=[Assertion("schema:Person", "max", 3, level="warning")],
+        ),
+        StatementArchive(spark, archive_dir),
+        out_dir=out_dir,
+        run_time="2024-01-01",
+    )
+    assert result.violations  # the warning fired
+    with open(os.path.join(out_dir, "issues.json")) as fh:
+        issues = json.load(fh)["issues"]
+    levels = {i["level"] for i in issues}
+    assert "warning" in levels
+    # dangling x9 reference surfaces as an issue too
+    assert any("dangling" in i["message"] for i in issues)
+    with open(os.path.join(out_dir, "index.json")) as fh:
+        index = json.load(fh)
+    assert index["issue_count"] == len(issues)
+    assert index["issue_levels"].get("warning", 0) >= 1
