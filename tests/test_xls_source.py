@@ -111,3 +111,86 @@ def test_read_excel_source_xlsx_still_works(spark, tmp_path):
     write_xlsx(path, ["id", "name"], [[1, "x"]])
     df = read_excel_source(spark, path)
     assert df.count() == 1
+
+
+def _build_minifat_ole2(stream_name: str, payload: bytes) -> bytes:
+    """Hand-built OLE2 container storing the payload in the MINI stream
+    (the layout real writers use for streams < 4096 bytes — our writer
+    deliberately pads past the cutoff, so this exercises the reader's
+    mini-FAT path)."""
+    assert len(payload) < 4096
+    n_mini = (len(payload) + 63) // 64
+    mini_stream = payload.ljust(n_mini * 64, b"\x00")
+    n_mini_sectors = (len(mini_stream) + 511) // 512
+    mini_stream = mini_stream.ljust(n_mini_sectors * 512, b"\x00")
+
+    # sectors: 0=FAT, 1=directory, 2=miniFAT, 3..=mini stream data
+    fat = [0xFFFFFFFF] * 128
+    fat[0] = 0xFFFFFFFD          # FAT sector
+    fat[1] = 0xFFFFFFFE          # directory
+    fat[2] = 0xFFFFFFFE          # mini FAT (one sector)
+    for i in range(n_mini_sectors):
+        fat[3 + i] = 4 + i if i + 1 < n_mini_sectors else 0xFFFFFFFE
+
+    minifat = [0xFFFFFFFF] * 128
+    for i in range(n_mini):
+        minifat[i] = i + 1 if i + 1 < n_mini else 0xFFFFFFFE
+
+    def dirent(name, etype, start, size):
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        ent = bytearray(128)
+        ent[: len(raw)] = raw
+        struct.pack_into("<H", ent, 64, len(raw))
+        ent[66] = etype
+        ent[67] = 1
+        struct.pack_into("<iii", ent, 68, -1, -1, 1 if etype == 5 else -1)
+        struct.pack_into("<I", ent, 116, start)
+        struct.pack_into("<Q", ent, 120, size)
+        return bytes(ent)
+
+    directory = (
+        dirent("Root Entry", 5, 3, len(mini_stream))   # root holds the mini stream
+        + dirent(stream_name, 2, 0, len(payload))      # mini-sector 0
+    ).ljust(512, b"\x00")
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x3E)
+    struct.pack_into("<H", header, 26, 3)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, 1)        # directory start
+    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", header, 60, 2)        # mini FAT start sector
+    struct.pack_into("<I", header, 64, 1)        # one mini FAT sector
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<109I", header, 76, *([0] + [0xFFFFFFFF] * 108))
+    return (
+        bytes(header)
+        + struct.pack("<128I", *fat)
+        + directory
+        + struct.pack("<128I", *minifat)
+        + mini_stream
+    )
+
+
+def test_ole2_minifat_stream_extraction(tmp_path):
+    """Streams under the 4096-byte cutoff live in the mini stream with
+    mini-FAT chaining — the reader must follow both."""
+    # a small BIFF payload: reuse write_xls's workbook bytes by building
+    # a tiny workbook, extracting its stream, and re-wrapping it mini-FAT
+    path = str(tmp_path / "t.xls")
+    write_xls(path, ["a", "b"], [["x", "y"], ["z", "w"]])
+    with open(path, "rb") as fh:
+        wb = ole2_streams(fh.read())["Workbook"]
+    wb = wb.rstrip(b"\x00")
+    assert len(wb) < 4096
+
+    data = _build_minifat_ole2("Workbook", wb)
+    streams = ole2_streams(data)
+    assert streams["Workbook"] == wb
+    rows = xls_rows(data)
+    assert rows == [["a", "b"], ["x", "y"], ["z", "w"]]
