@@ -26,18 +26,24 @@ def _cmd_run(args: argparse.Namespace) -> int:
     from opensanctions_spark.session import get_session
     from opensanctions_spark.sources.archive import StatementArchive
 
-    spark = get_session(f"osp-run-{args.dataset}")
+    if getattr(args, "config", None):
+        config = DatasetConfig.from_file(args.config)
+    else:
+        assertions = []
+        for spec in args.asserts or []:
+            metric, op, threshold = spec.rsplit(":", 2)
+            assertions.append(
+                Assertion(metric=metric, op=op, threshold=int(threshold))
+            )
+        config = DatasetConfig(name=args.dataset, assertions=assertions)
+    spark = get_session(f"osp-run-{config.name}")
     spark.sparkContext.setLogLevel("WARN")
-    assertions = []
-    for spec in args.asserts or []:
-        metric, op, threshold = spec.rsplit(":", 2)
-        assertions.append(Assertion(metric=metric, op=op, threshold=int(threshold)))
     statements = spark.read.parquet(args.statements)
     try:
         result = run_dataset(
             spark,
             statements,
-            DatasetConfig(name=args.dataset, assertions=assertions),
+            config,
             StatementArchive(spark, args.archive),
             out_dir=args.out,
             run_time=args.run_time,
@@ -304,7 +310,12 @@ def main(argv: list[str] | None = None) -> int:
 
     run_p = sub.add_parser("run", help="full dataset pipeline run")
     run_p.add_argument("--statements", required=True, help="statements parquet path")
-    run_p.add_argument("--dataset", required=True)
+    run_p.add_argument("--dataset", default=None)
+    run_p.add_argument(
+        "--config", default=None,
+        help="dataset config file (JSON; YAML if pyyaml present) with"
+        " name/assertions/published metadata — replaces --dataset/--assert",
+    )
     run_p.add_argument("--archive", required=True, help="versioned archive root")
     run_p.add_argument("--out", required=True, help="export output directory")
     run_p.add_argument("--run-time", default="2024-01-01T00:00:00")

@@ -388,7 +388,8 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
                single_file: bool = True,
                version: str = "1",
                run_time: str = "1970-01-01T00:00:00",
-               issue_levels: dict[str, int] | None = None) -> dict[str, int]:
+               issue_levels: dict[str, int] | None = None,
+               dataset_meta: dict | None = None) -> dict[str, int]:
     """Run every file sink off one persisted entity scan; write the K12
     metadata artifacts (index.json / resources.json / statistics.json
     with the reference's published field set — see
@@ -452,6 +453,7 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
         version=version,
         run_time=run_time,
         issue_levels=issue_levels,
+        dataset_meta=dataset_meta,
     )
     index["statement_count"] = counts.get("statements.csv", 0)
     with open(os.path.join(out_dir, "index.json"), "w") as fh:

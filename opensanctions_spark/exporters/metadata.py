@@ -217,6 +217,7 @@ def dataset_index(
     issue_levels: dict[str, int] | None = None,
     artifact_base: str = "artifacts:/",
     has_delta: bool = False,
+    dataset_meta: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """The reference ``index.json`` field set
     (``zavod/zavod/exporters/metadata/__init__.py:88-163``)."""
@@ -258,6 +259,17 @@ def dataset_index(
     }
     if has_delta:
         index["delta_url"] = url("delta.json")
+    # published dataset metadata (title/summary/publisher/url/tags/...)
+    # overlays the computed block, like the reference's
+    # dataset.to_opensanctions_dict merge — minus the redundant
+    # hierarchy keys it pops (metadata/__init__.py:103-106)
+    if dataset_meta:
+        meta = {
+            k: v
+            for k, v in dataset_meta.items()
+            if k not in ("externals", "sources", "collections")
+        }
+        index.update(meta)
     return index
 
 
@@ -270,6 +282,7 @@ def write_metadata(
     run_time: str = "1970-01-01T00:00:00",
     issue_levels: dict[str, int] | None = None,
     artifact_base: str = "artifacts:/",
+    dataset_meta: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Write statistics.json, index.json and resources.json; returns the
     index dict."""
@@ -287,6 +300,7 @@ def write_metadata(
         issue_levels=issue_levels,
         artifact_base=artifact_base,
         has_delta="delta.json" in row_counts,
+        dataset_meta=dataset_meta,
     )
     with open(os.path.join(out_dir, "index.json"), "w") as fh:
         json.dump(index, fh, indent=2, sort_keys=True)

@@ -45,8 +45,49 @@ class Assertion:
 
 @dataclass
 class DatasetConfig:
+    """Dataset run configuration — the ``zavod`` dataset YAML analogue
+    (``zavod/zavod/meta/model.py`` + ``dataset.py:184-202``): ``name``
+    and assertion thresholds drive the run; everything else
+    (title/summary/publisher/url/tags/coverage/type/hidden/...) is
+    published metadata that flows verbatim into ``index.json``."""
+
     name: str
     assertions: list[Assertion] = field(default_factory=list)
+    metadata: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "DatasetConfig":
+        data = dict(data)
+        name = data.pop("name")
+        assertions = []
+        for a in data.pop("assertions", []):
+            if isinstance(a, str):
+                metric, op, threshold = a.rsplit(":", 2)
+                assertions.append(
+                    Assertion(metric=metric, op=op, threshold=int(threshold))
+                )
+            else:
+                assertions.append(Assertion(**a))
+        return cls(name=name, assertions=assertions, metadata=data)
+
+    @classmethod
+    def from_file(cls, path: str) -> "DatasetConfig":
+        """Load a dataset config file: JSON always; YAML when the yaml
+        package is importable (the reference's configs are YAML — JSON
+        is the dependency-free interchange form)."""
+        with open(path) as fh:
+            text = fh.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            try:
+                import yaml  # type: ignore[import-not-found]
+            except ImportError as exc:
+                raise ValueError(
+                    f"{path} is not JSON and pyyaml is unavailable"
+                ) from exc
+            data = yaml.safe_load(text)
+        return cls.from_dict(data)
 
 
 @dataclass
@@ -195,7 +236,7 @@ def run_dataset(
     export_counts = export_all(
         entities, statements, out_dir, dataset=config.name,
         single_file=single_file, version=str(version), run_time=run_time,
-        issue_levels=issue_levels,
+        issue_levels=issue_levels, dataset_meta=config.metadata,
     )
 
     # 6. delta vs previous version (D0/D1)
@@ -331,6 +372,7 @@ def export_dataset(
     version: str | None = None,
     canonical_map: DataFrame | None = None,
     single_file: bool = True,
+    dataset_meta: dict | None = None,
 ) -> dict:
     """The standalone export stage (``zavod export``,
     ``zavod/zavod/cli/etl.py:57-73``): rebuild the entity view from one
@@ -350,6 +392,7 @@ def export_dataset(
     export_counts = export_all(
         entities, statements, out_dir, dataset=name,
         single_file=single_file, version=str(version), run_time=run_time,
+        dataset_meta=dataset_meta,
     )
     versions = archive.versions(name)
     prior = None

@@ -386,3 +386,40 @@ def test_issues_artifact_written_with_levels(spark, paths):
         index = json.load(fh)
     assert index["issue_count"] == len(issues)
     assert index["issue_levels"].get("warning", 0) >= 1
+
+
+def test_dataset_config_metadata_flows_into_index(spark, tmp_path, paths):
+    """The dataset config's published metadata (title/publisher/url/...)
+    lands in index.json, like the reference's to_opensanctions_dict
+    merge; redundant hierarchy keys are dropped."""
+    from opensanctions_spark.__main__ import main
+
+    v1_csv, _, archive_dir, out_dir = paths
+    stmts = str(tmp_path / "s.parquet")
+    crawl(spark, v1_csv).write.parquet(stmts)
+    cfg = tmp_path / "ds.json"
+    cfg.write_text(json.dumps({
+        "name": "fixture",
+        "assertions": ["entity_count:min:10"],
+        "title": "Fixture Sanctions List",
+        "summary": "A fixture dataset exercising the lifecycle.",
+        "publisher": {"name": "Fixture Authority", "country": "de"},
+        "url": "https://fixture.test/source",
+        "tags": ["sanctions", "fixture"],
+        "type": "source",
+        "collections": ["should-be-dropped"],
+    }))
+    rc = main([
+        "run", "--statements", stmts, "--config", str(cfg),
+        "--archive", archive_dir, "--out", out_dir,
+    ])
+    assert rc == 0
+    with open(os.path.join(out_dir, "index.json")) as fh:
+        index = json.load(fh)
+    assert index["title"] == "Fixture Sanctions List"
+    assert index["publisher"]["name"] == "Fixture Authority"
+    assert index["url"] == "https://fixture.test/source"
+    assert index["tags"] == ["sanctions", "fixture"]
+    assert index["type"] == "source"
+    assert "collections" not in index
+    assert index["entity_count"] == 12  # computed fields keep working
