@@ -67,6 +67,54 @@ def version_diff(prev: DataFrame, curr: DataFrame, key: str = "canonical_id",
     )
 
 
+def delta_export_rows(diff: DataFrame, entities: DataFrame,
+                      key: str = "canonical_id") -> DataFrame:
+    """The reference's delta line format
+    (``zavod/zavod/exporters/delta.py:29-38``): one JSON document per
+    changed entity — ``{"op": "ADD"|"MOD", "entity": {...full entity}}``
+    for upserts (the consolidated entity joined from the current view),
+    ``{"op": "DEL", "entity": {"id": ...}}`` for deletions. Columns
+    (canonical_id, line) so writers can order deterministically.
+
+    One left join of the (small) diff frame against the entity view —
+    at scale AQE broadcasts the diff side, so the view is never
+    re-shuffled for the delta."""
+    from opensanctions_spark.exporters import target_flag
+
+    ent = entities.select(
+        F.col("canonical_id").alias("_k"),
+        F.to_json(
+            F.struct(
+                F.col("canonical_id").alias("id"),
+                F.col("schema"),
+                F.col("properties"),
+                target_flag(F.col("properties")).alias("target"),
+                *(
+                    [F.col("first_seen"), F.col("last_seen")]
+                    if "first_seen" in entities.columns
+                    else []
+                ),
+            )
+        ).alias("_entity"),
+    )
+    joined = diff.join(ent, diff[key] == F.col("_k"), "left")
+    del_line = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.struct(F.col(key).alias("id")).alias("entity"),
+        )
+    )
+    ups_line = F.concat(
+        F.lit('{"op": "'), F.col("op"), F.lit('", "entity": '),
+        F.coalesce(F.col("_entity"), F.concat(F.lit('{"id": "'), F.col(key), F.lit('"}'))),
+        F.lit("}"),
+    )
+    return joined.select(
+        F.col(key),
+        F.when(F.col("op") == "DEL", del_line).otherwise(ups_line).alias("line"),
+    )
+
+
 def scd2_intervals(history: DataFrame, key: str = "entity_id",
                    version_col: str = "version",
                    hash_col: str = "entity_hash") -> DataFrame:

@@ -246,10 +246,14 @@ def run_dataset(
             r["op"]: r["n"]
             for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()
         }
-        delta_out = diff.orderBy("canonical_id")
+        # reference line format: {"op": ..., "entity": {...}} per row
+        # (zavod/zavod/exporters/delta.py:29-38)
+        from opensanctions_spark.operators.delta import delta_export_rows
+
+        delta_out = delta_export_rows(diff, entities).orderBy("canonical_id")
         if single_file:
             delta_out = delta_out.coalesce(1)
-        delta_out.write.mode("overwrite").json(
+        delta_out.select("line").write.mode("overwrite").text(
             os.path.join(out_dir, "delta.json")
         )
     else:
@@ -409,10 +413,12 @@ def export_dataset(
             r["op"]: r["n"]
             for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()
         }
-        delta_out = diff.orderBy("canonical_id")
+        from opensanctions_spark.operators.delta import delta_export_rows
+
+        delta_out = delta_export_rows(diff, entities).orderBy("canonical_id")
         if single_file:
             delta_out = delta_out.coalesce(1)
-        delta_out.write.mode("overwrite").json(
+        delta_out.select("line").write.mode("overwrite").text(
             os.path.join(out_dir, "delta.json")
         )
         # K8/K12: the delta-versions index (every archived version after

@@ -423,3 +423,25 @@ def test_dataset_config_metadata_flows_into_index(spark, tmp_path, paths):
     assert index["type"] == "source"
     assert "collections" not in index
     assert index["entity_count"] == 12  # computed fields keep working
+
+
+def test_delta_file_uses_reference_line_format(spark, paths):
+    """delta.json lines are {"op", "entity"} documents: full entity for
+    ADD/MOD, id-only for DEL (zavod/zavod/exporters/delta.py:29-38)."""
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    cfg = DatasetConfig(name="fixture")
+    run_dataset(spark, crawl(spark, v1_csv), cfg, archive,
+                out_dir=os.path.join(out_dir, "r1"), run_time="2024-01-01")
+    run_dataset(spark, crawl(spark, v2_csv), cfg, archive,
+                out_dir=os.path.join(out_dir, "r2"), run_time="2024-02-01")
+    ddir = os.path.join(out_dir, "r2", "delta.json")
+    part = [f for f in os.listdir(ddir) if f.startswith("part-")][0]
+    with open(os.path.join(ddir, part)) as fh:
+        ops = [json.loads(line) for line in fh if line.strip()]
+    by_op = {o["op"]: o for o in ops}
+    assert set(by_op) == {"ADD", "MOD", "DEL"}
+    assert by_op["DEL"]["entity"] == {"id": "p8"}
+    assert by_op["ADD"]["entity"]["id"] == "p9"
+    assert by_op["ADD"]["entity"]["properties"]["name"] == ["Ivy Irwin"]
+    assert by_op["MOD"]["entity"]["properties"]["name"] == ["Acme Corporation"]
