@@ -29,6 +29,10 @@ def _cmd_run(args: argparse.Namespace) -> int:
     if getattr(args, "config", None):
         config = DatasetConfig.from_file(args.config)
     else:
+        if not args.dataset:
+            print("error: either --config or --dataset is required",
+                  file=sys.stderr)
+            return 2
         assertions = []
         for spec in args.asserts or []:
             metric, op, threshold = spec.rsplit(":", 2)
