@@ -52,3 +52,47 @@ def test_top_k_deterministic_ties(spark):
     # all scores tie at 1.0 → candidates must come in id order
     assert got[(1, 1)] == 2 and got[(1, 2)] == 3
     assert got[(4, 1)] == 1 and got[(4, 2)] == 2
+
+
+def test_fused_topk_matches_two_stage_form(spark):
+    """The fused single-exchange top-k must agree with
+    jaccard_scored_pairs + top_k_per_subject on every (subject, rank)."""
+    from opensanctions_spark.operators.blocking import (
+        jaccard_scored_pairs,
+        top_k_blocked_matches,
+        top_k_per_subject,
+    )
+
+    rows = []
+    for i in range(40):
+        toks = [f"t{i % 7}", f"t{(i * 3) % 11}", f"u{i % 5}"]
+        rows += [(i, t) for t in set(toks)]
+    tokens = spark.createDataFrame(rows, "id long, token string")
+    two_stage = {
+        (r["subject_id"], r["rank"]): (r["candidate_id"], r["shared"])
+        for r in top_k_per_subject(jaccard_scored_pairs(tokens), k=3).collect()
+    }
+    fused = {
+        (r["subject_id"], r["rank"]): (r["candidate_id"], r["shared"])
+        for r in top_k_blocked_matches(tokens, k=3).collect()
+    }
+    assert fused == two_stage
+
+
+def test_fused_topk_respects_df_cap(spark):
+    """A stop-token shared by everyone must not generate pairs when the
+    document-frequency cap excludes it — the skew bound of the fused
+    path."""
+    from opensanctions_spark.operators.blocking import top_k_blocked_matches
+
+    rows = [(i, "stopword") for i in range(50)] + [
+        (i, f"rare{i % 2}") for i in range(4)
+    ]
+    tokens = spark.createDataFrame(rows, "id long, token string")
+    capped = top_k_blocked_matches(tokens, k=5, max_token_freq=10)
+    got = capped.select("subject_id", "candidate_id").collect()
+    # only the rare tokens (df=2 each) form pairs; the 50-member
+    # stopword bucket is dropped entirely
+    ids = {r["subject_id"] for r in got}
+    assert ids <= {0, 1, 2, 3}
+    assert len(got) == 4  # two rare buckets x one mirrored pair each
