@@ -1737,3 +1737,62 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(quota, F.col("n")).cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id, source,
+         'https://' || source || '.test/doc/' || (doc_id // 3) AS canonical_url
+  FROM documents
+)
+SELECT doc_id, canonical_url,
+       MIN(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
+FROM canon
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier primitive: mirror
+    variants of one page (tracking params, host case, ``www.``, default
+    ports, trailing slashes) collapse to one canonical URL, keeper = min
+    doc_id. The synthetic corpus gets three mirror shapes per canonical
+    page; the ORACLE computes the canonical form arithmetically, so the
+    regex canonicalizer (``functions/urls.py``) is checked against
+    ground truth, not against itself. Map-only canonicalization + one
+    window — the same shape as exact dedup at 100 TB."""
+    from opensanctions_spark.functions.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    base = F.concat(
+        F.col("source"), F.lit(".test/doc/"), (F.col("doc_id") / 3).cast("long")
+    )
+    # three mirror shapes per canonical page; the %3==2 variant uppercases
+    # only scheme/host (the parts canonicalization folds) — URL paths are
+    # case-sensitive and must survive untouched
+    messy = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://"), base, F.lit("/?utm_source=feed")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper(F.col("source")),
+                F.lit(".TEST:443/doc/"),
+                (F.col("doc_id") / 3).cast("long"),
+            )
+        )
+    )
+    canon = canonicalize_url(messy)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(canon)
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        F.min("doc_id").over(w).alias("keeper_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )

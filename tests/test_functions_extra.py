@@ -206,3 +206,23 @@ def test_article_statements_factory(spark):
         (F.col("schema") == "Article") & (F.col("prop") == "sourceUrl")
     ).count()
     assert n_articles == 2
+
+
+def test_url_canonicalization(spark):
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/path?fbclid=abc", "https://example.com/path"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    assert got == [c[1] for c in cases]
