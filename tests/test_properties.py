@@ -349,3 +349,42 @@ def test_xls_roundtrip_property(tmp_path_factory, rows):
         got = xls_rows(fh.read())
     assert got[0] == headers
     assert [[str(c) for c in r] for r in rows] == got[1:]
+
+
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.builds(
+        lambda scheme, host, path, params, frag: (
+            f"{scheme}://{host}{path}"
+            + ("?" + "&".join(params) if params else "")
+            + (f"#{frag}" if frag else "")
+        ),
+        scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+        host=st.sampled_from(
+            ["example.com", "WWW.Example.com", "a.b.test:8080",
+             "example.com:443", "x.test:80"]
+        ),
+        path=st.sampled_from(["", "/", "/a", "/a/b/", "/A/B"]),
+        params=st.lists(
+            st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=1", "z="]),
+            max_size=3,
+        ),
+        frag=st.sampled_from(["", "top"]),
+    )
+)
+def test_url_canonicalization_is_idempotent(spark, url):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point, or dedup keys drift between passes."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(url,)], "u string")
+    once, twice = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()[0]
+    assert once == twice
