@@ -18,7 +18,14 @@ DEC = "decimal(18,2)"
 
 
 def _dec(c: str):
-    return F.col(c).cast(DEC)
+    """Engine-identical money decimal: round(x*100) collapses the
+    DOUBLE->DECIMAL cast divergence (Spark rounds via the shortest
+    decimal string, DuckDB via the binary value — the q1 sf1 finding)
+    onto the same integer cents in both engines, then exact division
+    restores the DECIMAL(18,2) the downstream arithmetic expects."""
+    return (
+        F.round(F.col(c) * 100).cast("decimal(20,0)") / 100
+    ).cast(DEC)
 
 
 @register(
@@ -95,8 +102,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_orderkey,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+           * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -145,7 +152,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   r_name AS region,
   n_name AS nation,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
   COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -224,7 +231,7 @@ def j12_semi_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j8_same_id_equijoin",
     oracle="""
 SELECT c_custkey AS shared_key, c_name AS customer_name, s_name AS supplier_name,
-       CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS combined_balance
+       CAST(CAST(CAST(ROUND(c_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) + CAST(CAST(ROUND(s_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS combined_balance
 FROM customer JOIN supplier ON c_custkey = s_suppkey
 """,
 )
@@ -398,7 +405,7 @@ def a12_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_t3_facet_topk",
     oracle="""
 SELECT p_brand AS facet, COUNT(*) AS n,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CAST(ROUND(p_retailprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM part
 GROUP BY p_brand
 ORDER BY n DESC, facet
@@ -425,14 +432,14 @@ def t2_t3_facet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH big AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+  HAVING SUM(CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) > 250
 )
 SELECT c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       CAST(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
        b.total_qty
 FROM big b
 JOIN orders ON o_orderkey = b.l_orderkey
@@ -471,8 +478,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+                * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -528,8 +535,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+                * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        n_name AS nation
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -575,11 +582,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
 SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             THEN CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+                  * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))
              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+     / CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+                * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))) AS DOUBLE)
      AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -617,7 +624,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
@@ -650,7 +657,7 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(n_name, 'ALL') AS nation,
        CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS yr,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -840,7 +847,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_rolling_sum",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -906,8 +913,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+             * CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS qualifying
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1084,7 +1091,7 @@ SELECT o_orderpriority,
        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(COALESCE(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))
             FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total
 FROM orders
 GROUP BY o_orderpriority

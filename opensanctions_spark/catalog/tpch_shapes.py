@@ -38,12 +38,19 @@ DEC = "decimal(18,2)"
 
 
 def _dec(c: str):
-    return F.col(c).cast(DEC)
+    """Engine-identical money decimal: round(x*100) collapses the
+    DOUBLE->DECIMAL cast divergence (Spark rounds via the shortest
+    decimal string, DuckDB via the binary value — the q1 sf1 finding)
+    onto the same integer cents in both engines, then exact division
+    restores the DECIMAL(18,2) the downstream arithmetic expects."""
+    return (
+        F.round(F.col(c) * 100).cast("decimal(20,0)") / 100
+    ).cast(DEC)
 
 
 _REVENUE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    "CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))"
+    " * (1 - CAST(CAST(ROUND(l_discount * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)))"
 )
 
 
@@ -251,8 +258,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(SUM({_REVENUE_SQL}
-                - CAST(p_retailprice AS DECIMAL(18,2))
-                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                - CAST(CAST(ROUND(p_retailprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+                  * CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE)
            AS profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -296,8 +303,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH part_value AS (
   SELECT l_partkey,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_quantity AS DECIMAL(18,2))) AS value
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))
+             * CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS value
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -390,19 +397,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT l_partkey AS sk,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS sum_qty,
          COUNT(*) AS cnt
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE p_brand = 'Brand#11'
   GROUP BY l_partkey
 )
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+SELECT CAST(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE)
             / 7.0 AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN stats ON sk = l_partkey
 WHERE p_brand = 'Brand#11'
-  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+  AND CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) * 5 * cnt < sum_qty
 """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,15 +495,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     oracle="""
 WITH pos AS (
-  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+  SELECT SUM(CAST(CAST(ROUND(c_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n_name AS nation,
        COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(SUM(CAST(CAST(ROUND(c_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey, pos
-WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+WHERE CAST(CAST(ROUND(c_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) * cnt > total
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY n_name
