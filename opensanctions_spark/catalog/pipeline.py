@@ -370,7 +370,7 @@ def k11_sql_load_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
@@ -385,7 +385,10 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opensanctions_spark.operators.skew import salted_sum_count
 
     li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+        "l_returnflag",
+        (F.round(F.col("l_quantity") * 100).cast("decimal(20,0)") / 100)
+        .cast("decimal(18,2)")
+        .alias("qty"),
     )
     out = salted_sum_count(li, ["l_returnflag"], "qty", n_salts=16)
     return out.select(
@@ -400,7 +403,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag AS flag,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY l_returnflag
@@ -427,7 +430,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            F.sum((F.round(F.col("l_extendedprice") * 100).cast("decimal(20,0)") / 100).cast("decimal(18,2)"))
             .cast("double")
             .alias("total"),
         )
@@ -439,7 +442,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'c-' || (o_custkey % 100) AS canonical_id,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_custkey % 100
 """,
@@ -467,7 +470,7 @@ def j2_canonical_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.concat(F.lit("c-"), F.col("canon_key")).alias("canonical_id"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum((F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)") / 100).cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
         )

@@ -654,12 +654,12 @@ def audit_source_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'drifting' AS dataset,
        CAST(COUNT(*) AS BIGINT) AS n_statements,
-       CAST(SUM(CAST(c_acctbal + 1 AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+       CAST(SUM(CAST(CAST(ROUND((c_acctbal + 1) * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
 FROM customer
 UNION ALL
 SELECT 'stale' AS dataset,
        CAST(COUNT(*) AS BIGINT) AS n_statements,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+       CAST(SUM(CAST(CAST(ROUND(c_acctbal * 100) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
 FROM customer
 """,
 )
@@ -683,7 +683,11 @@ def s10_archive_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cust.select(
             F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
             F.lit("balance").alias("prop"),
-            (F.col("c_acctbal") + balance_shift)
+            (
+                F.round((F.col("c_acctbal") + balance_shift) * 100)
+                .cast("decimal(20,0)")
+                / 100
+            )
             .cast(T.DecimalType(18, 2))
             .alias("balance"),
             F.lit(False).alias("external"),
