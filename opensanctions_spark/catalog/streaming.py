@@ -28,7 +28,7 @@ _MEMSINK_SEQ = [0]
 SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+       CAST(SUM(CAST(CAST(ROUND(value * 1000000) AS DECIMAL(24,0)) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events
 GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
 """,
@@ -158,7 +158,7 @@ SELECT COALESCE(CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT), -1)
        COALESCE(CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT), -1)
            AS hour_us,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+       CAST(SUM(CAST(CAST(ROUND(value * 1000000) AS DECIMAL(24,0)) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events
 GROUP BY ROLLUP (time_bucket(INTERVAL 1 DAY, ts),
                  time_bucket(INTERVAL 1 HOUR, ts))
@@ -176,7 +176,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("day_b"),
         F.date_trunc("hour", "ts").alias("hour_b"),
-        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.round(F.col("value") * 1000000).cast("decimal(24,0)") / 1000000).cast("decimal(18,6)").alias("v"),
     )
     return (
         ev.rollup("day_b", "hour_b")
@@ -219,7 +219,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+       CAST(SUM(CAST(CAST(ROUND(e.value * 1000000) AS DECIMAL(24,0)) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY COALESCE(c.c_mktsegment, 'UNKNOWN')

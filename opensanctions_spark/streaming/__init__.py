@@ -66,7 +66,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.sum((F.round(F.col("value") * 1000000).cast("decimal(24,0)") / 1000000).cast("decimal(18,6)")).cast("double").alias("total"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -309,5 +309,5 @@ def enrich_events_with_segment(events: DataFrame, customers: DataFrame) -> DataF
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.sum((F.round(F.col("value") * 1000000).cast("decimal(24,0)") / 1000000).cast("decimal(18,6)")).cast("double").alias("total"),
     )
