@@ -1796,3 +1796,61 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("keeper_id"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
     )
+
+
+@register(
+    "text_mojibake_scan",
+    oracle="""
+WITH injected AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+         CASE WHEN doc_id % 17 = 0
+              THEN ' x' || chr(65533) || 'y' ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(body) - length(replace(body, chr(65533), ''))
+            AS BIGINT) AS n_replacement,
+       CAST(len(regexp_extract_all(body,
+            chr(195) || '[' || chr(128) || '-' || chr(191) || ']'))
+            AS BIGINT) AS n_latin1_utf8,
+       (length(body) - length(replace(body, chr(65533), '')) > 0
+        OR len(regexp_extract_all(body,
+             chr(195) || '[' || chr(128) || '-' || chr(191) || ']')) > 0)
+           AS suspect
+FROM injected
+""",
+)
+def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Encoding-damage scan: U+FFFD replacement characters (byte-level
+    corruption) and latin1-decoded-UTF-8 pair signatures (the classic
+    mojibake shape) -- the charset-hygiene gate of web-corpus curation,
+    one map-only regex pass. Deterministic damage is injected (docs %13
+    get a mojibake pair, %17 a replacement char) so the detectors must
+    find exactly those.'''
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" caf\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.lit(" x\ufffdy")
+        ).otherwise(F.lit("")),
+    )
+    n_repl = F.length(body) - F.length(
+        F.regexp_replace(body, "\ufffd", "")
+    )
+    n_pair = F.size(
+        F.regexp_extract_all(
+            body, F.lit("\u00c3[\u0080-\u00bf]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_repl.cast("long").alias("n_replacement"),
+        n_pair.cast("long").alias("n_latin1_utf8"),
+        ((n_repl > 0) | (n_pair > 0)).alias("suspect"),
+    )
