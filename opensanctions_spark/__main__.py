@@ -115,6 +115,24 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_catalog(args: argparse.Namespace) -> int:
+    """Write the collection-level catalog.json across exported dataset
+    directories (the CATALOG_FILE analogue)."""
+    from opensanctions_spark.exporters.metadata import write_catalog
+
+    catalog = write_catalog(args.out, args.dataset_dirs, run_time=args.run_time)
+    print(
+        json.dumps(
+            {
+                "datasets": catalog["dataset_count"],
+                "entity_count": catalog["entity_count"],
+                "target_count": catalog["target_count"],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_xref_prune(args: argparse.Namespace) -> int:
     """`zavod xref-prune` analogue: drop undecided candidate edges from
     the persisted decisions, keep judgements only."""
@@ -372,6 +390,14 @@ def main(argv: list[str] | None = None) -> int:
     x_p.add_argument("--top-k", type=int, default=10)
     x_p.add_argument("--limit", type=int, default=5000)
     x_p.set_defaults(fn=_cmd_xref)
+
+    cat_p = sub.add_parser(
+        "catalog", help="roll dataset indexes into a collection catalog.json"
+    )
+    cat_p.add_argument("--out", required=True, help="collection root dir")
+    cat_p.add_argument("--run-time", default="2024-01-01T00:00:00")
+    cat_p.add_argument("dataset_dirs", nargs="+", help="exported dataset dirs")
+    cat_p.set_defaults(fn=_cmd_catalog)
 
     xp_p = sub.add_parser(
         "xref-prune", help="drop undecided candidate edges from decisions"
