@@ -1854,3 +1854,43 @@ def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pair.cast("long").alias("n_latin1_utf8"),
         ((n_repl > 0) | (n_pair > 0)).alias("suspect"),
     )
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+perms AS (SELECT unnest(range(8)) AS k),
+minhash AS (
+  SELECT doc_id, k,
+         MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
+  FROM shingles CROSS JOIN perms
+  GROUP BY doc_id, k
+),
+bucket_sizes AS (
+  SELECT k, mh, COUNT(*) AS n FROM minhash GROUP BY k, mh
+),
+kept AS (
+  SELECT m.doc_id, m.k, m.mh FROM minhash m
+  JOIN bucket_sizes s ON m.k = s.k AND m.mh = s.mh
+  WHERE s.n <= 8
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       COUNT(*) AS n_bands
+FROM kept a JOIN kept b
+  ON a.k = b.k AND a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation WITH the stop-band cap engaged
+    (max_bucket_size=8): band buckets above the cap are boilerplate
+    carrying no discriminative signal and are dropped BEFORE pair
+    expansion, bounding worst-case pair cost to O(buckets × cap²) — the
+    skew knob every web-scale dedup needs. The oracle replays the
+    bucket-size filter, so the cap's exact pair-set semantics (not just
+    a count) are verified."""
+    return minhash_pairs_of(
+        shingle_arrays_of(load(spark, sf_dir, "documents")),
+        max_bucket_size=8,
+    )
