@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from opensanctions_spark.catalog import load, register
+from opensanctions_spark.catalog import QUERIES, load, register
 
 N_QUERIES = 10  # vec_id < 10 are the query set
 TOP_K = 5
@@ -822,4 +822,76 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_recall_meta",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST(list_position(embedding::DOUBLE[],
+              list_aggregate(embedding::DOUBLE[], 'max')) AS BIGINT) AS bucket
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, emb, bucket, sqrt({_dot_sql('emb', 'emb')}) AS nrm FROM vecs
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) DESC, c.vec_id)
+             AS rank
+    FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_dot_sql('q.emb', 'c.emb')} / (q.nrm * c.nrm) DESC, c.vec_id)
+             AS rank
+    FROM normed q JOIN normed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recalled
+FROM exact e
+LEFT JOIN ivf i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+""",
+)
+def ann_recall_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall meta-check: how many of the exact brute-force top-k
+    does IVF nprobe=1 recover — the measured recall behind the
+    bucket-count/nprobe dial (the vector-space analogue of
+    ``dedup_lsh_recall``). Composes the two existing plans and
+    aggregates the overlap to two exact integers; at 100 TB this is the
+    periodic quality probe run on a sampled query set, never the full
+    corpus."""
+    exact = (
+        QUERIES["ann_cosine_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        QUERIES["ann_ivf_bucketed"](spark, sf_dir)
+        .select(
+            F.col("query_id").alias("q2"),
+            F.col("neighbor_id").alias("n2"),
+        )
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == F.col("q2"))
+        & (exact["neighbor_id"] == F.col("n2")),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.col("n2").isNotNull().cast("long")).alias("n_recalled"),
     )
