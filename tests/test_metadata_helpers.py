@@ -1,0 +1,52 @@
+"""Unit tests for the K12 metadata helpers (no Spark needed):
+delta-version index, issues artifact, catalog rollup edge cases."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from opensanctions_spark.exporters.metadata import (
+    write_catalog,
+    write_delta_index,
+    write_issues,
+)
+
+
+def test_delta_index_newest_first_and_capped(tmp_path):
+    data = write_delta_index(
+        str(tmp_path), "ds", ["v1", "v2", "v3"], max_versions=2
+    )
+    assert list(data["versions"]) == ["v3", "v2"]  # newest first, capped
+    assert data["unstable"]["version_list"][0]["version"] == "v3"
+    assert "delta.json" in data["versions"]["v3"]
+    on_disk = json.load(open(tmp_path / "delta_index.json"))
+    assert on_disk == data
+
+
+def test_delta_index_empty_writes_nothing(tmp_path):
+    assert write_delta_index(str(tmp_path), "ds", []) is None
+    assert not os.path.exists(tmp_path / "delta_index.json")
+
+
+def test_write_issues_levels(tmp_path):
+    levels = write_issues(
+        str(tmp_path),
+        [
+            {"level": "error", "message": "a"},
+            {"level": "warning", "message": "b"},
+            {"level": "warning", "message": "c"},
+            {"message": "no level"},
+        ],
+    )
+    assert levels == {"error": 1, "warning": 2}
+    data = json.load(open(tmp_path / "issues.json"))
+    assert len(data["issues"]) == 4
+
+
+def test_write_catalog_handles_missing_dirs(tmp_path):
+    d = tmp_path / "never-exported"
+    os.makedirs(d)
+    catalog = write_catalog(str(tmp_path), [str(d)])
+    assert catalog["datasets"] == [{"name": "never-exported"}]
+    assert catalog["entity_count"] == 0
