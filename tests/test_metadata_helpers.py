@@ -50,3 +50,33 @@ def test_write_catalog_handles_missing_dirs(tmp_path):
     catalog = write_catalog(str(tmp_path), [str(d)])
     assert catalog["datasets"] == [{"name": "never-exported"}]
     assert catalog["entity_count"] == 0
+
+
+def test_dataset_config_from_dict_forms():
+    from opensanctions_spark.plans.run import Assertion, DatasetConfig
+
+    cfg = DatasetConfig.from_dict(
+        {
+            "name": "ds",
+            "assertions": [
+                "entity_count:min:10",
+                {"metric": "schema:Person", "op": "max",
+                 "threshold": 5, "level": "warning"},
+            ],
+            "title": "T",
+            "publisher": {"name": "P"},
+        }
+    )
+    assert cfg.name == "ds"
+    assert cfg.assertions[0] == Assertion("entity_count", "min", 10)
+    assert cfg.assertions[1].level == "warning"
+    assert cfg.metadata == {"title": "T", "publisher": {"name": "P"}}
+
+
+def test_dataset_config_from_json_file(tmp_path):
+    from opensanctions_spark.plans.run import DatasetConfig
+
+    p = tmp_path / "c.json"
+    p.write_text('{"name": "x", "assertions": ["entity_count:min:1"]}')
+    cfg = DatasetConfig.from_file(str(p))
+    assert cfg.name == "x" and len(cfg.assertions) == 1
