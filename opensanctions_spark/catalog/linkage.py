@@ -104,6 +104,13 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Epoch window width for the time-bucketed range join: 6 h in µs. Sized
+#: ~1.5× the p99 interval duration (≈228 min in the events table) so the
+#: per-interval window fan-out stays ≈1 while per-(user, window) bucket
+#: population is bounded by the per-user event *rate*, not the corpus size.
+J7_WINDOW_US = 21_600_000_000
+
+
 @register(
     "j7_interval_overlap",
     oracle="""
@@ -124,12 +131,31 @@ FROM iv a JOIN iv b
 def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap range join (J7): the temporal-compatibility core of
     edge dedupe (``zavod/zavod/integration/edges.py:129-195`` — partial-ISO
-    interval overlap: start1 ≤ end2 AND start2 ≤ end1), bucketed by the
-    edge key. Events become [ts, ts + value minutes) intervals bucketed by
-    user. Equi-key (user_id) carries the join; the range predicate filters
-    within buckets, so cost is Σ per-key n² — the same bucketing the
-    reference uses, and at 100 TB the bucket key keeps it shuffle-local.
-    Microsecond integers (unix_micros/epoch_us) keep both engines exact."""
+    interval overlap: start1 ≤ end2 AND start2 ≤ end1). Events become
+    [ts, ts + value minutes) intervals.
+
+    Scale shape: a plain (user_id) equi-join makes per-key cost n² with n
+    growing linearly in the data — the one query that got *relatively*
+    worse with scale. Instead each interval is exploded to the fixed-width
+    epoch windows it touches (sequence of start_us div W .. end_us div W,
+    fan-out ≈ 1 for W ≫ typical duration), bucketed by (user_id, window)
+    in ONE shuffle, and pairs expand inside each bucket with JVM array
+    functions — per-bucket population is bounded by the per-user event
+    rate per window, independent of corpus size. Each overlapping pair
+    would surface in every shared window, so a pair is emitted only in
+    its OWNERSHIP window — the one containing the later start (that
+    window is on both intervals' lists iff they overlap) — which makes
+    the output exactly-once with zero dedup shuffle. All bounds are µs
+    integers (unix_micros/epoch_us), so both engines are exact; the
+    window membership test is pure long arithmetic (w·W ≤ gs < (w+1)·W),
+    never a float division.
+
+    The full construction (window explode, bucket expansion, ownership
+    dedup, codegen-vs-lambda expression placement) lives in
+    ``operators/intervals.py`` — this exhibit wires the events table into
+    it."""
+    from opensanctions_spark.operators.intervals import interval_overlap_pairs
+
     events = load(spark, sf_dir, "events")
     iv = events.select(
         "user_id",
@@ -140,21 +166,11 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("value") * 60 * 1000000).cast("long")
         ).alias("end_us"),
     )
-    a = iv.alias("a")
-    b = iv.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.col("a.start_us") <= F.col("b.end_us"))
-            & (F.col("b.start_us") <= F.col("a.end_us")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.event_id").alias("left_id"),
-            F.col("b.event_id").alias("right_id"),
-        )
+    pairs = interval_overlap_pairs(
+        iv, "user_id", "event_id", "start_us", "end_us", J7_WINDOW_US
+    )
+    return pairs.select(
+        F.col("key").alias("user_id"), "left_id", "right_id"
     )
 
 

@@ -33,6 +33,37 @@ def _parallelism(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _hot_tokens(tokens: DataFrame, max_token_freq: int) -> DataFrame:
+    """Tokens whose document frequency exceeds the skew cap — the
+    stopword-ish blocking keys the reference's candidate budgets exist to
+    suppress (``zavod/zavod/integration/dedupe.py:47-56``).
+
+    This is the side that gets broadcast: it is SMALL BY CONSTRUCTION
+    (only tokens shared by > max_token_freq entities — a few thousand
+    stopwords at any corpus size), whereas the kept vocabulary grows
+    without bound with the corpus. Broadcasting the kept side would blow
+    the broadcast limit at 100 TB; anti-joining against the hot side is
+    a map-side filter whose build never grows past the cap's own math
+    (≤ total_token_occurrences / max_token_freq distinct tokens)."""
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_token_freq)
+        .select("token")
+    )
+
+
+def _drop_hot_tokens(
+    annotated: DataFrame, tokens: DataFrame, max_token_freq: int
+) -> DataFrame:
+    """Remove skew-capped tokens via a broadcast LEFT ANTI join against the
+    hot-token set (see ``_hot_tokens`` for why this side, never the kept
+    vocabulary, is the broadcast build)."""
+    return annotated.join(
+        F.broadcast(_hot_tokens(tokens, max_token_freq)), "token", "left_anti"
+    )
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token, n_tokens) rows: lowercase, split on non-alnum, distinct
     within each id. Dedup and the per-id token count are computed ROW-WISE
@@ -71,11 +102,7 @@ def candidate_pairs(
     `max_token_freq` ids are dropped before the self-join."""
     t = tokens
     if max_token_freq is not None:
-        freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
-        t = tokens.join(
-            F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
-            "token",
-        )
+        t = _drop_hot_tokens(tokens, tokens, max_token_freq)
     buckets = (
         t.groupBy("token")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -130,11 +157,7 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
             "n_tokens", F.count("*").over(Window.partitionBy("id"))
         )
     if max_token_freq is not None:
-        freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
-        t = t.join(
-            F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
-            "token",
-        )
+        t = _drop_hot_tokens(t, tokens, max_token_freq)
     buckets = (
         t.groupBy("token")
         .agg(
@@ -254,10 +277,13 @@ def bipartite_jaccard_pairs(
     s = _counted(subject_tokens).withColumn("side", F.lit("s"))
     t = _counted(target_tokens).withColumn("side", F.lit("t"))
     if max_token_freq is not None:
-        freq = target_tokens.groupBy("token").agg(F.count("*").alias("_df"))
-        keep = F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token"))
-        s = s.join(keep, "token")
-        t = t.join(keep, "token")
+        # Hot set measured on the TARGET side (the big one at 100 TB);
+        # subject tokens absent from the target frame survive the anti-join
+        # but can never pair (the bucket filter needs both sides), so the
+        # pair output is identical to the old inner-join-on-kept form.
+        hot = F.broadcast(_hot_tokens(target_tokens, max_token_freq))
+        s = s.join(hot, "token", "left_anti")
+        t = t.join(hot, "token", "left_anti")
     both = s.unionByName(t)
     buckets = (
         both.groupBy("token")
@@ -345,11 +371,7 @@ def top_k_blocked_matches(
             "n_tokens", F.count("*").over(Window.partitionBy("id"))
         )
     if max_token_freq is not None:
-        freq = tokens.groupBy("token").agg(F.count("*").alias("_df"))
-        t = t.join(
-            F.broadcast(freq.filter(F.col("_df") <= max_token_freq).select("token")),
-            "token",
-        )
+        t = _drop_hot_tokens(t, tokens, max_token_freq)
     buckets = (
         t.groupBy("token")
         .agg(

@@ -390,3 +390,46 @@ def test_j5_fused_topk_single_pair_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["j5_t1_blocking_topk"](spark, sf_dir))
     n = plan.count("Exchange hashpartitioning")
     assert n <= 2, f"expected <=2 hash exchanges in fused j5, saw {n}"
+
+
+def test_blocking_skew_cap_broadcasts_hot_side_only(spark, sf_dir):
+    """The DF skew cap must never broadcast the KEPT vocabulary (unbounded
+    at 100 TB) — only the hot-token set (bounded by the cap's own math) may
+    build a broadcast, and only as a LEFT ANTI join. Every BroadcastHashJoin
+    in a capped blocking plan must therefore be LeftAnti."""
+    from opensanctions_spark.operators.blocking import (
+        bipartite_jaccard_pairs,
+        candidate_pairs,
+        jaccard_scored_pairs,
+        tokenize,
+        top_k_blocked_matches,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tokens = tokenize(cust.limit(200), "c_custkey", "c_name")
+    plans = [
+        _executed_plan(candidate_pairs(tokens, max_token_freq=50)),
+        _executed_plan(jaccard_scored_pairs(tokens, max_token_freq=50)),
+        _executed_plan(top_k_blocked_matches(tokens, k=3, max_token_freq=50)),
+        _executed_plan(
+            bipartite_jaccard_pairs(tokens, tokens, max_token_freq=50)
+        ),
+    ]
+    for plan in plans:
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "LeftAnti" in line, (
+                    "broadcast of the kept token vocabulary:\n" + line
+                )
+
+
+def test_j7_interval_overlap_is_bucketed_not_joined(spark, sf_dir):
+    """The J7 range exhibit must run as the time-bucketed single-shuffle
+    form: one hash exchange (the (key, window) groupBy), no join operator
+    anywhere — a per-key self-join would be quadratic in the data."""
+    plan = _executed_plan(QUERIES["j7_interval_overlap"](spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"join operator {op} in bucketed range join"
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange, saw {n}"
