@@ -7,6 +7,13 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query is executed with a full materialization (count + collect of a
 bounded result) so the measured time covers the whole plan, not lazy
 construction.
+
+Drift control: round-over-round wall times on a shared VM are confounded
+by machine load (the r1→r2 DuckDB control itself moved +16% on identical
+queries). Each query's DuckDB oracle therefore runs INTERLEAVED in the
+same process right after the Spark runs, and the JSON carries per-query
+spark/duck ratios ("ratios", plus "ratio_total") — a ratio regression
+>20% is a real plan change; a wall-time-only move is load.
 """
 
 from __future__ import annotations
@@ -15,6 +22,11 @@ import json
 import os
 import sys
 import time
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -101,11 +113,31 @@ def main() -> None:
         # timed runs don't compete with stale sf0.001 cache blocks
         spark.catalog.clearCache()
 
+    # Interleaved control: the same oracle SQL DuckDB runs in the
+    # correctness gate, timed in this very process so both engines see the
+    # same machine load. import-gated: a bench without duckdb still works.
+    from opensanctions_spark.catalog import ORACLES
+
+    con = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+    except Exception as exc:  # pragma: no cover - control is best-effort
+        print(f"# duckdb control unavailable: {exc}", file=sys.stderr)
+
     # Each query runs twice and reports the MIN (the standard steady-state
     # estimator, cf. hyperfine): one-shot numbers on a shared machine carry
     # ±30% scheduler/GC noise that would otherwise be recorded as the
-    # engine's time.
+    # engine's time. The DuckDB control runs back-to-back with its Spark
+    # query (same load regime) under the same min-of-2 discipline.
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
+    ratios: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -119,20 +151,41 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        sql = ORACLES.get(name)
+        if con is not None and sql is not None:
+            dbest = None
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    dt = time.time() - t0
+                    dbest = dt if dbest is None or dt < dbest else dbest
+                duck[name] = round(dbest, 3)
+                ratios[name] = round(best / dbest, 2) if dbest > 0 else 0.0
+            except Exception as exc:
+                print(f"# duckdb control {name} failed: {exc}", file=sys.stderr)
+        extra = (
+            f" | duck {duck[name]}s ratio {ratios[name]}x"
+            if name in ratios
+            else ""
+        )
+        print(f"# {name}: {n} rows in {timings[name]}s{extra}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    duck_total = round(sum(duck.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck:
+        out["duckdb"] = duck
+        out["ratios"] = ratios
+        out["duckdb_total"] = duck_total
+        out["ratio_total"] = round(total / duck_total, 2) if duck_total else 0.0
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
