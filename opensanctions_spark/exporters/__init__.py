@@ -50,15 +50,28 @@ def target_flag(properties: Column) -> Column:
 # adjacency (shared by K3/K4/K5) — the ViewFragment analogue
 
 
-def adjacent_entities(entities: DataFrame, props: list[str] | None = None) -> DataFrame:
+def adjacent_entities(
+    entities: DataFrame,
+    props: list[str] | None = None,
+    targets: DataFrame | None = None,
+) -> DataFrame:
     """Forward adjacency (J3): one row per (entity, prop, adjacent entity).
 
     Explodes the entity-typed properties and self-joins back to the entity
     view — the declarative form of ``Entity.to_nested_dict``'s neighbour
     lookup (``zavod/zavod/entity.py:174-198``). Returns columns
     (canonical_id, prop, adj_id, adj_schema, adj_properties).
+
+    ``targets`` narrows the frame the references resolve AGAINST (default:
+    ``entities`` itself). When the caller knows the referenced population —
+    e.g. ``addressEntity`` refs only ever point at Address entities — a
+    pre-filtered target view lets the filter push below the target's
+    assembly aggregation and shrinks the join's build side from the whole
+    entity universe to the referenced slice.
     """
     props = props or list(ENTITY_PROPS)
+    if targets is None:
+        targets = entities
 
     def tag(p: str):
         # single-arg lambda: F.transform passes (element, index) to 2-arg ones
@@ -75,7 +88,7 @@ def adjacent_entities(entities: DataFrame, props: list[str] | None = None) -> Da
             )
         ).alias("ref"),
     ).select("canonical_id", "ref.prop", "ref.adj_id")
-    adj = entities.select(
+    adj = targets.select(
         F.col("canonical_id").alias("adj_id"),
         F.col("schema").alias("adj_schema"),
         F.col("properties").alias("adj_properties"),
