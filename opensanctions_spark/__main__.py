@@ -115,6 +115,31 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_publish(args: argparse.Namespace) -> int:
+    """`zavod publish` analogue: archive the run artifacts under the
+    version directory, release-copy the listed resources, promote the
+    version to the backfill pointer."""
+    from opensanctions_spark.plans.publish import publish_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-publish-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    result = publish_dataset(
+        StatementArchive(spark, args.archive),
+        args.dataset,
+        artifacts_dir=args.artifacts,
+        version=args.version,
+        release=args.release,
+        republish_to_latest=not args.no_latest,
+    )
+    for name in result.stale_latest:
+        print(f"warning: stale file in datasets/latest/{args.dataset}: {name}",
+              file=sys.stderr)
+    print(json.dumps(dataclasses.asdict(result), indent=2))
+    return 0
+
+
 def _cmd_catalog(args: argparse.Namespace) -> int:
     """Write the collection-level catalog.json across exported dataset
     directories (the CATALOG_FILE analogue)."""
@@ -390,6 +415,21 @@ def main(argv: list[str] | None = None) -> int:
     x_p.add_argument("--top-k", type=int, default=10)
     x_p.add_argument("--limit", type=int, default=5000)
     x_p.set_defaults(fn=_cmd_xref)
+
+    pub_p = sub.add_parser(
+        "publish", help="release-copy run artifacts + promote the version"
+    )
+    pub_p.add_argument("--archive", required=True, help="archive base dir")
+    pub_p.add_argument("--dataset", required=True)
+    pub_p.add_argument("--artifacts", required=True,
+                       help="the run's out_dir (export artifacts)")
+    pub_p.add_argument("--version", default=None,
+                       help="version to publish (default: newest recorded)")
+    pub_p.add_argument("--release", default="latest",
+                       help="release name (default: latest)")
+    pub_p.add_argument("--no-latest", action="store_true",
+                       help="skip the datasets/latest re-publish")
+    pub_p.set_defaults(fn=_cmd_publish)
 
     cat_p = sub.add_parser(
         "catalog", help="roll dataset indexes into a collection catalog.json"

@@ -149,8 +149,10 @@ def run_dataset(
     same way, at store-read time (``zavod/zavod/store.py:36-47``), so
     merged entities collapse into one canonical group in A1."""
     # 1. first_seen propagation from the previous version (J1); both seen-
-    # timestamps are stamped at emit time like the reference's context.emit
-    prev_version = archive.latest(config.name)
+    # timestamps are stamped at emit time like the reference's context.emit.
+    # "previous" = last SUCCESSFUL run — a version written by a run that
+    # later failed validation must not feed timestamps or deltas.
+    prev_version = archive.last_successful(config.name)
     prev = archive.read(config.name) if prev_version else None
     statements = statements.drop("first_seen").withColumn(
         "last_seen", F.lit(run_time)
@@ -161,8 +163,12 @@ def run_dataset(
         )
     else:
         statements = statements.withColumn("first_seen", F.lit(run_time))
-    # 2. versioned write, then read back (single lineage for all consumers)
-    version = archive.write(statements, config.name, version)
+    # 2. versioned write, then read back (single lineage for all consumers).
+    # Written PENDING (success=False): the version is recorded and
+    # debuggable, but the backfill pointer only advances once the whole
+    # run — validation included — completes (mark_successful below), so a
+    # fatal-assertion abort can never poison the next run's backfill.
+    version = archive.write(statements, config.name, version, success=False)
     statements = archive.read(config.name, version=version, external=True)
 
     # 2b. resolver rekey (J2) at read time, like the reference's linker
@@ -275,6 +281,9 @@ def run_dataset(
         json.dump(
             {k: v for k, v in result.__dict__.items()}, fh, indent=2, sort_keys=True
         )
+    # the run completed (exports + validation): promote the version so
+    # backfill reads resolve it
+    archive.mark_successful(config.name, version)
     entities.unpersist()
     return result
 

@@ -62,33 +62,72 @@ class StatementArchive:
             return []
 
     def latest(self, dataset: str) -> str | None:
+        """Newest RECORDED version — including runs that later failed
+        validation (the reference's ``get_latest(backfill=False)``,
+        the working-directory view)."""
         versions = self.versions(dataset)
         return versions[-1] if versions else None
 
-    def _record_version(self, dataset: str, version: str, keep: int = 10) -> None:
-        versions = [v for v in self.versions(dataset) if v != version]
+    def last_successful(self, dataset: str) -> str | None:
+        """The backfill pointer: the newest version whose run completed
+        (``zavod/zavod/runtime/versions.py`` ``get_latest`` with backfill —
+        a failed run's version never becomes the fallback read)."""
+        try:
+            with open(self._manifest_path(dataset)) as fh:
+                return json.load(fh).get("last_successful")
+        except FileNotFoundError:
+            return None
+
+    def _record_version(
+        self, dataset: str, version: str, keep: int = 10, success: bool = True
+    ) -> None:
+        manifest_versions = self.versions(dataset)
+        last = self.last_successful(dataset)
+        versions = [v for v in manifest_versions if v != version]
         versions.append(version)
         versions = sorted(versions)[-keep:]  # bounded history window
+        if success:
+            last = version
         os.makedirs(self._dataset_dir(dataset), exist_ok=True)
         with open(self._manifest_path(dataset), "w") as fh:
-            json.dump({"versions": versions, "last_successful": versions[-1]}, fh)
+            json.dump({"versions": versions, "last_successful": last}, fh)
+
+    def mark_successful(self, dataset: str, version: str) -> None:
+        """Flip the backfill pointer to ``version`` — the publish-time /
+        end-of-run promotion (``zavod/zavod/publish.py:63-95`` makes a
+        version the released one the same way)."""
+        if version not in self.versions(dataset):
+            raise ValueError(f"unknown version for {dataset}: {version}")
+        self._record_version(dataset, version, success=True)
 
     # -- write (statements.pack analogue) ----------------------------------
-    def write(self, statements: DataFrame, dataset: str, version: str | None = None) -> str:
+    def write(
+        self,
+        statements: DataFrame,
+        dataset: str,
+        version: str | None = None,
+        success: bool = True,
+    ) -> str:
+        """Write one version. ``success=False`` records the version (so it
+        is inspectable/debuggable) WITHOUT advancing the backfill pointer —
+        the run plan writes pending and promotes via ``mark_successful``
+        once validation passes, so an aborted run can't poison backfill
+        (the reference's archive_failure/publish split)."""
         version = version or new_version_id()
         if not _VERSION_RE.match(version):
             raise ValueError(f"bad version id: {version}")
         statements.write.mode("overwrite").parquet(self.version_path(dataset, version))
-        self._record_version(dataset, version)
+        self._record_version(dataset, version, success=success)
         return version
 
     # -- read with backfill fallback (S9/S10) ------------------------------
     def read(self, dataset: str, version: str | None = None,
              external: bool = False) -> DataFrame:
         """Read one dataset's statements; version=None falls back to the
-        latest successful run (``zavod/zavod/archive/__init__.py:155-231``).
+        latest SUCCESSFUL run (``zavod/zavod/archive/__init__.py:155-231``
+        — never a version whose run failed validation).
         external=False drops enrichment candidates at the scan (P2)."""
-        version = version or self.latest(dataset)
+        version = version or self.last_successful(dataset) or self.latest(dataset)
         if version is None:
             raise FileNotFoundError(f"no versions for dataset {dataset}")
         df = self.spark.read.parquet(self.version_path(dataset, version))

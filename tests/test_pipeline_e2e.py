@@ -445,3 +445,93 @@ def test_delta_file_uses_reference_line_format(spark, paths):
     assert by_op["ADD"]["entity"]["id"] == "p9"
     assert by_op["ADD"]["entity"]["properties"]["name"] == ["Ivy Irwin"]
     assert by_op["MOD"]["entity"]["properties"]["name"] == ["Acme Corporation"]
+
+
+def test_failed_run_does_not_poison_backfill(spark, paths):
+    """A run aborted by a fatal assertion records its version (debuggable)
+    but never advances the backfill pointer — reads with no version still
+    resolve the last successful run (the reference's archive_failure /
+    publish split, zavod/zavod/publish.py)."""
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    good = DatasetConfig(name="fixture", assertions=[Assertion("entity_count", "min", 10)])
+    run_dataset(
+        spark, crawl(spark, v1_csv), good, archive,
+        out_dir=os.path.join(out_dir, "r1"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    assert archive.last_successful("fixture") == "20260801-000000"
+    v1_rows = archive.read("fixture").count()
+
+    bad = DatasetConfig(name="fixture", assertions=[Assertion("entity_count", "min", 100)])
+    with pytest.raises(AssertionError):
+        run_dataset(
+            spark, crawl(spark, v2_csv), bad, archive,
+            out_dir=os.path.join(out_dir, "r2"),
+            run_time="2026-08-13T00:00:00", version="20260813-000000",
+        )
+    # the failed version is recorded, but backfill still reads v1
+    assert archive.versions("fixture") == ["20260801-000000", "20260813-000000"]
+    assert archive.last_successful("fixture") == "20260801-000000"
+    assert archive.read("fixture").count() == v1_rows
+
+
+def test_publish_release_copy_and_promotion(spark, paths):
+    """run → publish: artifacts land in the immutable version dir, listed
+    resources land in datasets/{release}/ + datasets/latest/, the version
+    is promoted, and stale latest files are reported (never deleted)."""
+    from opensanctions_spark.plans.publish import publish_dataset
+
+    v1_csv, _, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    config = DatasetConfig(name="fixture", assertions=[])
+    r1_out = os.path.join(out_dir, "r1")
+    run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=r1_out,
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    res = publish_dataset(
+        archive, "fixture", artifacts_dir=r1_out,
+        version="20260801-000000", release="20260801",
+    )
+    assert "index.json" in res.published
+    # unlisted resources are archived but never release-copied
+    assert "statistics.json" not in res.published
+    vdir = os.path.dirname(archive.version_path("fixture", "20260801-000000"))
+    assert os.path.exists(os.path.join(vdir, "index.json"))
+    assert os.path.exists(os.path.join(vdir, "statistics.json"))
+    for rel in ("20260801", "latest"):
+        rdir = os.path.join(archive_dir, "datasets", rel, "fixture")
+        assert os.path.exists(os.path.join(rdir, "index.json"))
+        assert not os.path.exists(os.path.join(rdir, "statistics.json"))
+    # promotion: backfill resolves the published version
+    assert archive.last_successful("fixture") == "20260801-000000"
+    assert archive.read("fixture").count() > 0
+    # stale-latest detection: plant a file a previous publish left behind
+    stale_path = os.path.join(archive_dir, "datasets", "latest", "fixture", "old.csv")
+    with open(stale_path, "w") as fh:
+        fh.write("x")
+    res2 = publish_dataset(
+        archive, "fixture", artifacts_dir=r1_out, version="20260801-000000",
+    )
+    assert res2.stale_latest == ["old.csv"]
+    assert os.path.exists(stale_path)  # warned about, not deleted
+
+
+def test_cli_publish_verb(spark, tmp_path):
+    from opensanctions_spark.__main__ import main
+    from opensanctions_spark.model.melt import melt_customers
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    stmts = str(tmp_path / "stmts.parquet")
+    melt_customers(cust).write.parquet(stmts)
+    assert main([
+        "run", "--statements", stmts, "--dataset", "clipub",
+        "--archive", str(tmp_path / "archive"), "--out", str(tmp_path / "out"),
+    ]) == 0
+    assert main([
+        "publish", "--archive", str(tmp_path / "archive"), "--dataset", "clipub",
+        "--artifacts", str(tmp_path / "out"),
+    ]) == 0
+    assert (tmp_path / "archive" / "datasets" / "latest" / "clipub" / "index.json").exists()
