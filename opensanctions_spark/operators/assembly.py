@@ -54,17 +54,27 @@ def assemble_properties(statements: DataFrame) -> DataFrame:
     )
 
 
-def assemble_entities(statements: DataFrame) -> DataFrame:
+def assemble_entities(
+    statements: DataFrame, pre_clustered: bool = False
+) -> DataFrame:
     """One row per entity: canonical_id, schema, properties map, seen range.
 
     properties: map<prop, array<string>> with sorted distinct values —
     the DataFrame shape of the reference's Entity
     (``zavod/zavod/entity.py:16-25``: a bag of statements sharing an id,
     every property a string list).
+
+    ``pre_clustered=True`` declares the input already hash-clustered on
+    canonical_id (a bucketed statements table — see
+    ``StatementArchive(bucket_statements=True)``): the explicit
+    repartition is skipped and the whole assembly runs EXCHANGE-FREE,
+    the bucketed scan's output partitioning satisfying both aggregates.
     """
     # one explicit shuffle on canonical_id; both aggregations below then
     # satisfy their distribution requirements on it (subset clustering)
-    per_prop = assemble_properties(statements.repartition("canonical_id"))
+    if not pre_clustered:
+        statements = statements.repartition("canonical_id")
+    per_prop = assemble_properties(statements)
     return (
         per_prop.groupBy("canonical_id")
         .agg(

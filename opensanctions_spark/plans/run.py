@@ -177,8 +177,15 @@ def run_dataset(
 
         statements = apply_canonical(statements, canonical_map)
 
-    # 3. assembly — one shuffle, persisted for validators + exporters
-    entities = assemble_entities(statements).persist()
+    # 3. assembly — one shuffle, persisted for validators + exporters.
+    # With bucketed statement storage the scan is already clustered on
+    # canonical_id and the assembly runs exchange-free — unless the
+    # resolver rekey above replaced canonical_id, which invalidates the
+    # stored clustering.
+    pre_clustered = canonical_map is None and archive.is_bucketed(
+        config.name, version
+    )
+    entities = assemble_entities(statements, pre_clustered=pre_clustered).persist()
 
     # 4. validation — ONE job: per-schema counts and the entity/target
     # totals come out of a single GROUPING SETS pass over the cached

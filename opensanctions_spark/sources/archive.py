@@ -39,9 +39,26 @@ def new_version_id(now: datetime | None = None) -> str:
 
 
 class StatementArchive:
-    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        bucket_statements: bool = False,
+        n_buckets: int = 32,
+    ) -> None:
+        """``bucket_statements=True`` stores each version as a parquet
+        table bucketed (+sorted) by canonical_id. Re-reads then feed the
+        entity assembly with a scan whose output partitioning already
+        satisfies the groupBy — A1 runs with ZERO exchanges (SCALE.md §1;
+        gated in tests/test_plan_quality.py). At 100 TB this removes the
+        single biggest shuffle of every re-run/export. Bucket metadata
+        lives in the session catalog (a shared metastore on a real
+        cluster); a session that lacks the table entry falls back to a
+        plain parquet read of the same files — correct, just shuffled."""
         self.spark = spark
         self.base_dir = base_dir
+        self.bucket_statements = bucket_statements
+        self.n_buckets = n_buckets
 
     # -- layout ------------------------------------------------------------
     def _dataset_dir(self, dataset: str) -> str:
@@ -49,6 +66,19 @@ class StatementArchive:
 
     def version_path(self, dataset: str, version: str) -> str:
         return os.path.join(self._dataset_dir(dataset), version, "statements.parquet")
+
+    def _bucketed_path(self, dataset: str, version: str) -> str:
+        return os.path.join(
+            self._dataset_dir(dataset), version, "statements_bucketed"
+        )
+
+    def _table_name(self, dataset: str, version: str) -> str:
+        return "osp_stmts_" + re.sub(r"[^0-9a-zA-Z]+", "_", f"{dataset}_{version}")
+
+    def is_bucketed(self, dataset: str, version: str) -> bool:
+        """True iff this version's read comes off the bucketed table (the
+        assembly may then skip its clustering exchange)."""
+        return self.spark.catalog.tableExists(self._table_name(dataset, version))
 
     def _manifest_path(self, dataset: str) -> str:
         return os.path.join(self._dataset_dir(dataset), "versions.json")
@@ -116,7 +146,19 @@ class StatementArchive:
         version = version or new_version_id()
         if not _VERSION_RE.match(version):
             raise ValueError(f"bad version id: {version}")
-        statements.write.mode("overwrite").parquet(self.version_path(dataset, version))
+        if self.bucket_statements and "canonical_id" in statements.columns:
+            (
+                statements.write.bucketBy(self.n_buckets, "canonical_id")
+                .sortBy("canonical_id")
+                .option("path", self._bucketed_path(dataset, version))
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(self._table_name(dataset, version))
+            )
+        else:
+            statements.write.mode("overwrite").parquet(
+                self.version_path(dataset, version)
+            )
         self._record_version(dataset, version, success=success)
         return version
 
@@ -130,7 +172,14 @@ class StatementArchive:
         version = version or self.last_successful(dataset) or self.latest(dataset)
         if version is None:
             raise FileNotFoundError(f"no versions for dataset {dataset}")
-        df = self.spark.read.parquet(self.version_path(dataset, version))
+        if self.is_bucketed(dataset, version):
+            df = self.spark.table(self._table_name(dataset, version))
+        elif os.path.isdir(self._bucketed_path(dataset, version)):
+            # bucketed files from another session: readable as plain
+            # parquet (bucket layout lost without the catalog entry)
+            df = self.spark.read.parquet(self._bucketed_path(dataset, version))
+        else:
+            df = self.spark.read.parquet(self.version_path(dataset, version))
         if not external and "external" in df.columns:
             df = df.filter(~F.col("external"))
         return df

@@ -535,3 +535,36 @@ def test_cli_publish_verb(spark, tmp_path):
         "--artifacts", str(tmp_path / "out"),
     ]) == 0
     assert (tmp_path / "archive" / "datasets" / "latest" / "clipub" / "index.json").exists()
+
+
+def test_bucketed_archive_run_assembles_without_shuffle(spark, paths):
+    """SCALE.md §1 end-to-end: with bucket_statements=True the run's
+    versioned write is a canonical_id-bucketed table, the re-read feeds
+    assembly with a pre-clustered scan, and the A1 aggregation plan has
+    ZERO hash exchanges."""
+    v1_csv, _, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir, bucket_statements=True)
+    config = DatasetConfig(name="fixture", assertions=[])
+    r = run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=os.path.join(out_dir, "rb"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    assert r.entity_count == 12
+    assert archive.is_bucketed("fixture", "20260801-000000")
+
+    # the re-run/export shape: read back + assemble, no exchange at all
+    from opensanctions_spark.operators.assembly import assemble_entities
+
+    stmts = archive.read("fixture", version="20260801-000000", external=True)
+    ents = assemble_entities(stmts, pre_clustered=True)
+    assert ents.count() == 12
+    plan = ents._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan, plan
+    # same values as the plain-parquet path
+    plain = assemble_entities(stmts)
+    assert {r["canonical_id"] for r in ents.collect()} == {
+        r["canonical_id"] for r in plain.collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS osp_stmts_fixture_20260801_000000")
