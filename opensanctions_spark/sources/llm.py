@@ -101,11 +101,20 @@ def run_extraction(
     cache: DataFrame | None,
     response_schema: str,
     extract_fn: Callable[[str], str] = _no_model,
+    max_batch: int = 1000,
 ) -> DataFrame:
     """Answer requests from the cache where possible; call the extractor
     driver-side for misses only (the reference's LLM loop is inherently
     sequential HTTP — kept out of the distributed plan, exactly like
     crawling); parse every raw response against the typed schema JVM-side.
+
+    Driver-memory bound: misses are DEDUPLICATED DISTRIBUTED (one model
+    call per distinct prompt hash) and then STREAMED to the driver with
+    ``toLocalIterator`` — never one all-prompts collect — so the driver
+    holds at most one scan partition of prompts plus ``max_batch``
+    pending responses at a time; responses land in ⌈n/max_batch⌉ bounded
+    local relations. The extractor loop itself stays sequential like the
+    reference's crawl loop; wrap ``extract_fn`` for rate limiting.
 
     Returns the requests frame + (response_raw, response struct<...>).
     """
@@ -120,18 +129,31 @@ def run_extraction(
     else:
         requests = requests.withColumn("_cached", F.lit(None).cast("string"))
 
-    # dedupe misses by hash: identical prompts get ONE model call (the
-    # cache-key contract — and at corpus scale, the big API-cost saving)
-    misses: dict[str, str] = {
-        r["request_hash"]: r["prompt"]
-        for r in requests.filter(F.col("_cached").isNull())
-        .select("request_hash", "prompt").collect()
-    }
-    if misses:
-        fresh = spark.createDataFrame(
-            [(h, extract_fn(p)) for h, p in misses.items()],
-            "request_hash STRING, _fresh STRING",
-        )
+    # dedupe misses by hash BEFORE anything reaches the driver: identical
+    # prompts get ONE model call (the cache-key contract — and at corpus
+    # scale, the big API-cost saving)
+    miss_df = (
+        requests.filter(F.col("_cached").isNull())
+        .select("request_hash", "prompt")
+        .dropDuplicates(["request_hash"])
+    )
+    fresh: DataFrame | None = None
+    buf: list[tuple[str, str]] = []
+
+    def _flush() -> None:
+        nonlocal fresh, buf
+        if not buf:
+            return
+        part = spark.createDataFrame(buf, "request_hash STRING, _fresh STRING")
+        fresh = part if fresh is None else fresh.unionByName(part)
+        buf = []
+
+    for row in miss_df.toLocalIterator():
+        buf.append((row["request_hash"], extract_fn(row["prompt"])))
+        if len(buf) >= max_batch:
+            _flush()
+    _flush()
+    if fresh is not None:
         requests = requests.join(F.broadcast(fresh), "request_hash", "left")
     else:
         requests = requests.withColumn("_fresh", F.lit(None).cast("string"))

@@ -180,3 +180,29 @@ def test_prepare_statements_for_db_dedupes(spark, sf_dir):
     prepared = prepare_statements_for_db(doubled)
     assert prepared.count() == stmts.count()
     assert prepared.columns[0] == "id"
+
+
+def test_run_extraction_batches_misses_beyond_max_batch(spark):
+    """Driver fan-out bound: with more distinct prompts than max_batch the
+    extractor still answers everything exactly once per distinct prompt,
+    and duplicates never trigger extra calls."""
+    from opensanctions_spark.sources.llm import extraction_requests, run_extraction
+
+    # 25 distinct docs + 5 duplicates of doc 0
+    rows = [(i, f"doc-{i % 25}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "id LONG, text STRING")
+    reqs = extraction_requests(docs, 'extract from: {doc}')
+    calls: list[str] = []
+
+    def fake(prompt: str) -> str:
+        calls.append(prompt)
+        return '{"label": "' + prompt[-6:] + '"}'
+
+    out = run_extraction(
+        reqs, cache=None, response_schema="label STRING",
+        extract_fn=fake, max_batch=10,
+    ).collect()
+    assert len(out) == 30
+    assert len(calls) == 25          # one call per distinct prompt
+    assert len(set(calls)) == 25
+    assert all(r["response"]["label"] is not None for r in out)
