@@ -18,9 +18,11 @@ test pins field-by-field
 
 Spark shape: every facet is a bounded groupBy over the already-persisted
 entity view (cardinality = schemata × countries × properties, never row
-count), collected once. Facet labels/captions use the raw code — the
-reference resolves display labels through the FtM model registry, which
-is presentation data this engine does not ship.
+count), collected once. Facet labels/captions resolve through the
+engine's presentation registry (``model/registry.py`` SCHEMA_LABELS /
+COUNTRY_CAPTIONS — the FtM-model lookup of
+``zavod/zavod/exporters/statistics.py:11-35``), falling back to the raw
+code for unregistered values exactly like the reference's registry.
 """
 
 from __future__ import annotations
@@ -60,12 +62,21 @@ RESOURCE_META: dict[str, tuple[str, str]] = {
 def _facet_list(
     rows: list[tuple[str, int]], key: str = "name"
 ) -> list[dict[str, Any]]:
-    """Reference facet shape: descending count, label = the raw code."""
+    """Reference facet shape: descending count with display labels
+    resolved through the engine's presentation registry — schema facets
+    carry label+plural (``get_schema_facets``), country facets carry the
+    caption (``get_country_facets``,
+    ``zavod/zavod/exporters/statistics.py:11-35``); unknown codes fall
+    back to the raw value like the reference's registry does."""
+    from opensanctions_spark.model.registry import country_caption, schema_label
+
     out = []
     for value, count in sorted(rows, key=lambda r: (-r[1], r[0])):
-        facet = {key: value, "count": count, "label": value}
+        facet = {key: value, "count": count}
         if key == "name":
-            facet["plural"] = value
+            facet["label"], facet["plural"] = schema_label(value)
+        else:
+            facet["label"] = country_caption(value)
         out.append(facet)
     return out
 

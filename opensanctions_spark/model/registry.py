@@ -46,6 +46,61 @@ SCHEMA_PARENTS: dict[str, list[str]] = {
     "Membership": [],
 }
 
+# Display labels for the schemata this engine ships: (label, plural).
+# The reference resolves these through the FtM model registry
+# (``zavod/zavod/exporters/statistics.py:11-35`` — ``schema.label`` /
+# ``schema.plural``); the engine carries its own presentation table for
+# the same lattice. Unknown schemata fall back to the raw name.
+SCHEMA_LABELS: dict[str, tuple[str, str]] = {
+    "Thing": ("Thing", "Things"),
+    "LegalEntity": ("Legal entity", "Legal entities"),
+    "Person": ("Person", "People"),
+    "Company": ("Company", "Companies"),
+    "Organization": ("Organization", "Organizations"),
+    "PublicBody": ("Public body", "Public bodies"),
+    "Address": ("Address", "Addresses"),
+    "Vessel": ("Vessel", "Vessels"),
+    "Vehicle": ("Vehicle", "Vehicles"),
+    "Security": ("Security", "Securities"),
+    "Position": ("Position", "Positions"),
+    "Sanction": ("Sanction", "Sanctions"),
+    "Occupancy": ("Occupancy", "Occupancies"),
+    "Ownership": ("Ownership", "Ownerships"),
+    "Directorship": ("Directorship", "Directorships"),
+    "Family": ("Family", "Families"),
+    "Associate": ("Associate", "Associates"),
+    "UnknownLink": ("Other link", "Other links"),
+    "Membership": ("Membership", "Memberships"),
+}
+
+# ISO-3166 alpha-2 captions for the codes the test corpus and exhibits
+# use; the reference's ``registry.country.caption`` falls back to the
+# raw code for anything unregistered, and so does ``country_caption``.
+COUNTRY_CAPTIONS: dict[str, str] = {
+    "ar": "Argentina", "au": "Australia", "br": "Brazil", "ca": "Canada",
+    "ch": "Switzerland", "cn": "China", "cu": "Cuba", "de": "Germany",
+    "dz": "Algeria", "eg": "Egypt", "es": "Spain", "et": "Ethiopia",
+    "fr": "France", "gb": "United Kingdom", "id": "Indonesia",
+    "in": "India", "ir": "Iran", "iq": "Iraq", "it": "Italy",
+    "jo": "Jordan", "jp": "Japan", "ke": "Kenya", "kp": "North Korea",
+    "ma": "Morocco", "mz": "Mozambique", "nl": "Netherlands",
+    "pe": "Peru", "ro": "Romania", "ru": "Russia", "sa": "Saudi Arabia",
+    "su": "Soviet Union", "sy": "Syria", "ua": "Ukraine",
+    "us": "United States", "vn": "Vietnam",
+}
+
+
+def schema_label(name: str) -> tuple[str, str]:
+    """(label, plural) for a schema name, falling back to the raw name."""
+    return SCHEMA_LABELS.get(name, (name, name))
+
+
+def country_caption(code: str) -> str:
+    """Country display caption, falling back to the raw code (the
+    reference's ``registry.country.caption`` contract)."""
+    return COUNTRY_CAPTIONS.get(code, code)
+
+
 # rank = depth in the lattice; any widening chain is monotone in rank, so
 # the common schema of a statement bag is argmax(rank). Interval schemata
 # and edges sit outside the LegalEntity chain and never widen.

@@ -80,3 +80,26 @@ def test_dataset_config_from_json_file(tmp_path):
     p.write_text('{"name": "x", "assertions": ["entity_count:min:1"]}')
     cfg = DatasetConfig.from_file(str(p))
     assert cfg.name == "x" and len(cfg.assertions) == 1
+
+
+def test_facet_display_labels_resolve_through_registry():
+    """K12 facet parity: schema facets carry label+plural, country facets
+    carry captions, unknown codes fall back to the raw value (the
+    reference's FtM registry contract)."""
+    from opensanctions_spark.exporters.metadata import _facet_list
+
+    schemata = _facet_list([("Person", 5), ("LegalEntity", 9), ("Mystery", 1)])
+    by_name = {f["name"]: f for f in schemata}
+    assert by_name["Person"]["label"] == "Person"
+    assert by_name["Person"]["plural"] == "People"
+    assert by_name["LegalEntity"]["label"] == "Legal entity"
+    assert by_name["Mystery"]["label"] == "Mystery"  # fallback
+    # descending count order
+    assert [f["name"] for f in schemata] == ["LegalEntity", "Person", "Mystery"]
+
+    countries = _facet_list([("de", 3), ("us", 7), ("zz", 1)], key="code")
+    by_code = {f["code"]: f for f in countries}
+    assert by_code["de"]["label"] == "Germany"
+    assert by_code["us"]["label"] == "United States"
+    assert by_code["zz"]["label"] == "zz"  # fallback
+    assert "plural" not in by_code["de"]
