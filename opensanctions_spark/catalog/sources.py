@@ -709,5 +709,6 @@ def s10_archive_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         out = frames[0].unionByName(frames[1])
-        # the tempdir dies with this function — materialize off it
-        return spark.createDataFrame(out.toPandas())
+        # the tempdir dies with this function — cut lineage into executor
+        # block storage (stays distributed; no driver round-trip)
+        return out.localCheckpoint(eager=True)

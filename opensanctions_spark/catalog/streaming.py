@@ -344,5 +344,6 @@ def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         out = spark.read.parquet(f"{tmp}/corpus").orderBy("doc_id")
-        # the tempdir dies with this function — materialize off it
-        return spark.createDataFrame(out.toPandas())
+        # the tempdir dies with this function — cut lineage into executor
+        # block storage (stays distributed; no driver round-trip)
+        return out.localCheckpoint(eager=True)
