@@ -153,6 +153,8 @@ DRIVER_PRIORITY: list[str] = [
     "s6_excel_distributed",
     "q2_min_cost_supplier",
     "stream_curate_corpus",
+    # round-3 additions (no driver row yet)
+    "s7_pdf_scanned",
 ]
 
 

@@ -611,6 +611,71 @@ def s7_pdf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s7_pdf_scanned",
+    oracle="""
+SELECT CAST(n_nationkey AS VARCHAR) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS VARCHAR) AS regionkey
+FROM nation
+""",
+)
+def s7_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-PDF fleet scan (S7's OCR-adjacent path,
+    ``zavod/zavod/helpers/pdf.py:25-43``): image-only PDFs (one per
+    region, one embedded page image per 10 nations) scanned via
+    ``binaryFile`` + ``mapInPandas`` into (path, page, image, format)
+    rows, then a pluggable OCR engine maps image bytes → text in Arrow
+    batches. The container has no OCR engine, so the fake here is
+    DETERMINISTIC (the synthetic "scan" bytes are the latin-1 rendering
+    of the page's rows and the fake OCR decodes them) — the Spark
+    plumbing (binary extraction, per-page fan-out, Arrow-batched OCR
+    stage, downstream JVM line parsing) is the real production path."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from opensanctions_spark.sources.pdf import (
+        ocr_pages,
+        read_pdf_pages_distributed,
+        write_scanned_pdf,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    by_region: dict[int, list[str]] = defaultdict(list)
+    for r in (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ):
+        by_region[r["n_regionkey"]].append(
+            f'{r["n_nationkey"]}|{r["n_name"]}|{r["n_regionkey"]}'
+        )
+    out = tempfile.mkdtemp(prefix="osp-pdf-scan-")
+    for region, lines in by_region.items():
+        pages = [
+            "\n".join(lines[i : i + 10]).encode("latin-1")
+            for i in range(0, len(lines), 10)
+        ]
+        write_scanned_pdf(os.path.join(out, f"region{region}.pdf"), pages)
+
+    pages_df = read_pdf_pages_distributed(spark, os.path.join(out, "*.pdf"))
+    texted = ocr_pages(
+        pages_df, ocr_fn=lambda img, fmt: img.decode("latin-1")
+    )
+    lines = texted.select(
+        F.explode(F.split(F.col("text"), "\\n")).alias("line")
+    )
+    parts = F.split(F.col("line"), "\\|")
+    return (
+        lines.filter(F.length("line") > 0)
+        .select(
+            parts.getItem(0).alias("nationkey"),
+            parts.getItem(1).alias("name"),
+            parts.getItem(2).alias("regionkey"),
+        )
+    )
+
+
+@register(
     "audit_source_columns",
     oracle="""
 SELECT 'p_type' AS column, COUNT(p_type) AS n_filled,

@@ -7,8 +7,12 @@ digitally-born PDFs (the overwhelming majority of crawler-landed
 artifacts): a minimal object/xref parser, FlateDecode via zlib, a text
 operator interpreter (Tm/Td/TD/Tj/TJ), and positional table recovery —
 rows by y-clustering, columns by x-anchor clustering. Scanned/image
-PDFs need OCR and stay out of scope (the reference shells out to
-``pdftoppm`` for those, a system-binary boundary).
+PDFs route through the page-image path (``pdf_page_images`` /
+``read_pdf_pages_distributed`` / ``ocr_pages``): the embedded scan
+bytes are extracted per page and handed to a PLUGGABLE OCR engine —
+stubbed in this container, exactly like the multimodal image decode
+(the reference shells out to ``pdftoppm`` + external OCR/vision, a
+system-binary boundary).
 
 Reference semantics mirrored from ``parse_pdf_table``: headers come
 from the first row (after ``skiprows``), slugified with ``_``; duplicate
@@ -161,34 +165,35 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _page_content_streams(data: bytes) -> list[bytes]:
-    """Decoded content stream per page, in document page order."""
+def _decoded_stream(body: bytes) -> bytes | None:
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return None
+    raw = sm.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _collect_objects(data: bytes) -> dict[int, bytes]:
+    """Every indirect object body by number, ObjStm members included.
+
+    PDF 1.5+ object streams (/Type /ObjStm): catalog/page-tree objects
+    of digitally-born PDFs routinely live compressed inside them — the
+    header is N (objnum, offset) integer pairs, bodies start at /First.
+    Content streams themselves can never nest there, so unpacking the
+    dictionaries is enough to walk the page tree."""
     objects: dict[int, bytes] = {
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
     }
-
-    def decoded_stream(body: bytes) -> bytes | None:
-        sm = _STREAM_RE.search(body)
-        if sm is None:
-            return None
-        raw = sm.group(1)
-        if b"/FlateDecode" in body[: sm.start()]:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                return None
-        return raw
-
-    # PDF 1.5+ object streams (/Type /ObjStm): catalog/page-tree objects
-    # of digitally-born PDFs routinely live compressed inside them — the
-    # header is N (objnum, offset) integer pairs, bodies start at /First.
-    # Content streams themselves can never nest there, so unpacking the
-    # dictionaries is enough to walk the page tree.
     for num in list(objects):
         body = objects[num]
         if b"/ObjStm" not in body:
             continue
-        payload = decoded_stream(body)
+        payload = _decoded_stream(body)
         if payload is None:
             continue
         n_m = re.search(rb"/N\s+(\d+)", body)
@@ -205,18 +210,29 @@ def _page_content_streams(data: bytes) -> list[bytes]:
         for i, (objnum, off) in enumerate(entries):
             end = entries[i + 1][1] if i + 1 < n else len(payload) - first
             objects.setdefault(objnum, payload[first + off : first + end])
+    return objects
 
-    # page order from the /Pages tree when present
-    page_nums: list[int] = []
+
+def _page_object_numbers(objects: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order from the /Pages tree
+    (empty when no tree parses — callers fall back to object order)."""
     for body in objects.values():
         if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
             kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
             if kids:
-                page_nums = [
+                return [
                     int(m.group(1))
                     for m in re.finditer(rb"(\d+)\s+\d+\s+R", kids.group(1))
                 ]
             break
+    return []
+
+
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Decoded content stream per page, in document page order."""
+    objects = _collect_objects(data)
+    decoded_stream = _decoded_stream
+    page_nums = _page_object_numbers(objects)
     streams: list[bytes] = []
     if page_nums:
         for pn in page_nums:
@@ -417,3 +433,162 @@ def read_pdf_tables_distributed(
 
     files = spark.read.format("binaryFile").load(glob)
     return files.select("path", "content").mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# scanned / image-only PDFs (the reference's OCR-adjacent path:
+# zavod/zavod/helpers/pdf.py:25-43 rasterizes pages with pdftoppm and
+# hands the PNGs to external OCR/vision. A scanned PDF's page IS one
+# full-page image XObject, so the dependency-light equivalent extracts
+# the embedded scan bytes directly; the OCR engine itself is pluggable
+# and stubbed in this container, like the multimodal image decode.)
+
+
+def write_scanned_pdf(path: str, page_images: list[bytes]) -> None:
+    """Write a minimal image-only (scanned-style) PDF: one page per image,
+    each page a single /Image XObject drawn full-page, zero text
+    operators — the structure pdftoppm-era scans actually have. Image
+    bytes are stored under /DCTDecode (i.e. as-is, the way scanners embed
+    JPEGs)."""
+    objects: dict[int, bytes] = {}
+    n_pages = len(page_images)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    for i, img in enumerate(page_images):
+        page_num, cont_num, img_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cont_num} 0 R "
+            f"/Resources << /XObject << /Im1 {img_num} 0 R >> >> >>"
+        ).encode()
+        draw = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+        objects[cont_num] = (
+            f"<< /Length {len(draw)} >>".encode()
+            + b"\nstream\n" + draw + b"\nendstream"
+        )
+        objects[img_num] = (
+            f"<< /Type /XObject /Subtype /Image /Width 1275 /Height 1650 "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter /DCTDecode /Length {len(img)} >>".encode()
+            + b"\nstream\n" + img + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    count = max(objects) + 1
+    out += f"xref\n0 {count}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, count):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {count} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def pdf_page_images(data: bytes) -> list[tuple[int, bytes, str]]:
+    """(page_number 1-based, image bytes, format) for each page's image
+    XObject, in document page order. /DCTDecode streams come back as-is
+    ("jpeg" — scanners embed JPEG), Flate-compressed rasters decompressed
+    ("raw"). Pages without an image XObject are skipped."""
+    objects = _collect_objects(data)
+    page_nums = _page_object_numbers(objects) or sorted(
+        num for num, body in objects.items()
+        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+    )
+    out: list[tuple[int, bytes, str]] = []
+    for page_no, pn in enumerate(page_nums, start=1):
+        page = objects.get(pn, b"")
+        xobj = re.search(rb"/XObject\s*<<(.*?)>>", page, re.S)
+        if xobj is None:
+            continue
+        for m in re.finditer(rb"/\w+\s+(\d+)\s+\d+\s+R", xobj.group(1)):
+            body = objects.get(int(m.group(1)), b"")
+            if b"/Subtype" not in body or b"/Image" not in body:
+                continue
+            sm = _STREAM_RE.search(body)
+            if sm is None:
+                continue
+            raw = sm.group(1)
+            if b"/DCTDecode" in body[: sm.start()]:
+                out.append((page_no, raw, "jpeg"))
+            elif b"/FlateDecode" in body[: sm.start()]:
+                try:
+                    out.append((page_no, zlib.decompress(raw), "raw"))
+                except zlib.error:
+                    continue
+            else:
+                out.append((page_no, raw, "raw"))
+            break  # one image per page: the scan itself
+    return out
+
+
+def pdf_is_scanned(data: bytes) -> bool:
+    """True for image-only PDFs: pages carry image XObjects and the text
+    interpreter finds zero positioned text — the signal the reference
+    uses to route a document to the page-image/OCR path."""
+    if any(chunk for page in extract_pdf_text(data) for chunk in page):
+        return False
+    return bool(pdf_page_images(data))
+
+
+def _no_ocr(image: bytes, fmt: str) -> str:  # pragma: no cover - the stub
+    raise NotImplementedError(
+        "no OCR engine in this container; inject ocr_fn "
+        "(the reference rasterizes via pdftoppm and hands pages to "
+        "external OCR/vision, zavod/zavod/helpers/pdf.py:25-43)"
+    )
+
+
+def read_pdf_pages_distributed(spark: SparkSession, glob: str) -> DataFrame:
+    """Scanned-PDF fleet scan: ``binaryFile`` source + ``mapInPandas``,
+    one row per (path, page, image, format) — extraction fans out across
+    executors, the driver never touches file bytes. Feed the result to
+    ``ocr_pages``."""
+    import pandas as pd
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                images = pdf_page_images(bytes(content))
+                yield pd.DataFrame(
+                    {
+                        "path": [path] * len(images),
+                        "page": [p for p, _, _ in images],
+                        "image": [b for _, b, _ in images],
+                        "format": [f for _, _, f in images],
+                    }
+                )
+
+    files = spark.read.format("binaryFile").load(glob)
+    return files.select("path", "content").mapInPandas(
+        expand, "path STRING, page INT, image BINARY, format STRING"
+    )
+
+
+def ocr_pages(pages: DataFrame, ocr_fn=_no_ocr) -> DataFrame:
+    """Run the (pluggable) OCR engine over page images in Arrow batches —
+    adds a ``text`` column. The engine is per-image Python by nature
+    (exactly the multimodal-decode regime), so this is a mapInPandas
+    stage; everything downstream of it is back in the JVM."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in pages.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b["text"] = [
+                ocr_fn(bytes(img), fmt)
+                for img, fmt in zip(b["image"], b["format"])
+            ]
+            yield b
+
+    return pages.mapInPandas(run, f"{fields}, text STRING")

@@ -195,3 +195,74 @@ def test_objstm_page_tree_parses():
     )
     rows = list(parse_pdf_table(pdf))
     assert rows == [{"h1": "a", "h2": "b"}]
+
+
+# ---------------------------------------------------------------------------
+# scanned / image-only PDFs (the OCR-adjacent path)
+
+
+def test_scanned_pdf_roundtrip_and_detection():
+    import os
+    import tempfile
+
+    from opensanctions_spark.sources.pdf import (
+        pdf_is_scanned,
+        pdf_page_images,
+        write_pdf_table,
+        write_scanned_pdf,
+    )
+
+    tmp = tempfile.mkdtemp()
+    scanned = os.path.join(tmp, "scan.pdf")
+    write_scanned_pdf(scanned, [b"PAGE-ONE-BYTES", b"PAGE-TWO-BYTES"])
+    data = open(scanned, "rb").read()
+    assert pdf_page_images(data) == [
+        (1, b"PAGE-ONE-BYTES", "jpeg"),
+        (2, b"PAGE-TWO-BYTES", "jpeg"),
+    ]
+    assert pdf_is_scanned(data)
+    # a digitally-born PDF is NOT scanned (has text, no page images)
+    digital = os.path.join(tmp, "text.pdf")
+    write_pdf_table(digital, ["a", "b"], [["1", "x"], ["2", "y"]])
+    assert not pdf_is_scanned(open(digital, "rb").read())
+
+
+def test_scanned_pdf_distributed_ocr(spark):
+    import os
+    import tempfile
+
+    from opensanctions_spark.sources.pdf import (
+        ocr_pages,
+        read_pdf_pages_distributed,
+        write_scanned_pdf,
+    )
+
+    tmp = tempfile.mkdtemp()
+    write_scanned_pdf(os.path.join(tmp, "a.pdf"), [b"alpha", b"beta"])
+    write_scanned_pdf(os.path.join(tmp, "b.pdf"), [b"gamma"])
+    pages = read_pdf_pages_distributed(spark, os.path.join(tmp, "*.pdf"))
+    out = ocr_pages(pages, ocr_fn=lambda img, fmt: img.decode("latin-1").upper())
+    rows = {(os.path.basename(r["path"]), r["page"]): r["text"]
+            for r in out.collect()}
+    assert rows == {
+        ("a.pdf", 1): "ALPHA", ("a.pdf", 2): "BETA", ("b.pdf", 1): "GAMMA",
+    }
+
+
+def test_ocr_default_stub_raises(spark):
+    import os
+    import tempfile
+
+    import pytest
+
+    from opensanctions_spark.sources.pdf import (
+        ocr_pages,
+        read_pdf_pages_distributed,
+        write_scanned_pdf,
+    )
+
+    tmp = tempfile.mkdtemp()
+    write_scanned_pdf(os.path.join(tmp, "a.pdf"), [b"alpha"])
+    pages = read_pdf_pages_distributed(spark, os.path.join(tmp, "*.pdf"))
+    with pytest.raises(Exception, match="no OCR engine"):
+        ocr_pages(pages).collect()
