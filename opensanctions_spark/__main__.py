@@ -158,6 +158,48 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedupe_next(args: argparse.Namespace) -> int:
+    """`zavod dedupe` queue view, headless: print the best UNSURE
+    candidates best-first (the TUI's pop order)."""
+    from opensanctions_spark.plans.xref import review_queue
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-dedupe-next")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = review_queue(spark.read.parquet(args.decisions)).limit(args.limit)
+    for r in rows.collect():
+        print(json.dumps({
+            "left_id": r["left_id"], "right_id": r["right_id"],
+            "score": r["score"],
+        }))
+    return 0
+
+
+def _cmd_dedupe_judge(args: argparse.Namespace) -> int:
+    """`zavod dedupe` decision write, headless: record one judgement on a
+    candidate pair and persist the updated decisions."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.plans.xref import apply_judgement
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-dedupe-judge")
+    spark.sparkContext.setLogLevel("ERROR")
+    decisions = spark.read.parquet(args.decisions)
+    updated = apply_judgement(decisions, args.left, args.right, args.judgement)
+    updated.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    n_unsure = back.filter(F.col("judgement") == "UNSURE").count()
+    print(json.dumps({
+        "decisions": args.out,
+        "judged": {"left_id": min(args.left, args.right),
+                   "right_id": max(args.left, args.right),
+                   "judgement": args.judgement.upper()},
+        "remaining_unsure": n_unsure,
+    }))
+    return 0
+
+
 def _cmd_xref_prune(args: argparse.Namespace) -> int:
     """`zavod xref-prune` analogue: drop undecided candidate edges from
     the persisted decisions, keep judgements only."""
@@ -438,6 +480,24 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     cat_p.add_argument("dataset_dirs", nargs="+", help="exported dataset dirs")
     cat_p.set_defaults(fn=_cmd_catalog)
+
+    dn_p = sub.add_parser(
+        "dedupe-next", help="show the best undecided xref candidates"
+    )
+    dn_p.add_argument("--decisions", required=True, help="decisions parquet")
+    dn_p.add_argument("--limit", type=int, default=10)
+    dn_p.set_defaults(fn=_cmd_dedupe_next)
+
+    dj_p = sub.add_parser(
+        "dedupe-judge", help="record one judgement on a candidate pair"
+    )
+    dj_p.add_argument("--decisions", required=True, help="decisions parquet")
+    dj_p.add_argument("--left", required=True)
+    dj_p.add_argument("--right", required=True)
+    dj_p.add_argument("--judgement", required=True,
+                      choices=["positive", "negative", "unsure"])
+    dj_p.add_argument("--out", required=True, help="updated decisions parquet")
+    dj_p.set_defaults(fn=_cmd_dedupe_judge)
 
     xp_p = sub.add_parser(
         "xref-prune", help="drop undecided candidate edges from decisions"

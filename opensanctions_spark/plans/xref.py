@@ -131,3 +131,40 @@ def prune_decisions(decisions: DataFrame) -> DataFrame:
     the next xref run regenerates candidates from scratch instead of
     replaying stale ones."""
     return decisions.filter(F.col("judgement") != "UNSURE")
+
+
+def apply_judgement(
+    decisions: DataFrame, left_id: str, right_id: str, judgement: str
+) -> DataFrame:
+    """Record one human judgement on a candidate pair — the headless form
+    of the reference's interactive dedupe queue
+    (``zavod/zavod/cli/dedupe.py:72-84``: the TUI pops the best UNSURE
+    candidate and writes POSITIVE/NEGATIVE into the resolver; here the
+    decision store is the decisions frame and the UI is whatever drives
+    the CLI). Pairs are undirected, so the ids are normalized to the
+    stored (smaller, larger) orientation. Unknown pairs are appended
+    (score 1.0 — a human assertion outranks any blocking score), known
+    pairs are overwritten.
+    """
+    judgement = judgement.upper()
+    if judgement not in ("POSITIVE", "NEGATIVE", "UNSURE"):
+        raise ValueError(f"bad judgement: {judgement}")
+    lo, hi = sorted([left_id, right_id])
+    spark = decisions.sparkSession
+    match = (F.col("left_id") == lo) & (F.col("right_id") == hi)
+    updated = decisions.withColumn(
+        "judgement",
+        F.when(match, F.lit(judgement)).otherwise(F.col("judgement")),
+    )
+    new_row = spark.createDataFrame(
+        [(lo, hi, 1.0, judgement)],
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    # append only when the pair is genuinely new (anti-join keeps the
+    # plan distributed; the build side is the 1-row assertion)
+    missing = new_row.join(
+        decisions.select("left_id", "right_id"),
+        ["left_id", "right_id"],
+        "left_anti",
+    )
+    return updated.unionByName(missing)

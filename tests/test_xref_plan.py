@@ -97,3 +97,60 @@ def test_cli_xref(spark, tmp_path, subjects, capsys):
     assert {
         r["entity_id"]: r["canonical_id"] for r in mapping.collect()
     }["b2"] == "b1"
+
+
+def test_apply_judgement_updates_and_appends(spark):
+    from opensanctions_spark.plans.xref import apply_judgement
+
+    decisions = spark.createDataFrame(
+        [("a", "b", 0.9, "UNSURE"), ("a", "c", 0.7, "NEGATIVE")],
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    # existing pair: overwrite (ids arrive reversed — normalized)
+    out = apply_judgement(decisions, "b", "a", "positive")
+    rows = {(r["left_id"], r["right_id"]): r["judgement"] for r in out.collect()}
+    assert rows == {("a", "b"): "POSITIVE", ("a", "c"): "NEGATIVE"}
+    # unknown pair: append as a human assertion with score 1.0
+    out2 = apply_judgement(decisions, "z", "d", "negative")
+    added = out2.filter(F.col("left_id") == "d").collect()
+    assert len(added) == 1
+    assert added[0]["right_id"] == "z"
+    assert added[0]["score"] == 1.0 and added[0]["judgement"] == "NEGATIVE"
+    with pytest.raises(ValueError):
+        apply_judgement(decisions, "a", "b", "maybe")
+
+
+def test_cli_dedupe_review_loop(spark, tmp_path, subjects, capsys):
+    """Headless review loop: xref → dedupe-next pops the best UNSURE pair
+    → dedupe-judge records the decision and shrinks the queue."""
+    from opensanctions_spark.__main__ import main
+
+    subj_path = str(tmp_path / "subjects.parquet")
+    out = str(tmp_path / "xref")
+    subjects.write.parquet(subj_path)
+    rc = main(["xref", "--subjects", subj_path, "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    decisions_path = f"{out}/decisions.parquet"
+
+    assert main([
+        "dedupe-next", "--decisions", decisions_path, "--limit", "1",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    top = json.loads(lines[0])
+
+    assert main([
+        "dedupe-judge", "--decisions", decisions_path,
+        "--left", top["left_id"], "--right", top["right_id"],
+        "--judgement", "positive",
+        "--out", str(tmp_path / "decisions2.parquet"),
+    ]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["judged"]["judgement"] == "POSITIVE"
+    updated = spark.read.parquet(str(tmp_path / "decisions2.parquet"))
+    pair = updated.filter(
+        (F.col("left_id") == top["left_id"])
+        & (F.col("right_id") == top["right_id"])
+    ).collect()
+    assert [r["judgement"] for r in pair] == ["POSITIVE"]
