@@ -78,15 +78,24 @@ def main() -> int:
         sql = ORACLES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        n_spark = fn(spark, sf_dir).count()
-        t_spark = time.time() - t0
+        # min-of-2 on BOTH engines, interleaved per query (same drift
+        # discipline as bench.py: one-shot numbers on a shared VM carry
+        # ±30% scheduler noise that would be misread as engine time)
+        t_spark, n_spark = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n_spark = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            t_spark = dt if t_spark is None or dt < t_spark else t_spark
         if sql is None:
             rows.append((name, n_spark, t_spark, None, None))
             continue
-        t0 = time.time()
-        n_duck = len(con.sql(sql).fetchall())
-        t_duck = time.time() - t0
+        t_duck, n_duck = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n_duck = len(con.sql(sql).fetchall())
+            dt = time.time() - t0
+            t_duck = dt if t_duck is None or dt < t_duck else t_duck
         rows.append((name, n_spark, t_spark, n_duck, t_duck))
         print(f"{name}: spark {t_spark:.2f}s / duckdb {t_duck:.2f}s", file=sys.stderr)
 
