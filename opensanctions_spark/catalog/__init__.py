@@ -155,6 +155,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_curate_corpus",
     # round-3 additions (no driver row yet)
     "s7_pdf_scanned",
+    "search_bm25",
 ]
 
 

@@ -1894,3 +1894,102 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_arrays_of(load(spark, sf_dir, "documents")),
         max_bucket_size=8,
     )
+
+
+@register(
+    "search_bm25",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest(['hash', 'merge', 'vector']) AS term),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(
+           ((tf.tf * 2200000) * 1000000
+              // (tf.tf * 1000000 + 300000
+                  + (9 * (dl.dl * 1000000000000
+                          // (stats.sum_dl * 1000000 // stats.n_docs))) // 10))
+           * ((2 * stats.n_docs - 2 * df.df + 1) * 1000000 // (2 * df.df + 1))
+           // 1000000
+         AS BIGINT) AS score_micro
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro
+  FROM term_scores GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+  FROM totals
+)
+SELECT doc_id, score_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking over the inverted index (k1=1.2, b=0.75): the search
+    primitive one layer above ``search_inverted_index``'s count scoring —
+    tf saturation, rational Robertson idf, and document-length
+    normalization against the corpus mean.
+
+    Determinism discipline: every factor is integer-ppm arithmetic
+    (``div`` chains — the k-means micro-unit trick), so the multi-term
+    sum is an exact BIGINT in any order and the cross-engine hash check
+    never touches libm; production relaxes idf to the usual
+    ``ln(1 + (N-df+.5)/(df+.5))`` by swapping one column expression.
+
+    Shape at scale: tf/dl are ONE tokenize pass (two aggregations of the
+    same exploded frame), df aggregates the tf table, the 2-row corpus
+    stats frame and the query-term list broadcast, and the final top-k
+    is a single global window over per-doc totals — identical skeleton
+    to the TF-IDF vocabulary pass, plus the length-normalization join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame([("hash",), ("merge",), ("vector",)], "term STRING")
+    term_scores = (
+        tf.join(F.broadcast(q), "term")
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(((tf * 2200000) * 1000000"
+                " div (tf * 1000000 + 300000"
+                "      + (9 * (dl * 1000000000000"
+                "              div (sum_dl * 1000000 div n_docs))) div 10))"
+                " * ((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
+                " div 1000000 AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    totals = term_scores.groupBy("doc_id").agg(
+        F.sum("score_micro").cast("long").alias("score_micro")
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
