@@ -433,3 +433,15 @@ def test_j7_interval_overlap_is_bucketed_not_joined(spark, sf_dir):
         assert op not in plan, f"join operator {op} in bucketed range join"
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 hash exchange, saw {n}"
+
+
+def test_bm25_vocabulary_join_is_not_hard_broadcast(spark, sf_dir):
+    """Same invariant as TF-IDF: the df (vocabulary) side must never carry
+    a forced broadcast hint — only the 3-term query list and the 1-row
+    corpus stats frame may hint."""
+    df = QUERIES["search_bm25"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints == 2, (
+        f"expected exactly two broadcast hints (query terms, stats), saw {n_hints}"
+    )

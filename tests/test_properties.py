@@ -388,3 +388,48 @@ def test_url_canonicalization_is_idempotent(spark, url):
         canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
     ).collect()[0]
     assert once == twice
+
+
+INTERVAL = st.tuples(
+    st.sampled_from(["k1", "k2"]),              # key
+    st.integers(min_value=0, max_value=999),    # start
+    st.integers(min_value=0, max_value=400),    # duration
+)
+
+
+@given(rows=st.lists(INTERVAL, min_size=0, max_size=14))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_interval_overlap_pairs_match_naive(spark, rows):
+    """The time-bucketed range join must produce EXACTLY the naive
+    all-pairs overlap set (each pair once) for arbitrary intervals —
+    including spans across many epoch windows and touching endpoints."""
+    from opensanctions_spark.operators.intervals import interval_overlap_pairs
+
+    data = [
+        (k, i, s, s + d) for i, (k, s, d) in enumerate(rows)
+    ]
+    expected = {
+        (k1, i1, i2)
+        for k1, i1, s1, e1 in data
+        for k2, i2, s2, e2 in data
+        if k1 == k2 and i1 < i2 and s1 <= e2 and s2 <= e1
+    }
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "key STRING, id LONG, start_us LONG, end_us LONG"
+    )
+    got = {
+        (r["key"], r["left_id"], r["right_id"])
+        for r in interval_overlap_pairs(
+            df, "key", "id", "start_us", "end_us", 100
+        ).collect()
+    }
+    assert got == expected
