@@ -142,8 +142,12 @@ def k4_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-1 adjacency embedding for target entities, links sorted for
     deterministic output."""
     entities = _export_entities(spark, sf_dir)
+    # refs only ever originate from customer entities, so the explode side
+    # is the 'c-' slice (pushes below its assembly); targets are addresses
     adjacency = adjacent_entities(
-        entities, props=["addressEntity"], targets=_address_targets(entities)
+        entities.filter(F.col("canonical_id").startswith("c-")),
+        props=["addressEntity"],
+        targets=_address_targets(entities),
     )
     return nested_entities(entities, adjacency)
 
