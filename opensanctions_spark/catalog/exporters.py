@@ -142,14 +142,16 @@ def k4_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-1 adjacency embedding for target entities, links sorted for
     deterministic output."""
     entities = _export_entities(spark, sf_dir)
-    # refs only ever originate from customer entities, so the explode side
-    # is the 'c-' slice (pushes below its assembly); targets are addresses
+    # refs AND targets only ever originate from customer entities (topics
+    # and addressEntity statements exist only there), so both sides use
+    # the same 'c-' slice — the filter pushes below the assembly AND the
+    # two consumers share one identical subplan (exchange reuse);
+    # adjacency resolves against the address book.
+    cust = entities.filter(F.col("canonical_id").startswith("c-"))
     adjacency = adjacent_entities(
-        entities.filter(F.col("canonical_id").startswith("c-")),
-        props=["addressEntity"],
-        targets=_address_targets(entities),
+        cust, props=["addressEntity"], targets=_address_targets(entities)
     )
-    return nested_entities(entities, adjacency)
+    return nested_entities(cust, adjacency)
 
 
 @register(
