@@ -156,6 +156,8 @@ DRIVER_PRIORITY: list[str] = [
     # round-3 additions (no driver row yet)
     "s7_pdf_scanned",
     "search_bm25",
+    "text_quality_classifier",
+    "sample_quality_weighted",
 ]
 
 

@@ -1993,3 +1993,104 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+_CLS_FEATURES_SQL = """
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop
+  FROM documents
+"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+WITH t AS ({_CLS_FEATURES_SQL})
+SELECT doc_id,
+       CAST(4 * (n_stop * 1000000 // n_tokens)
+            + (least(n_tokens, 200) * 1000000 // 200)
+            - 500000 AS BIGINT) AS margin_ppm,
+       (4 * (n_stop * 1000000 // n_tokens)
+            + (least(n_tokens, 200) * 1000000 // 200)
+            - 500000) > 0 AS keep
+FROM t
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed linear classifier (the
+    fasttext-style stage a curation cascade runs AFTER the Gopher rules)
+    applied as pure column math — one scan, map-only, no shuffle, no UDF.
+    Features: stopword ratio (fluency proxy) and saturating length; the
+    margin is integer-ppm arithmetic so the decision boundary is exact on
+    both engines (production swaps in learned float weights + a sigmoid —
+    the plan shape is identical, one projection)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    ).cast("long")
+    margin = (
+        F.lit(4) * F.expr("n_stop * 1000000 div n_tokens")
+        + F.expr("least(n_tokens, 200) * 1000000 div 200")
+        - F.lit(500000)
+    )
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
+        .select(
+            "doc_id",
+            margin.cast("long").alias("margin_ppm"),
+            (margin > 0).alias("keep"),
+        )
+    )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+WITH t AS ({_CLS_FEATURES_SQL}),
+scored AS (
+  SELECT doc_id,
+         CAST(4 * (n_stop * 1000000 // n_tokens)
+              + (least(n_tokens, 200) * 1000000 // 200)
+              - 500000 AS BIGINT) AS margin_ppm
+  FROM t
+)
+SELECT doc_id, margin_ppm
+FROM scored JOIN documents USING (doc_id)
+WHERE margin_ppm > 0 OR {_MD5_BUCKET100_SQL} < 25
+""",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: classifier-positive documents are
+    kept outright, the low-quality tail at a deterministic 25% via the
+    same content-independent md5 bucketing as the split/stratified
+    samplers — a document never flips buckets as the corpus grows, and
+    the whole disposition stays map-only (classifier margin + hash
+    predicate in one projection, zero shuffles). The mixing stage a
+    curation pipeline runs between filtering and packing."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    ).cast("long")
+    margin = (
+        F.lit(4) * F.expr("n_stop * 1000000 div n_tokens")
+        + F.expr("least(n_tokens, 200) * 1000000 div 200")
+        - F.lit(500000)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"),
+                    bucket.alias("_bucket"))
+        .select("doc_id", margin.cast("long").alias("margin_ppm"), "_bucket")
+        .filter((F.col("margin_ppm") > 0) | (F.col("_bucket") < 25))
+        .select("doc_id", "margin_ppm")
+    )

@@ -445,3 +445,12 @@ def test_bm25_vocabulary_join_is_not_hard_broadcast(spark, sf_dir):
     assert n_hints == 2, (
         f"expected exactly two broadcast hints (query terms, stats), saw {n_hints}"
     )
+
+
+def test_quality_classifier_and_weighted_sample_are_map_only(spark, sf_dir):
+    """Classifier inference and the quality-weighted downsample are pure
+    projections + filters — zero exchanges (the disposition of every
+    document must never cost a shuffle at corpus scale)."""
+    for name in ("text_quality_classifier", "sample_quality_weighted"):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, name
