@@ -568,3 +568,44 @@ def test_bucketed_archive_run_assembles_without_shuffle(spark, paths):
         r["canonical_id"] for r in plain.collect()
     }
     spark.sql("DROP TABLE IF EXISTS osp_stmts_fixture_20260801_000000")
+
+
+def test_collection_lifecycle_runs_publish_catalog_read(spark, paths, tmp_path):
+    """Two datasets → run → publish → collection catalog rollup →
+    D2 collection read resolves the PUBLISHED versions: the full
+    multi-dataset lifecycle in one archive."""
+    from opensanctions_spark.exporters.metadata import write_catalog
+    from opensanctions_spark.plans.publish import publish_dataset
+
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    results = {}
+    for name, csv_path in (("alpha", v1_csv), ("beta", v2_csv)):
+        cfg = DatasetConfig(name=name, assertions=[])
+        run_out = os.path.join(out_dir, name)
+        results[name] = run_dataset(
+            spark, crawl(spark, csv_path), cfg, archive,
+            out_dir=run_out,
+            run_time="2026-08-01T00:00:00", version="20260801-000000",
+        )
+        publish_dataset(archive, name, artifacts_dir=run_out,
+                        version="20260801-000000", release="20260801")
+
+    # catalog.json rolls up both published dataset indexes
+    catalog = write_catalog(str(tmp_path), [
+        os.path.join(out_dir, "alpha"), os.path.join(out_dir, "beta"),
+    ])
+    assert catalog["dataset_count"] == 2
+    assert catalog["entity_count"] == (
+        results["alpha"].entity_count + results["beta"].entity_count
+    )
+
+    # D2: the collection union resolves each dataset's published version
+    both = archive.read_collection(["alpha", "beta"])
+    a = archive.read("alpha", version="20260801-000000")
+    b = archive.read("beta", version="20260801-000000")
+    assert both.count() == a.count() + b.count()
+    for name in ("alpha", "beta"):
+        assert archive.last_successful(name) == "20260801-000000"
+        assert os.path.exists(os.path.join(
+            archive_dir, "datasets", "20260801", name, "index.json"))
