@@ -158,6 +158,20 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_gc(args: argparse.Namespace) -> int:
+    """Prune version directories that fell out of the archive's retention
+    window (the manifest bounds the id list; gc reclaims the files)."""
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session("osp-gc")
+    spark.sparkContext.setLogLevel("ERROR")
+    archive = StatementArchive(spark, args.archive)
+    deleted = archive.gc(args.dataset)
+    print(json.dumps({"dataset": args.dataset, "deleted": deleted}))
+    return 0
+
+
 def _cmd_dedupe_next(args: argparse.Namespace) -> int:
     """`zavod dedupe` queue view, headless: print the best UNSURE
     candidates best-first (the TUI's pop order)."""
@@ -480,6 +494,13 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     cat_p.add_argument("dataset_dirs", nargs="+", help="exported dataset dirs")
     cat_p.set_defaults(fn=_cmd_catalog)
+
+    gc_p = sub.add_parser(
+        "gc", help="delete version dirs outside the retention window"
+    )
+    gc_p.add_argument("--archive", required=True, help="archive base dir")
+    gc_p.add_argument("--dataset", required=True)
+    gc_p.set_defaults(fn=_cmd_gc)
 
     dn_p = sub.add_parser(
         "dedupe-next", help="show the best undecided xref candidates"

@@ -130,6 +130,35 @@ class StatementArchive:
             raise ValueError(f"unknown version for {dataset}: {version}")
         self._record_version(dataset, version, success=True)
 
+    def gc(self, dataset: str) -> list[str]:
+        """Delete version directories that have fallen out of the
+        manifest's retention window (``_record_version`` keeps the newest
+        10 ids but never removed the dropped versions' files — at scale
+        that is leaked storage every run). The last-successful version is
+        never deleted even if the manifest somehow dropped it. Returns
+        the deleted version ids."""
+        import shutil
+
+        keep = set(self.versions(dataset))
+        last = self.last_successful(dataset)
+        if last is not None:
+            keep.add(last)
+        ddir = self._dataset_dir(dataset)
+        deleted: list[str] = []
+        try:
+            entries = sorted(os.listdir(ddir))
+        except FileNotFoundError:
+            return deleted
+        for name in entries:
+            path = os.path.join(ddir, name)
+            if not os.path.isdir(path) or not _VERSION_RE.match(name):
+                continue
+            if name in keep:
+                continue
+            shutil.rmtree(path)
+            deleted.append(name)
+        return deleted
+
     # -- write (statements.pack analogue) ----------------------------------
     def write(
         self,

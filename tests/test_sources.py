@@ -263,3 +263,29 @@ def test_read_json_source_lines_and_multiline(spark, tmp_path):
     ).select(parse_json_column(F.col("payload"), "k STRING, n LONG").alias("p"))
     row = embedded.select("p.k", "p.n").first()
     assert (row["k"], row["n"]) == ("K1", 7)
+
+
+def test_archive_gc_prunes_dropped_versions(spark, sf_dir, tmp_path):
+    """The manifest keeps a bounded version window; gc deletes the files
+    of versions that fell out of it — never the retained ones, never the
+    published (last-successful) version."""
+    import os
+
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    versions = [f"202608{d:02d}-000000" for d in range(1, 14)]  # 13 > keep=10
+    for v in versions:
+        arch.write(cust.limit(5), "customers", v)
+    # manifest window holds the newest 10; all 13 dirs exist on disk
+    assert arch.versions("customers") == versions[-10:]
+    ddir = str(tmp_path / "archive" / "customers")
+    on_disk = [n for n in os.listdir(ddir) if n.startswith("2026")]
+    assert len(on_disk) == 13
+    deleted = arch.gc("customers")
+    assert deleted == versions[:3]
+    on_disk = sorted(n for n in os.listdir(ddir) if n.startswith("2026"))
+    assert on_disk == versions[-10:]
+    # retained versions still read
+    assert arch.read("customers", version=versions[-1]).count() == 5
+    # gc is idempotent
+    assert arch.gc("customers") == []
