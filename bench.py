@@ -128,6 +128,7 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
     except Exception as exc:  # pragma: no cover - control is best-effort
+        con = None  # a half-initialized control must not run at all
         print(f"# duckdb control unavailable: {exc}", file=sys.stderr)
 
     # Each query runs twice and reports the MIN (the standard steady-state
@@ -181,10 +182,18 @@ def main() -> None:
         "sf": sf,
     }
     if duck:
+        # ratio over the INTERSECTION only: if a control failed for some
+        # query, comparing the all-queries Spark total against a partial
+        # DuckDB total would read as a fake regression
+        spark_matched = round(sum(timings[n] for n in duck), 3)
         out["duckdb"] = duck
         out["ratios"] = ratios
         out["duckdb_total"] = duck_total
-        out["ratio_total"] = round(total / duck_total, 2) if duck_total else 0.0
+        out["ratio_total"] = (
+            round(spark_matched / duck_total, 2) if duck_total else 0.0
+        )
+        if len(duck) < len(timings):
+            out["control_missing"] = sorted(set(timings) - set(duck))
     print(json.dumps(out))
 
 

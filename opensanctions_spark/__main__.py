@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -120,13 +121,11 @@ def _cmd_publish(args: argparse.Namespace) -> int:
     version directory, release-copy the listed resources, promote the
     version to the backfill pointer."""
     from opensanctions_spark.plans.publish import publish_dataset
-    from opensanctions_spark.session import get_session
     from opensanctions_spark.sources.archive import StatementArchive
 
-    spark = get_session(f"osp-publish-{args.dataset}")
-    spark.sparkContext.setLogLevel("WARN")
+    # pure-filesystem operation: no Spark session (JVM spin-up) needed
     result = publish_dataset(
-        StatementArchive(spark, args.archive),
+        StatementArchive(None, args.archive),
         args.dataset,
         artifacts_dir=args.artifacts,
         version=args.version,
@@ -161,11 +160,13 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
 def _cmd_gc(args: argparse.Namespace) -> int:
     """Prune version directories that fell out of the archive's retention
     window (the manifest bounds the id list; gc reclaims the files)."""
-    from opensanctions_spark.session import get_session
     from opensanctions_spark.sources.archive import StatementArchive
 
-    spark = get_session("osp-gc")
-    spark.sparkContext.setLogLevel("ERROR")
+    # filesystem-only unless a session already exists to drop bucketed
+    # catalog entries; the active-session probe avoids a JVM spin-up
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
     archive = StatementArchive(spark, args.archive)
     deleted = archive.gc(args.dataset)
     print(json.dumps({"dataset": args.dataset, "deleted": deleted}))
@@ -201,6 +202,11 @@ def _cmd_dedupe_judge(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     decisions = spark.read.parquet(args.decisions)
     updated = apply_judgement(decisions, args.left, args.right, args.judgement)
+    if os.path.abspath(args.out) == os.path.abspath(args.decisions):
+        # in-place update (the natural repeated-judging loop): cut the
+        # lineage off the source path before overwriting it, or Spark
+        # refuses ("cannot overwrite a path that is also being read from")
+        updated = updated.localCheckpoint(eager=True)
     updated.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     n_unsure = back.filter(F.col("judgement") == "UNSURE").count()

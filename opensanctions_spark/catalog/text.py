@@ -1913,10 +1913,11 @@ q AS (SELECT unnest(['hash', 'merge', 'vector']) AS term),
 term_scores AS (
   SELECT tf.doc_id,
          CAST(
-           ((tf.tf * 2200000) * 1000000
+           CAST(((tf.tf * 2200000) * 1000000
               // (tf.tf * 1000000 + 300000
                   + (9 * (dl.dl * 1000000000000
                           // (stats.sum_dl * 1000000 // stats.n_docs))) // 10))
+             AS HUGEINT)
            * ((2 * stats.n_docs - 2 * df.df + 1) * 1000000 // (2 * df.df + 1))
            // 1000000
          AS BIGINT) AS score_micro
@@ -1975,11 +1976,16 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
+            # the tf-part × idf product is widened to DECIMAL(38,0)
+            # (HUGEINT on the oracle side): for a rare term (df≈1) the
+            # idf factor is ~n_docs·6.7e5, so the int64 product would
+            # overflow past ~6M documents — far below target corpus size
             F.expr(
-                "CAST(((tf * 2200000) * 1000000"
+                "CAST(CAST(((tf * 2200000) * 1000000"
                 " div (tf * 1000000 + 300000"
                 "      + (9 * (dl * 1000000000000"
                 "              div (sum_dl * 1000000 div n_docs))) div 10))"
+                " AS DECIMAL(38,0))"
                 " * ((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
                 " div 1000000 AS BIGINT)"
             ).alias("score_micro"),
@@ -1993,6 +1999,28 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+def _quality_margin(docs: DataFrame) -> DataFrame:
+    """(doc_id, margin_ppm) — the shared linear-classifier projection for
+    the classifier and the weighted sampler (one definition, so a weight
+    tweak can never make the two disagree about what "quality" means).
+    Integer-ppm arithmetic keeps the decision boundary exact on both
+    engines; production swaps in learned float weights + a sigmoid — the
+    plan shape is identical, one projection."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    ).cast("long")
+    margin = (
+        F.lit(4) * F.expr("n_stop * 1000000 div n_tokens")
+        + F.expr("least(n_tokens, 200) * 1000000 div 200")
+        - F.lit(500000)
+    )
+    return docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop")
+    ).select("doc_id", margin.cast("long").alias("margin_ppm"))
 
 
 _CLS_FEATURES_SQL = """
@@ -2022,28 +2050,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: a fixed linear classifier (the
     fasttext-style stage a curation cascade runs AFTER the Gopher rules)
     applied as pure column math — one scan, map-only, no shuffle, no UDF.
-    Features: stopword ratio (fluency proxy) and saturating length; the
-    margin is integer-ppm arithmetic so the decision boundary is exact on
-    both engines (production swaps in learned float weights + a sigmoid —
-    the plan shape is identical, one projection)."""
-    docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
-    ).cast("long")
-    margin = (
-        F.lit(4) * F.expr("n_stop * 1000000 div n_tokens")
-        + F.expr("least(n_tokens, 200) * 1000000 div 200")
-        - F.lit(500000)
-    )
-    return (
-        docs.select("doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
-        .select(
-            "doc_id",
-            margin.cast("long").alias("margin_ppm"),
-            (margin > 0).alias("keep"),
-        )
+    Features: stopword ratio (fluency proxy) and saturating length; see
+    ``_quality_margin`` for the shared scoring projection."""
+    scored = _quality_margin(load(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id", "margin_ppm", (F.col("margin_ppm") > 0).alias("keep")
     )
 
 
@@ -2071,26 +2082,13 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole disposition stays map-only (classifier margin + hash
     predicate in one projection, zero shuffles). The mixing stage a
     curation pipeline runs between filtering and packing."""
-    docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
-    ).cast("long")
-    margin = (
-        F.lit(4) * F.expr("n_stop * 1000000 div n_tokens")
-        + F.expr("least(n_tokens, 200) * 1000000 div 200")
-        - F.lit(500000)
-    )
+    scored = _quality_margin(load(spark, sf_dir, "documents"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long")
         % 100
     )
     return (
-        docs.select("doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"),
-                    bucket.alias("_bucket"))
-        .select("doc_id", margin.cast("long").alias("margin_ppm"), "_bucket")
-        .filter((F.col("margin_ppm") > 0) | (F.col("_bucket") < 25))
+        scored.filter((F.col("margin_ppm") > 0) | (bucket < 25))
         .select("doc_id", "margin_ppm")
     )

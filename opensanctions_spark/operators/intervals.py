@@ -91,7 +91,12 @@ def interval_overlap_pairs(
                 lambda x, i: F.transform(
                     F.filter(
                         F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                        lambda y: (x["start_us"] <= y["end_us"])
+                        # strict id inequality: duplicate ids within a key
+                        # (caller-supplied id column) sort adjacent and
+                        # would otherwise emit a left_id == right_id
+                        # self-pair, breaking the left < right contract
+                        lambda y: (x["id"] < y["id"])
+                        & (x["start_us"] <= y["end_us"])
                         & (y["start_us"] <= x["end_us"]),
                     ),
                     lambda y: F.struct(

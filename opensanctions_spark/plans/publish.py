@@ -124,10 +124,12 @@ def publish_dataset(
 
     # 3. stale-latest scan: files a previous publish left behind that this
     # run no longer ships (warn, never delete — the reference's rationale:
-    # deleting from the bucket is scary)
+    # deleting from the bucket is scary). Only meaningful when THIS publish
+    # actually refreshed datasets/latest — a pinned-release publish that
+    # skipped latest must not flag latest's intentionally-older contents.
     latest_dir = os.path.join(archive.base_dir, "datasets", "latest", dataset)
     stale = []
-    if os.path.isdir(latest_dir):
+    if latest_dir in release_dirs and os.path.isdir(latest_dir):
         stale = sorted(set(os.listdir(latest_dir)) - set(listed))
 
     # 4. promote: backfill reads now resolve this version

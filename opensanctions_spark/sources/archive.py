@@ -39,9 +39,13 @@ def new_version_id(now: datetime | None = None) -> str:
 
 
 class StatementArchive:
+    """``spark`` may be ``None`` for the pure-filesystem surface
+    (versions/publish/gc) — CLI verbs that never touch data skip the JVM
+    spin-up; ``read``/``write`` require a session."""
+
     def __init__(
         self,
-        spark: SparkSession,
+        spark: SparkSession | None,
         base_dir: str,
         bucket_statements: bool = False,
         n_buckets: int = 32,
@@ -78,6 +82,8 @@ class StatementArchive:
     def is_bucketed(self, dataset: str, version: str) -> bool:
         """True iff this version's read comes off the bucketed table (the
         assembly may then skip its clustering exchange)."""
+        if self.spark is None:
+            return False
         return self.spark.catalog.tableExists(self._table_name(dataset, version))
 
     def _manifest_path(self, dataset: str) -> str:
@@ -156,6 +162,13 @@ class StatementArchive:
             if name in keep:
                 continue
             shutil.rmtree(path)
+            # drop the bucketed table's catalog entry with its files, or
+            # is_bucketed() would misreport and reads would fail at scan
+            # time instead of missing cleanly
+            if self.spark is not None:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(dataset, name)}"
+                )
             deleted.append(name)
         return deleted
 
@@ -198,9 +211,16 @@ class StatementArchive:
         latest SUCCESSFUL run (``zavod/zavod/archive/__init__.py:155-231``
         — never a version whose run failed validation).
         external=False drops enrichment candidates at the scan (P2)."""
-        version = version or self.last_successful(dataset) or self.latest(dataset)
         if version is None:
-            raise FileNotFoundError(f"no versions for dataset {dataset}")
+            # NEVER fall back to latest(): with only pending/failed writes
+            # recorded, serving the newest version would be exactly the
+            # backfill poisoning the pending-write/mark_successful split
+            # prevents.
+            version = self.last_successful(dataset)
+        if version is None:
+            raise FileNotFoundError(
+                f"no successful versions for dataset {dataset}"
+            )
         if self.is_bucketed(dataset, version):
             df = self.spark.table(self._table_name(dataset, version))
         elif os.path.isdir(self._bucketed_path(dataset, version)):

@@ -71,3 +71,21 @@ def test_expansion_cost_scales_linearly_not_quadratically(spark):
     c2 = expansion_cost(mk(800), "key", "id", "start_us", "end_us", W)
     assert c1 > 0
     assert c2 <= 2.5 * c1, f"expansion cost quadrupled: {c1} -> {c2}"
+
+
+def test_duplicate_ids_never_self_pair(spark):
+    """Caller-supplied id columns need not be unique: two rows with the
+    same (key, id) must not emit a left_id == right_id self-pair."""
+    rows = [("a", 1, 10, 20), ("a", 1, 15, 30), ("a", 2, 12, 18)]
+    df = spark.createDataFrame(
+        rows, "key STRING, id BIGINT, start_us LONG, end_us LONG"
+    )
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in interval_overlap_pairs(
+            df, "key", "id", "start_us", "end_us", W
+        ).collect()
+    )
+    # row-pair semantics (the replaced equi-join's): each of the two id=1
+    # ROWS pairs with id=2 once; never a (1, 1) self-pair
+    assert got == [(1, 2), (1, 2)]

@@ -289,3 +289,21 @@ def test_archive_gc_prunes_dropped_versions(spark, sf_dir, tmp_path):
     assert arch.read("customers", version=versions[-1]).count() == 5
     # gc is idempotent
     assert arch.gc("customers") == []
+
+
+def test_read_never_serves_pending_only_dataset(spark, sf_dir, tmp_path):
+    """A dataset whose only writes are pending (success=False — e.g. its
+    first-ever run aborted on a fatal assertion) must not be readable via
+    backfill: falling back to latest() would serve unvalidated data."""
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    v = arch.write(cust.limit(5), "customers", "20260801-000000", success=False)
+    assert arch.latest("customers") == v
+    assert arch.last_successful("customers") is None
+    with pytest.raises(FileNotFoundError):
+        arch.read("customers")
+    # explicit version still readable (debugging a failed run)
+    assert arch.read("customers", version=v).count() == 5
+    # promotion makes it the backfill target
+    arch.mark_successful("customers", v)
+    assert arch.read("customers").count() == 5
