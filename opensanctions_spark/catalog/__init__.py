@@ -158,6 +158,9 @@ DRIVER_PRIORITY: list[str] = [
     "search_bm25",
     "text_quality_classifier",
     "sample_quality_weighted",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -1205,3 +1205,198 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact") * F.lit(0.05)
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus AS shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode audit (linestatus stands in for
+    shipmode — the testdata carries no shipmode column): two-way
+    conditional aggregation over the orders join, the date window pushed
+    to the lineitem scan. Both priority buckets come out of ONE pass —
+    the reference computes pairs of counts the same single-scan way
+    (``zavod/zavod/exporters/statistics.py:54-70``)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH pair AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_suppkey, l_partkey
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(qty_c) AS BIGINT) AS part_qty_c,
+         COUNT(*) AS n_suppliers
+  FROM pair GROUP BY l_partkey
+),
+dominant AS (
+  SELECT DISTINCT pair.l_suppkey
+  FROM pair JOIN per_part USING (l_partkey)
+  WHERE pair.qty_c * per_part.n_suppliers > 2 * per_part.part_qty_c
+)
+SELECT s_name, n_name AS nation
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join: suppliers who DOMINATE the
+    supply of some 'red' part (pair quantity > 2× the part's mean pair
+    quantity — the correlated scalar threshold Q20 expresses with a
+    correlated subquery, decorrelated here into an aggregate + join; no
+    partsupp table exists, so shipped quantity stands in for availqty).
+    All quantity math is integer cents so the threshold comparison is a
+    pure integer cross-multiply — no division, no float. Plan: part
+    filter broadcast into the lineitem join, one (supp, part) agg, the
+    tiny per-part stats joined back, DISTINCT suppliers semi-joined into
+    the supplier dim with the nation broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    qty_c = F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long")
+    pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(qty_c.alias("qty_c"))
+    )
+    per_part = pair.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("part_qty_c"),
+        F.count("*").alias("n_suppliers"),
+    )
+    dominant = (
+        pair.join(per_part, "l_partkey")
+        .filter(
+            F.col("qty_c") * F.col("n_suppliers") > 2 * F.col("part_qty_c")
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(dominant, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY l_orderkey
+),
+late_stats AS (
+  SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+),
+waiting AS (
+  SELECT late.l_suppkey, late.l_orderkey
+  FROM late
+  JOIN stats USING (l_orderkey)
+  JOIN late_stats USING (l_orderkey)
+  WHERE stats.n_supp > 1 AND late_stats.n_late = 1
+),
+ranked AS (
+  SELECT s_name, COUNT(*) AS numwait,
+         row_number() OVER (ORDER BY COUNT(*) DESC, s_name) AS rank
+  FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_name
+)
+SELECT s_name, numwait, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: the classic
+    correlated EXISTS (another supplier on the order) + NOT EXISTS
+    (another LATE supplier) pair, DECORRELATED into per-order counts —
+    n_supp > 1 ∧ n_late = 1 is exactly the EXISTS/NOT-EXISTS conjunction
+    for a supplier already late on the order, but costs one aggregation
+    of the fact table instead of two additional self-joins (the shape
+    Catalyst's own decorrelation produces, written explicitly so the
+    oracle pins the equivalence). 'Late' = shipped > 90 days after the
+    order date (the testdata has no commit/receipt dates)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").filter(
+                F.col("o_orderstatus") == "F"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = (
+        li.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    late_stats = late.groupBy("l_orderkey").agg(F.count("*").alias("n_late"))
+    waiting = (
+        late.join(stats, "l_orderkey")
+        .join(late_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    counts = (
+        waiting.join(
+            F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("numwait").desc(), "s_name")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
