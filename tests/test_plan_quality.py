@@ -454,3 +454,23 @@ def test_quality_classifier_and_weighted_sample_are_map_only(spark, sf_dir):
     for name in ("text_quality_classifier", "sample_quality_weighted"):
         plan = _executed_plan(QUERIES[name](spark, sf_dir))
         assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_q12_single_fact_shuffle_with_pushdown(spark, sf_dir):
+    """Q12: the ship-date window reaches the lineitem scan and the
+    conditional aggregation costs one hash exchange (orders broadcast at
+    this scale)."""
+    plan = _executed_plan(QUERIES["q12_shipmode_priority"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"expected <=1 hash exchange, saw {n}"
+
+
+def test_q21_decorrelation_has_no_extra_self_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must stay decorrelated: no nested-loop
+    or cartesian operator anywhere, and the fact table is aggregated, not
+    self-joined per predicate."""
+    plan = _executed_plan(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
