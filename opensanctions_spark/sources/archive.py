@@ -114,19 +114,45 @@ class StatementArchive:
         except FileNotFoundError:
             return None
 
+    def successful_versions(self, dataset: str) -> list[str]:
+        """All versions ever promoted, sorted — the version-history surface
+        (``publish_version_history``,
+        ``zavod/zavod/archive/__init__.py`` VERSIONS_FILE). Entries whose
+        files were gc'd remain listed (history is an audit trail); reads
+        resolve only against versions still in the retention window."""
+        try:
+            with open(self._manifest_path(dataset)) as fh:
+                manifest = json.load(fh)
+        except FileNotFoundError:
+            return []
+        succ = manifest.get("successful")
+        if succ is None:  # manifests written before the history field
+            last = manifest.get("last_successful")
+            succ = [last] if last else []
+        return sorted(succ)
+
     def _record_version(
         self, dataset: str, version: str, keep: int = 10, success: bool = True
     ) -> None:
         manifest_versions = self.versions(dataset)
         last = self.last_successful(dataset)
+        successful = set(self.successful_versions(dataset))
         versions = [v for v in manifest_versions if v != version]
         versions.append(version)
         versions = sorted(versions)[-keep:]  # bounded history window
         if success:
             last = version
+            successful.add(version)
         os.makedirs(self._dataset_dir(dataset), exist_ok=True)
         with open(self._manifest_path(dataset), "w") as fh:
-            json.dump({"versions": versions, "last_successful": last}, fh)
+            json.dump(
+                {
+                    "versions": versions,
+                    "last_successful": last,
+                    "successful": sorted(successful),
+                },
+                fh,
+            )
 
     def mark_successful(self, dataset: str, version: str) -> None:
         """Flip the backfill pointer to ``version`` — the publish-time /
@@ -206,11 +232,29 @@ class StatementArchive:
 
     # -- read with backfill fallback (S9/S10) ------------------------------
     def read(self, dataset: str, version: str | None = None,
-             external: bool = False) -> DataFrame:
+             external: bool = False, as_of: str | None = None) -> DataFrame:
         """Read one dataset's statements; version=None falls back to the
         latest SUCCESSFUL run (``zavod/zavod/archive/__init__.py:155-231``
         — never a version whose run failed validation).
-        external=False drops enrichment candidates at the scan (P2)."""
+        external=False drops enrichment candidates at the scan (P2).
+
+        ``as_of`` (time travel): the newest successful version whose id is
+        ≤ the given timestamp — version-id format (YYYYMMDD-HHMMSS[-µs]);
+        any prefix works and is inclusive (``"20260812"`` means end of
+        that day). Only versions still inside the retention window
+        resolve; gc'd history raises."""
+        if version is None and as_of is not None:
+            window = set(self.versions(dataset))
+            bound = as_of + "~"  # '~' sorts after [0-9-]: inclusive prefix
+            cands = [
+                v for v in self.successful_versions(dataset)
+                if v <= bound and v in window
+            ]
+            if not cands:
+                raise FileNotFoundError(
+                    f"no successful version of {dataset} at or before {as_of}"
+                )
+            version = cands[-1]
         if version is None:
             # NEVER fall back to latest(): with only pending/failed writes
             # recorded, serving the newest version would be exactly the

@@ -307,3 +307,29 @@ def test_read_never_serves_pending_only_dataset(spark, sf_dir, tmp_path):
     # promotion makes it the backfill target
     arch.mark_successful("customers", v)
     assert arch.read("customers").count() == 5
+
+
+def test_archive_as_of_time_travel(spark, sf_dir, tmp_path):
+    """as_of reads resolve the newest SUCCESSFUL version at or before the
+    timestamp — pending versions are invisible, prefixes are inclusive,
+    and pre-history timestamps raise."""
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    arch.write(cust.limit(10), "customers", "20260801-000000")          # ok
+    arch.write(cust.limit(20), "customers", "20260805-000000",
+               success=False)                                           # pending
+    arch.write(cust.limit(30), "customers", "20260812-000000")          # ok
+    assert arch.successful_versions("customers") == [
+        "20260801-000000", "20260812-000000",
+    ]
+    # between the two successful runs: resolves the first, skips pending
+    assert arch.read("customers", as_of="20260806-000000").count() == 10
+    # bare-date prefix is inclusive of that whole day
+    assert arch.read("customers", as_of="20260812").count() == 30
+    assert arch.read("customers", as_of="20260801").count() == 10
+    with pytest.raises(FileNotFoundError):
+        arch.read("customers", as_of="20260731")
+    # explicit version always wins over as_of resolution
+    assert arch.read(
+        "customers", version="20260805-000000", as_of="20260801"
+    ).count() == 20
