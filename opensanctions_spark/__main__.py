@@ -108,9 +108,19 @@ def _cmd_export(args: argparse.Namespace) -> int:
 
     spark = get_session(f"osp-export-{args.dataset}")
     spark.sparkContext.setLogLevel("WARN")
+    archive = StatementArchive(spark, args.archive)
+    version = args.version
+    if version is None and args.as_of is not None:
+        # time-travel export: resolve the successful version at the
+        # timestamp, then export it like any pinned version
+        try:
+            version = archive.resolve_as_of(args.dataset, args.as_of)
+        except FileNotFoundError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
     manifest = export_dataset(
-        spark, StatementArchive(spark, args.archive), args.dataset,
-        out_dir=args.out, run_time=args.run_time, version=args.version,
+        spark, archive, args.dataset,
+        out_dir=args.out, run_time=args.run_time, version=version,
     )
     print(json.dumps(manifest, indent=2, default=str))
     return 0
@@ -456,6 +466,9 @@ def main(argv: list[str] | None = None) -> int:
     ex_p.add_argument("--archive", required=True)
     ex_p.add_argument("--out", required=True)
     ex_p.add_argument("--version", default=None)
+    ex_p.add_argument("--as-of", dest="as_of", default=None,
+                      help="export the successful version at/before this "
+                           "timestamp (YYYYMMDD[-HHMMSS], inclusive)")
     ex_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     ex_p.set_defaults(fn=_cmd_export)
 

@@ -154,6 +154,22 @@ class StatementArchive:
                 fh,
             )
 
+    def resolve_as_of(self, dataset: str, as_of: str) -> str:
+        """The newest SUCCESSFUL version whose id is ≤ ``as_of`` and whose
+        files are still in the retention window. ``as_of`` is version-id
+        format; any prefix is inclusive ('20260812' = end of that day)."""
+        window = set(self.versions(dataset))
+        bound = as_of + "~"  # '~' sorts after [0-9-]: inclusive prefix
+        cands = [
+            v for v in self.successful_versions(dataset)
+            if v <= bound and v in window
+        ]
+        if not cands:
+            raise FileNotFoundError(
+                f"no successful version of {dataset} at or before {as_of}"
+            )
+        return cands[-1]
+
     def mark_successful(self, dataset: str, version: str) -> None:
         """Flip the backfill pointer to ``version`` — the publish-time /
         end-of-run promotion (``zavod/zavod/publish.py:63-95`` makes a
@@ -244,17 +260,7 @@ class StatementArchive:
         that day). Only versions still inside the retention window
         resolve; gc'd history raises."""
         if version is None and as_of is not None:
-            window = set(self.versions(dataset))
-            bound = as_of + "~"  # '~' sorts after [0-9-]: inclusive prefix
-            cands = [
-                v for v in self.successful_versions(dataset)
-                if v <= bound and v in window
-            ]
-            if not cands:
-                raise FileNotFoundError(
-                    f"no successful version of {dataset} at or before {as_of}"
-                )
-            version = cands[-1]
+            version = self.resolve_as_of(dataset, as_of)
         if version is None:
             # NEVER fall back to latest(): with only pending/failed writes
             # recorded, serving the newest version would be exactly the
