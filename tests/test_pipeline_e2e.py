@@ -609,3 +609,35 @@ def test_collection_lifecycle_runs_publish_catalog_read(spark, paths, tmp_path):
         assert archive.last_successful(name) == "20260801-000000"
         assert os.path.exists(os.path.join(
             archive_dir, "datasets", "20260801", name, "index.json"))
+
+
+def test_cli_export_as_of(spark, paths, capsys):
+    """Time-travel export: two successful runs, --as-of between them
+    exports the first version's entities."""
+    from opensanctions_spark.__main__ import main
+
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    cfg = DatasetConfig(name="fixture", assertions=[])
+    run_dataset(
+        spark, crawl(spark, v1_csv), cfg, archive,
+        out_dir=os.path.join(out_dir, "r1"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    run_dataset(
+        spark, crawl(spark, v2_csv), cfg, archive,
+        out_dir=os.path.join(out_dir, "r2"),
+        run_time="2026-08-13T00:00:00", version="20260813-000000",
+    )
+    rc = main([
+        "export", "--dataset", "fixture", "--archive", archive_dir,
+        "--out", os.path.join(out_dir, "asof"), "--as-of", "20260805",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["version"] == "20260801-000000"
+    # pre-history timestamp fails cleanly
+    assert main([
+        "export", "--dataset", "fixture", "--archive", archive_dir,
+        "--out", os.path.join(out_dir, "asof2"), "--as-of", "20260701",
+    ]) == 2
