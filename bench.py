@@ -62,6 +62,9 @@ HEADLINE = [
     "pipeline_curate_corpus",
     # seven-table join with a one-pass conditional ratio
     "q8_market_share",
+    # round 3: linear-edge near-dup clustering; BM25 over the inverted index
+    "dedup_near_cluster_star",
+    "search_bm25",
 ]
 
 
