@@ -62,8 +62,11 @@ HEADLINE = [
     "pipeline_curate_corpus",
     # seven-table join with a one-pass conditional ratio
     "q8_market_share",
-    # round 3: linear-edge near-dup clustering; BM25 over the inverted index
-    "dedup_near_cluster_star",
+    # round 3: BM25 over the inverted index. (dedup_near_cluster_star is
+    # deliberately NOT here: its DuckDB oracle is a recursive transitive
+    # closure that takes ~1 min at sf0.1 — including it would flatter
+    # ratio_total the same way dedup_semantic_semdedup already skews it;
+    # its scale evidence lives in SCALE.md §10 and the correctness gate.)
     "search_bm25",
 ]
 
