@@ -162,6 +162,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "dedup_near_cluster_star",
+    "chunk_documents",
 ]
 
 

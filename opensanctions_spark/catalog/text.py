@@ -2181,3 +2181,59 @@ def dedup_near_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "chunk_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+),
+offsets AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS off FROM sized
+)
+SELECT doc_id,
+       CAST(off // 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, off + 1, off + 64), ' ') AS chunk_text,
+       CAST(least(64, n - off) AS BIGINT) AS n_tokens
+FROM offsets
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (retrieval/RAG prep): each
+    document becomes 64-token windows at stride 48 (16-token overlap so
+    no sentence is orphaned at a boundary) — the stage between curation
+    and embedding in a retrieval pipeline, and the dual of
+    ``pack_sequences`` (packing concatenates docs INTO windows; chunking
+    splits docs ACROSS windows).
+
+    Map-only: tokens, per-doc offset explode, slice + join — zero
+    shuffles, so chunking a 100 TB corpus is pure scan throughput.
+    explode_outer + null filter per the house rule (plain explode of a
+    computed array re-evaluates the tokenizer through the inferred
+    size() filter)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    sized = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    out = sized.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode_outer(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+        ).alias("off"),
+    ).filter(F.col("off").isNotNull())
+    return out.select(
+        "doc_id",
+        F.expr("CAST(off div 48 AS BIGINT)").alias("chunk_id"),
+        F.array_join(F.slice("toks", F.col("off") + 1, F.lit(64)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(64), F.col("n") - F.col("off")).cast("long").alias("n_tokens"),
+    )

@@ -474,3 +474,10 @@ def test_q21_decorrelation_has_no_extra_self_joins(spark, sf_dir):
     plan = _executed_plan(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
     for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Overlapping-window chunking must stay a pure scan pipeline — zero
+    exchanges of any kind."""
+    plan = _executed_plan(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
