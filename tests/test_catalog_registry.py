@@ -1,0 +1,32 @@
+"""Meta-guards on the query catalog and the driver rotation order."""
+
+from __future__ import annotations
+
+from opensanctions_spark.catalog import DRIVER_PRIORITY, ORACLES, QUERIES
+
+
+def test_every_priority_name_is_registered():
+    """A typo in DRIVER_PRIORITY silently skips the name in _reorder() and
+    wastes a driver correctness slot — fail loudly instead."""
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+
+
+def test_every_query_has_an_oracle():
+    """The driver's correctness gate records a weaker rows-only check for
+    oracle-less queries; this engine ships an oracle for every single
+    query — keep it that way."""
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_driver_records_the_priority_head():
+    """The driver checks the FIRST 50 registration-order entries; the
+    rotation contract is that those are exactly the priority head."""
+    head = list(QUERIES)[:50]
+    assert head == DRIVER_PRIORITY[:50]
+
+
+def test_no_duplicate_priority_entries():
+    dupes = {n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1}
+    assert not dupes, f"duplicate DRIVER_PRIORITY entries: {dupes}"
