@@ -357,12 +357,18 @@ def validate_dataset(
     ``zavod/zavod/cli/etl.py:38-55``): rebuild the entity view from the
     archived statements and run the shared-scan validators + assertion
     checks WITHOUT exporting. Returns the validation manifest."""
+    version = version or archive.last_successful(name)
     statements = archive.read(name, version=version, external=True)
     if canonical_map is not None:
         from opensanctions_spark.operators.resolve import apply_canonical
 
         statements = apply_canonical(statements, canonical_map)
-    entities = assemble_entities(statements).persist()
+    pre_clustered = (
+        canonical_map is None
+        and version is not None
+        and archive.is_bucketed(name, version)
+    )
+    entities = assemble_entities(statements, pre_clustered=pre_clustered).persist()
     entity_count, target_count, schema_counts = _entity_stats(entities)
     stats = {
         "entity_count": entity_count,
@@ -408,7 +414,10 @@ def export_dataset(
         from opensanctions_spark.operators.resolve import apply_canonical
 
         statements = apply_canonical(statements, canonical_map)
-    entities = assemble_entities(statements).persist()
+    # bucketed archive reads feed a clustering-free assembly (same
+    # condition as run_dataset — a resolver rekey invalidates it)
+    pre_clustered = canonical_map is None and archive.is_bucketed(name, version)
+    entities = assemble_entities(statements, pre_clustered=pre_clustered).persist()
     export_counts = export_all(
         entities, statements, out_dir, dataset=name,
         single_file=single_file, version=str(version), run_time=run_time,

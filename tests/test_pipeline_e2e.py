@@ -641,3 +641,27 @@ def test_cli_export_as_of(spark, paths, capsys):
         "export", "--dataset", "fixture", "--archive", archive_dir,
         "--out", os.path.join(out_dir, "asof2"), "--as-of", "20260701",
     ]) == 2
+
+
+def test_bucketed_export_and_validate_reuse_clustering(spark, paths):
+    """validate and export on a bucketed archive must also skip the
+    assembly exchange (run_dataset already does)."""
+    from opensanctions_spark.plans.run import export_dataset, validate_dataset
+
+    v1_csv, _, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir, bucket_statements=True)
+    config = DatasetConfig(name="fixture", assertions=[])
+    run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=os.path.join(out_dir, "rb"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    v = validate_dataset(spark, archive, "fixture")
+    assert v["entity_count"] == 12
+    manifest = export_dataset(
+        spark, archive, "fixture",
+        out_dir=os.path.join(out_dir, "xb"),
+        run_time="2026-08-01T00:00:00",
+    )
+    assert manifest["export_counts"]["entities.ftm.json"] == 12
+    spark.sql("DROP TABLE IF EXISTS osp_stmts_fixture_20260801_000000")
