@@ -167,6 +167,58 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_enrich(args: argparse.Namespace) -> int:
+    """`zavod enrich` analogue (§3.2): match a subject scope against a
+    target store, apply resolver judgements, and expand the internal
+    emission subgraph. Optional inputs default to: no prior judgements,
+    every target publishable, no graph expansion."""
+    from opensanctions_spark.plans.enrich import EnrichConfig, enrich
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-enrich")
+    spark.sparkContext.setLogLevel("ERROR")
+    subjects = spark.read.parquet(args.subjects)
+    targets = spark.read.parquet(args.targets)
+    edges = (
+        spark.read.parquet(args.edges)
+        if args.edges
+        else spark.createDataFrame([], "src STRING, dst STRING")
+    )
+    judgements = (
+        spark.read.parquet(args.judgements)
+        if args.judgements
+        else spark.createDataFrame(
+            [], "left_id STRING, right_id STRING, judgement STRING"
+        )
+    )
+    publishable = (
+        spark.read.parquet(args.publishable)
+        if args.publishable
+        else targets.select("id")
+    )
+    cfg = EnrichConfig(
+        cutoff=args.cutoff, top_k=args.top_k, expand_depth=args.expand_depth
+    )
+    candidates, internal = enrich(
+        subjects, targets, edges, judgements, publishable, cfg
+    )
+    os.makedirs(args.out, exist_ok=True)
+    candidates.write.mode("overwrite").parquet(
+        os.path.join(args.out, "candidates.parquet")
+    )
+    internal.write.mode("overwrite").parquet(
+        os.path.join(args.out, "internal.parquet")
+    )
+    print(json.dumps({
+        "candidates": spark.read.parquet(
+            os.path.join(args.out, "candidates.parquet")).count(),
+        "internal": spark.read.parquet(
+            os.path.join(args.out, "internal.parquet")).count(),
+        "out": args.out,
+    }))
+    return 0
+
+
 def _cmd_gc(args: argparse.Namespace) -> int:
     """Prune version directories that fell out of the archive's retention
     window (the manifest bounds the id list; gc reclaims the files)."""
@@ -513,6 +565,21 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     cat_p.add_argument("dataset_dirs", nargs="+", help="exported dataset dirs")
     cat_p.set_defaults(fn=_cmd_catalog)
+
+    en_p = sub.add_parser(
+        "enrich", help="match subjects against a target store (§3.2)"
+    )
+    en_p.add_argument("--subjects", required=True, help="(id, name) parquet")
+    en_p.add_argument("--targets", required=True, help="(id, name) parquet")
+    en_p.add_argument("--edges", default=None, help="(src, dst) parquet")
+    en_p.add_argument("--judgements", default=None,
+                      help="(left_id, right_id, judgement) parquet")
+    en_p.add_argument("--publishable", default=None, help="(id) parquet")
+    en_p.add_argument("--out", required=True)
+    en_p.add_argument("--cutoff", type=float, default=0.5)
+    en_p.add_argument("--top-k", type=int, default=10, dest="top_k")
+    en_p.add_argument("--expand-depth", type=int, default=2, dest="expand_depth")
+    en_p.set_defaults(fn=_cmd_enrich)
 
     gc_p = sub.add_parser(
         "gc", help="delete version dirs outside the retention window"

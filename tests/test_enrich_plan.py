@@ -72,3 +72,30 @@ def test_enrich_dispositions_and_expansion(spark, scopes):
     depths = {r["node"]: r["depth"] for r in internal.collect()}
     # t1 expands 2 hops; x3 is beyond depth, y1 gated out with q1
     assert depths == {"t1": 0, "x1": 1, "x2": 2}
+
+
+def test_cli_enrich_verb(spark, tmp_path, capsys):
+    import json
+
+    from opensanctions_spark.__main__ import main
+
+    subjects = spark.createDataFrame(
+        [("s1", "acme holding group"), ("s2", "zeta unknown")], "id STRING, name STRING"
+    )
+    targets = spark.createDataFrame(
+        [("t1", "acme holding group"), ("t2", "other corp")], "id STRING, name STRING"
+    )
+    subjects.write.parquet(str(tmp_path / "subjects.parquet"))
+    targets.write.parquet(str(tmp_path / "targets.parquet"))
+    rc = main([
+        "enrich",
+        "--subjects", str(tmp_path / "subjects.parquet"),
+        "--targets", str(tmp_path / "targets.parquet"),
+        "--out", str(tmp_path / "enrich"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["candidates"] >= 1
+    cands = spark.read.parquet(str(tmp_path / "enrich" / "candidates.parquet"))
+    row = cands.filter(cands.subject_id == "s1").collect()
+    assert row and row[0]["candidate_id"] == "t1"
