@@ -88,7 +88,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the 62 queries that have never received a driver row (full catalog
 #: minus r1's 50 minus r2's 50), ordered cheapest-first by measured
 #: sf0.01 gate time so the expensive streaming/pipeline queries can't eat
-#: a wall-clock budget; the 12 most expensive roll to round 4.
+#: a wall-clock budget; the 12 most expensive plus the round-3 additions
+#: (everything after the budget marker below) roll to round 4 — put them
+#: FIRST in round 4's rotation.
 DRIVER_PRIORITY: list[str] = [
     "rollup_time_hierarchy",
     "sample_stratified",
