@@ -2159,7 +2159,16 @@ def dedup_near_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     The any-band-collision clustering rule is deliberately more
     aggressive than ``dedup_near_cluster``'s ≥4-bands threshold: this is
     the shape for boilerplate-heavy web corpora where the threshold
-    variant's stop-band cap would otherwise drop entire mega-clusters."""
+    variant's stop-band cap would otherwise drop entire mega-clusters.
+
+    Oracle scale note: the DuckDB twin recomputes components with a
+    transitive closure, which materializes O(cluster²) reach rows — fine
+    at the correctness-gate sizes, pathological once the any-collision
+    rule produces mega-clusters (at sf1 the synthetic corpus collapses
+    to 7 clusters of ~7k docs each). The Spark side is the scale path
+    (pointer jumping is O(log d) label-size rounds); sf1+ verification
+    is the invariant check in the round log (all docs present, exactly
+    one keeper per cluster) plus the sf≤0.01 exact oracle."""
     from opensanctions_spark.operators.resolve import connected_components
 
     docs = load(spark, sf_dir, "documents")
