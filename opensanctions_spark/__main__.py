@@ -109,6 +109,10 @@ def _cmd_export(args: argparse.Namespace) -> int:
     spark = get_session(f"osp-export-{args.dataset}")
     spark.sparkContext.setLogLevel("WARN")
     archive = StatementArchive(spark, args.archive)
+    if args.version is not None and args.as_of is not None:
+        print("error: --version and --as-of are mutually exclusive",
+              file=sys.stderr)
+        return 2
     version = args.version
     if version is None and args.as_of is not None:
         # time-travel export: resolve the successful version at the
@@ -172,7 +176,11 @@ def _cmd_enrich(args: argparse.Namespace) -> int:
     target store, apply resolver judgements, and expand the internal
     emission subgraph. Optional inputs default to: no prior judgements,
     every target publishable, no graph expansion."""
-    from opensanctions_spark.plans.enrich import EnrichConfig, enrich
+    from opensanctions_spark.plans.enrich import (
+        EnrichConfig,
+        enrich_judged,
+        enrich_outputs,
+    )
     from opensanctions_spark.session import get_session
 
     spark = get_session("osp-enrich")
@@ -199,16 +207,21 @@ def _cmd_enrich(args: argparse.Namespace) -> int:
     cfg = EnrichConfig(
         cutoff=args.cutoff, top_k=args.top_k, expand_depth=args.expand_depth
     )
-    candidates, internal = enrich(
-        subjects, targets, edges, judgements, publishable, cfg
-    )
-    os.makedirs(args.out, exist_ok=True)
-    candidates.write.mode("overwrite").parquet(
-        os.path.join(args.out, "candidates.parquet")
-    )
-    internal.write.mode("overwrite").parquet(
-        os.path.join(args.out, "internal.parquet")
-    )
+    # persist the shared matching upstream: candidates AND the internal
+    # subgraph both derive from it, and the subject×target blocking join
+    # is the expensive stage — without this the second write re-runs it
+    judged = enrich_judged(subjects, targets, judgements, cfg).persist()
+    try:
+        candidates, internal = enrich_outputs(judged, edges, publishable, cfg)
+        os.makedirs(args.out, exist_ok=True)
+        candidates.write.mode("overwrite").parquet(
+            os.path.join(args.out, "candidates.parquet")
+        )
+        internal.write.mode("overwrite").parquet(
+            os.path.join(args.out, "internal.parquet")
+        )
+    finally:
+        judged.unpersist()
     print(json.dumps({
         "candidates": spark.read.parquet(
             os.path.join(args.out, "candidates.parquet")).count(),

@@ -2210,6 +2210,7 @@ SELECT doc_id,
        array_to_string(list_slice(toks, off + 1, off + 64), ' ') AS chunk_text,
        CAST(least(64, n - off) AS BIGINT) AS n_tokens
 FROM offsets
+WHERE off = 0 OR off < n - 16
 """,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,6 +2239,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
         ).alias("off"),
     ).filter(F.col("off").isNotNull())
+    # drop a trailing window fully contained in its predecessor (the
+    # previous window already covers through off+16, so a start past
+    # n-16 adds no tokens — without this, ~1/3 of documents emit a
+    # duplicate sub-chunk that would be embedded and retrieved twice)
+    out = out.filter((F.col("off") == 0) | (F.col("off") < F.col("n") - 16))
     return out.select(
         "doc_id",
         F.expr("CAST(off div 48 AS BIGINT)").alias("chunk_id"),

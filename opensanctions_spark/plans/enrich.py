@@ -115,6 +115,22 @@ def enrich(
     POSITIVE-judged, publishable match.
     """
     config = config or EnrichConfig()
+    judged = enrich_judged(subjects, targets, judgements, config)
+    return enrich_outputs(judged, edges, publishable, config)
+
+
+def enrich_judged(
+    subjects: DataFrame,
+    targets: DataFrame,
+    judgements: DataFrame,
+    config: EnrichConfig | None = None,
+) -> DataFrame:
+    """The shared upstream of both §3.2 outputs: blocking matches with
+    resolver judgements attached. Exposed separately so a caller
+    consuming BOTH outputs (the CLI verb writes candidates AND the
+    internal subgraph) can persist this frame once instead of paying the
+    subject×target matching twice."""
+    config = config or EnrichConfig()
     matches = enrich_matches(subjects, targets, config)
     j = F.broadcast(
         judgements.select(
@@ -123,12 +139,23 @@ def enrich(
             "judgement",
         )
     )
-    judged = matches.join(
+    return matches.join(
         j,
         (F.least("subject_id", "candidate_id") == F.col("_a"))
         & (F.greatest("subject_id", "candidate_id") == F.col("_b")),
         "left",
     ).drop("_a", "_b")
+
+
+def enrich_outputs(
+    judged: DataFrame,
+    edges: DataFrame,
+    publishable: DataFrame,
+    config: EnrichConfig | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (candidates, internal) from a judged-matches frame — see
+    ``enrich`` for the semantics."""
+    config = config or EnrichConfig()
     candidates = judged.filter(
         F.col("judgement").isNull() | (F.col("judgement") == "UNSURE")
     )

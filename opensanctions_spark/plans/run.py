@@ -403,7 +403,13 @@ def export_dataset(
     """The standalone export stage (``zavod export``,
     ``zavod/zavod/cli/etl.py:57-73``): rebuild the entity view from one
     archived version, run every sink + the K12 metadata set, and write
-    the ADD/MOD/DEL delta against the PREVIOUS archived version."""
+    the ADD/MOD/DEL delta against the previous SUCCESSFUL version.
+
+    ``version=None`` exports the newest RECORDED version — deliberately
+    the working-directory semantics of ``zavod export`` (crawl → export
+    runs before promotion, so the version being exported is typically
+    still pending); published-only reads go through ``archive.read`` /
+    ``--as-of``."""
     import os
 
     version = version or archive.latest(name)
@@ -423,11 +429,19 @@ def export_dataset(
         single_file=single_file, version=str(version), run_time=run_time,
         dataset_meta=dataset_meta,
     )
-    versions = archive.versions(name)
-    prior = None
-    if version in versions:
-        idx = versions.index(version)
-        prior = versions[idx - 1] if idx > 0 else None
+    # delta baseline = the newest SUCCESSFUL version strictly before the
+    # exported one (a failed run's statements must never anchor the
+    # published ADD/MOD/DEL), restricted to versions whose files are
+    # guaranteed on disk (retention window + the gc-protected pointer)
+    readable = set(archive.versions(name))
+    last_ok = archive.last_successful(name)
+    if last_ok is not None:
+        readable.add(last_ok)
+    priors = [
+        v for v in archive.successful_versions(name)
+        if v < version and v in readable
+    ]
+    prior = priors[-1] if priors else None
     delta_ops: dict[str, int] = {}
     if prior is not None:
         prev_stmts = archive.read(name, version=prior, external=True)
@@ -446,11 +460,13 @@ def export_dataset(
         delta_out.select("line").write.mode("overwrite").text(
             os.path.join(out_dir, "delta.json")
         )
-        # K8/K12: the delta-versions index (every archived version after
-        # the first can carry a delta against its predecessor)
+        # K8/K12: the delta-versions index — every SUCCESSFUL version
+        # after the first carries a delta against its successful
+        # predecessor (failed versions never anchor a published delta)
         from opensanctions_spark.exporters.metadata import write_delta_index
 
-        write_delta_index(out_dir, name, versions[1:])
+        successful = archive.successful_versions(name)
+        write_delta_index(out_dir, name, successful[1:])
     entities.unpersist()
     return {
         "dataset": name,

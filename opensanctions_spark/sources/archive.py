@@ -143,6 +143,13 @@ class StatementArchive:
         if success:
             last = version
             successful.add(version)
+        else:
+            # a pending/failed RE-record of a previously-promoted id
+            # revokes its promoted status — the files now hold the failed
+            # write's data, so history and pointer must stop serving it
+            successful.discard(version)
+            if last == version:
+                last = max(successful) if successful else None
         os.makedirs(self._dataset_dir(dataset), exist_ok=True)
         with open(self._manifest_path(dataset), "w") as fh:
             json.dump(
@@ -156,9 +163,16 @@ class StatementArchive:
 
     def resolve_as_of(self, dataset: str, as_of: str) -> str:
         """The newest SUCCESSFUL version whose id is ≤ ``as_of`` and whose
-        files are still in the retention window. ``as_of`` is version-id
-        format; any prefix is inclusive ('20260812' = end of that day)."""
+        files still exist. ``as_of`` is version-id format; any prefix is
+        inclusive ('20260812' = end of that day).
+
+        Readable = the retention window PLUS the last-successful version:
+        gc never deletes the latter, so a lone successful run followed by
+        a window's worth of failed writes stays reachable."""
         window = set(self.versions(dataset))
+        last = self.last_successful(dataset)
+        if last is not None:
+            window.add(last)
         bound = as_of + "~"  # '~' sorts after [0-9-]: inclusive prefix
         cands = [
             v for v in self.successful_versions(dataset)

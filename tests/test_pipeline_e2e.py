@@ -643,9 +643,11 @@ def test_cli_export_as_of(spark, paths, capsys):
     ]) == 2
 
 
-def test_bucketed_export_and_validate_reuse_clustering(spark, paths):
+def test_bucketed_export_and_validate_reuse_clustering(spark, paths, monkeypatch):
     """validate and export on a bucketed archive must also skip the
-    assembly exchange (run_dataset already does)."""
+    assembly exchange (run_dataset already does) — a spy on the assembly
+    call gates the pre_clustered wiring itself, not just the row counts."""
+    import opensanctions_spark.plans.run as run_mod
     from opensanctions_spark.plans.run import export_dataset, validate_dataset
 
     v1_csv, _, archive_dir, out_dir = paths
@@ -656,6 +658,14 @@ def test_bucketed_export_and_validate_reuse_clustering(spark, paths):
         out_dir=os.path.join(out_dir, "rb"),
         run_time="2026-08-01T00:00:00", version="20260801-000000",
     )
+    real = run_mod.assemble_entities
+    seen: list[bool] = []
+
+    def spy(stmts, pre_clustered=False):
+        seen.append(pre_clustered)
+        return real(stmts, pre_clustered=pre_clustered)
+
+    monkeypatch.setattr(run_mod, "assemble_entities", spy)
     v = validate_dataset(spark, archive, "fixture")
     assert v["entity_count"] == 12
     manifest = export_dataset(
@@ -664,4 +674,5 @@ def test_bucketed_export_and_validate_reuse_clustering(spark, paths):
         run_time="2026-08-01T00:00:00",
     )
     assert manifest["export_counts"]["entities.ftm.json"] == 12
+    assert seen == [True, True], seen
     spark.sql("DROP TABLE IF EXISTS osp_stmts_fixture_20260801_000000")

@@ -333,3 +333,35 @@ def test_archive_as_of_time_travel(spark, sf_dir, tmp_path):
     assert arch.read(
         "customers", version="20260805-000000", as_of="20260801"
     ).count() == 20
+
+
+def test_pending_rerecord_revokes_promotion(spark, sf_dir, tmp_path):
+    """Re-writing a previously-successful version id as pending must
+    revoke its promoted status: the files now hold the failed write's
+    data, so neither the history nor the backfill pointer may serve it."""
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    arch.write(cust.limit(10), "customers", "20260801-000000")
+    arch.write(cust.limit(20), "customers", "20260802-000000")
+    assert arch.last_successful("customers") == "20260802-000000"
+    # failed retry overwrites the newest version in place
+    arch.write(cust.limit(99), "customers", "20260802-000000", success=False)
+    assert arch.successful_versions("customers") == ["20260801-000000"]
+    assert arch.last_successful("customers") == "20260801-000000"
+    assert arch.read("customers").count() == 10
+
+
+def test_as_of_reaches_gc_protected_version_outside_window(spark, sf_dir, tmp_path):
+    """A lone successful run followed by a window's worth of failed
+    writes: the successful version falls out of the 10-id manifest
+    window, but gc never deletes it and as_of must still resolve it."""
+    arch = StatementArchive(spark, str(tmp_path / "archive"))
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    arch.write(cust.limit(10), "customers", "20260701-000000")
+    for d in range(1, 12):
+        arch.write(cust.limit(5), "customers", f"202608{d:02d}-000000",
+                   success=False)
+    assert "20260701-000000" not in arch.versions("customers")
+    assert arch.gc("customers").count("20260701-000000") == 0  # protected
+    assert arch.resolve_as_of("customers", "20260801") == "20260701-000000"
+    assert arch.read("customers", as_of="20260801").count() == 10
