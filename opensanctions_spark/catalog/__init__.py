@@ -165,6 +165,7 @@ DRIVER_PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "dedup_near_cluster_star",
     "chunk_documents",
+    "mm_audio_energy",
 ]
 
 

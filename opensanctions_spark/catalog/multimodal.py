@@ -100,3 +100,36 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("buf")).cast("long").alias("out_bytes"),
         F.md5(F.col("buf")).alias("digest"),
     )
+
+
+@register(
+    "mm_audio_energy",
+    oracle="""
+WITH bytes AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b
+  FROM documents,
+       LATERAL (SELECT unnest(range(len(text))) AS i) g
+),
+frames AS (
+  SELECT doc_id, CAST(i // 160 AS INT) AS frame_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS energy
+  FROM bytes GROUP BY doc_id, i // 160
+)
+SELECT doc_id AS media_id, frame_idx, n_samples, energy,
+       energy > 900 * n_samples AS voiced
+FROM frames
+""",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame energy / VAD plumbing (the audio member of the
+    multimodal family, next to the image resize and video frame-sample
+    exhibits): payload bytes as 8-bit PCM, 160-sample frames, integer
+    energy + voiced flag — one vectorized numpy pass per Arrow batch.
+    The oracle replays the sample math character-wise in SQL (payload =
+    ASCII text, same trick as mm_byte_features)."""
+    from opensanctions_spark.multimodal import audio_frame_energy, pack_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = pack_media(docs, id_col="doc_id", payload_col="text", kind="raw")
+    return audio_frame_energy(media)

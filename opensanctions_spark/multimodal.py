@@ -151,3 +151,62 @@ def resize_buffer(decoded: DataFrame, target_bytes: int) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "buf": bufs})
 
     return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def audio_frame_energy(media: DataFrame, frame_samples: int = 160,
+                       threshold: int = 900) -> DataFrame:
+    """Per-frame audio energy over 8-bit PCM payloads — the
+    voice-activity-detection plumbing (frame → energy → voiced flag) a
+    speech-data pipeline runs before transcription. kind='raw' treats the
+    payload bytes as unsigned 8-bit samples centered at 128; a real
+    ingestion decodes FLAC/WAV first (``decode_media``'s declared codec
+    boundary).
+
+    Vectorized like ``extract_byte_features``: ONE flat numpy pass per
+    Arrow batch (global frame ids via cumulative offsets + two
+    bincounts), no Python loop over rows or frames. Energies are integer
+    sums of squared deviations (≤ frame_samples·127² ≪ 2⁵³, so the
+    float bincount accumulator is exact) — cross-engine exact.
+
+    Emits (media_id, frame_idx, n_samples, energy, voiced) where voiced
+    is the frame's energy exceeding ``threshold`` per sample."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf["content"]]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                               count=len(bufs))
+            if lens.sum() == 0:
+                continue
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            pos = np.arange(lens.sum(), dtype=np.int64) - np.repeat(starts, lens)
+            frame = pos // frame_samples
+            n_frames = -(-lens // frame_samples)  # ceil
+            frame_off = np.cumsum(n_frames) - n_frames
+            gid = np.repeat(frame_off, lens) + frame
+            total = int(n_frames.sum())
+            sq = (flat.astype(np.int64) - 128) ** 2
+            energy = np.bincount(gid, weights=sq, minlength=total).astype(np.int64)
+            count = np.bincount(gid, minlength=total).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
+                    "frame_idx": (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(frame_off, n_frames)
+                    ).astype(np.int32),
+                    "n_samples": count,
+                    "energy": energy,
+                    "voiced": energy > threshold * count,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id LONG, frame_idx INT, n_samples LONG, energy LONG, "
+        "voiced BOOLEAN",
+    )
