@@ -166,6 +166,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_near_cluster_star",
     "chunk_documents",
     "mm_audio_energy",
+    "sample_token_budget",
 ]
 
 

@@ -2252,3 +2252,51 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(F.lit(64), F.col("n") - F.col("off")).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+WITH t AS ({_CLS_FEATURES_SQL}),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(4 * (n_stop * 1000000 // n_tokens)
+              + (least(n_tokens, 200) * 1000000 // 200)
+              - 500000 AS BIGINT) AS margin_ppm
+  FROM t
+),
+ordered AS (
+  SELECT doc_id, n_tokens, margin_ppm,
+         SUM(n_tokens) OVER (ORDER BY margin_ppm DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, margin_ppm,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ordered WHERE cum_tokens <= 20000
+""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    (classifier margin, ties by doc_id) until a total token budget is
+    exhausted — the greedy quality-per-token selection a budgeted
+    pretraining mix runs after filtering ("best 20k tokens of this
+    source"). One global sort + running sum; at 100 TB the sort is
+    range-partitioned (Spark's global orderBy) and everything after is
+    window-local. Shares the classifier's margin projection so selection
+    and filtering can never disagree about quality."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = _quality_margin(docs).join(
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens")),
+        "doc_id",
+    )
+    w = (
+        Window.orderBy(F.col("margin_ppm").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "margin_ppm", "cum_tokens")
+    )
