@@ -167,6 +167,7 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_documents",
     "mm_audio_energy",
     "sample_token_budget",
+    "text_vocab_coverage",
 ]
 
 

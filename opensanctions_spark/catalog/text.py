@@ -2300,3 +2300,64 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 20000)
         .select("doc_id", "n_tokens", "margin_ppm", "cum_tokens")
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM freq),
+ranked AS (
+  SELECT term, n,
+         row_number() OVER (ORDER BY n DESC, term) AS vocab_rank,
+         SUM(n) OVER (ORDER BY n DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+)
+SELECT CAST(vocab_rank AS BIGINT) AS vocab_rank, term, CAST(n AS BIGINT) AS n,
+       CAST(cum * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
+FROM ranked CROSS JOIN total
+WHERE vocab_rank <= 100 OR (cum - n) * 1000000 // total_tokens < 950000
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage curve: terms by corpus frequency with
+    the cumulative share of all token occurrences each prefix of the
+    vocabulary covers — the analysis that sizes a tokenizer's vocab
+    ("how many types reach 95% of tokens"). Emits the top-100 plus every
+    term needed before the running coverage crosses 95% (the WHERE keeps
+    the first term AT/past the threshold because the bound tests the
+    coverage BEFORE the term). Integer-ppm shares — exact on both
+    engines. One term aggregation + one range-partitioned sort window;
+    the 1-row total broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").cast("long").alias("total_tokens"))
+    w = Window.orderBy(F.col("n").desc(), "term")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        freq.withColumn("vocab_rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        ranked.filter(
+            (F.col("vocab_rank") <= 100)
+            | (
+                F.expr("(cum - n) * 1000000 div total_tokens") < 950000
+            )
+        )
+        .select(
+            "vocab_rank",
+            "term",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(cum * 1000000 div total_tokens AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
