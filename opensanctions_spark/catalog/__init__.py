@@ -168,6 +168,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm_audio_energy",
     "sample_token_budget",
     "text_vocab_coverage",
+    "mm_phash_dedup",
 ]
 
 

@@ -133,3 +133,100 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = pack_media(docs, id_col="doc_id", payload_col="text", kind="raw")
     return audio_frame_energy(media)
+
+
+@register(
+    "mm_phash_dedup",
+    oracle="""
+WITH buf AS (
+  SELECT doc_id,
+         substr(text, 1, 64) ||
+         repeat(chr(0), GREATEST(0, 64 - len(text))) AS b64
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i, ascii(substr(b64, CAST(i + 1 AS INT), 1)) AS v
+  FROM buf, LATERAL (SELECT unnest(range(64)) AS i) g
+),
+stats AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_v FROM bytes GROUP BY doc_id
+),
+bits AS (
+  -- bit i set iff byte > mean; integer cross-multiply, never a float
+  -- mean. The hash is a 64-char bitstring (a 64-bit integer would
+  -- overflow signed BIGINT when bit 63 is set).
+  SELECT b.doc_id,
+         string_agg(CASE WHEN b.v * 64 > s.sum_v THEN '1' ELSE '0' END,
+                    '' ORDER BY b.i) AS ahash
+  FROM bytes b JOIN stats s USING (doc_id)
+  GROUP BY b.doc_id
+),
+buckets AS (
+  SELECT ahash, COUNT(*) AS n_members, MIN(doc_id) AS keeper
+  FROM bits GROUP BY ahash
+)
+SELECT b.doc_id AS media_id, b.ahash, k.n_members,
+       b.doc_id = k.keeper AS is_keeper
+FROM bits b JOIN buckets k USING (ahash)
+WHERE k.n_members > 1
+""",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (aHash over the resized buffer): every
+    payload normalizes to the fixed 64-byte frame (the resize exhibit's
+    deterministic stand-in for pixel-grid interpolation), bit i of the
+    64-bit hash (carried as a bitstring — a signed long can't hold bit
+    63) is set iff byte_i exceeds the frame mean — computed as the
+    integer cross-multiply v·64 > Σv so both engines are exact —
+    and hash-equal buckets with >1 member are duplicate groups with a
+    min-id keeper. The aHash-bucket shape of image dedup: candidate
+    generation is a hash groupBy (never pairwise Hamming over the
+    corpus); a production variant adds near-duplicate buckets via
+    band-sliced sub-hashes, exactly the MinHash-LSH trick one family
+    over. All column math — zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    b64 = F.rpad(F.substring(F.col("text"), 1, 64), 64, "\x00")
+    bytes_df = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        b64.alias("b64"),
+    ).select(
+        "media_id",
+        "i",
+        F.ascii(F.substring(F.col("b64"), F.col("i") + 1, 1)).alias("v"),
+    )
+    stats = bytes_df.groupBy("media_id").agg(
+        F.sum("v").cast("long").alias("sum_v")
+    )
+    # hash = 64-char bitstring, assembled in bit order via a sorted
+    # struct collect (a 64-bit integer would overflow signed long when
+    # bit 63 is set)
+    bit = F.when(F.col("v") * 64 > F.col("sum_v"), "1").otherwise("0")
+    bits = (
+        bytes_df.join(stats, "media_id")
+        .groupBy("media_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), bit.alias("b")))
+                    ),
+                    lambda x: x["b"],
+                ),
+                "",
+            ).alias("ahash")
+        )
+    )
+    buckets = bits.groupBy("ahash").agg(
+        F.count("*").alias("n_members"), F.min("media_id").alias("keeper")
+    )
+    return (
+        bits.join(buckets, "ahash")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "media_id",
+            "ahash",
+            "n_members",
+            (F.col("media_id") == F.col("keeper")).alias("is_keeper"),
+        )
+    )
