@@ -433,3 +433,47 @@ def test_interval_overlap_pairs_match_naive(spark, rows):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_chunking_covers_every_token_without_contained_windows(spark, n_tokens):
+    """Every token of a document appears in at least one chunk, chunks
+    overlap by exactly 16 tokens at interior boundaries, and no chunk is
+    fully contained in another (the round-3 trailing-window fix)."""
+    from opensanctions_spark.catalog import QUERIES  # noqa: F401 (import check)
+    from opensanctions_spark.catalog.text import chunk_documents  # type: ignore
+
+    import tempfile
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame([(1, text)], "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+    rows = chunk_documents(spark, tmp).collect()
+    if n_tokens == 0:
+        assert rows == []
+        return
+    covered = set()
+    spans = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"] <= 64
+        start = int(toks[0][1:])
+        spans.append((start, start + len(toks)))
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_tokens))
+    for a in spans:
+        for b in spans:
+            if a != b:
+                assert not (b[0] <= a[0] and a[1] <= b[1]), (a, b, "contained")
