@@ -171,6 +171,42 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dump(args: argparse.Namespace) -> int:
+    """`zavod dump-file` analogue (``zavod/zavod/tools/dump_file.py``):
+    dump a collection scope's statements — resolver applied, deduplicated
+    on statement id — to csv/json/parquet."""
+    from opensanctions_spark.exporters.jdbc import prepare_statements_for_db
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session("osp-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    archive = StatementArchive(spark, args.archive)
+    stmts = archive.read_collection(
+        args.datasets.split(","), external=args.external
+    )
+    if args.canonical_map:
+        from opensanctions_spark.operators.resolve import apply_canonical
+
+        stmts = apply_canonical(
+            stmts, spark.read.parquet(args.canonical_map)
+        )
+    prepared = prepare_statements_for_db(stmts)
+    if args.single_file:
+        prepared = prepared.orderBy("id").coalesce(1)
+    if args.format == "csv":
+        prepared.write.mode("overwrite").option("header", True).csv(args.out)
+    elif args.format == "json":
+        prepared.write.mode("overwrite").json(args.out)
+    else:
+        prepared.write.mode("overwrite").parquet(args.out)
+    n = spark.read.format(
+        "parquet" if args.format == "parquet" else args.format
+    ).option("header", True).load(args.out).count()
+    print(json.dumps({"out": args.out, "format": args.format, "statements": n}))
+    return 0
+
+
 def _cmd_enrich(args: argparse.Namespace) -> int:
     """`zavod enrich` analogue (§3.2): match a subject scope against a
     target store, apply resolver judgements, and expand the internal
@@ -578,6 +614,23 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     cat_p.add_argument("dataset_dirs", nargs="+", help="exported dataset dirs")
     cat_p.set_defaults(fn=_cmd_catalog)
+
+    du_p = sub.add_parser(
+        "dump", help="dump a collection scope's statements to a file"
+    )
+    du_p.add_argument("--archive", required=True, help="archive base dir")
+    du_p.add_argument("--datasets", required=True,
+                      help="comma-separated dataset names")
+    du_p.add_argument("--canonical-map", dest="canonical_map", default=None,
+                      help="resolver (entity_id, canonical_id) parquet")
+    du_p.add_argument("--format", choices=["csv", "json", "parquet"],
+                      default="csv")
+    du_p.add_argument("--out", required=True)
+    du_p.add_argument("--external", action="store_true",
+                      help="include enrichment-candidate statements")
+    du_p.add_argument("--single-file", dest="single_file",
+                      action="store_true", help="one ordered output file")
+    du_p.set_defaults(fn=_cmd_dump)
 
     en_p = sub.add_parser(
         "enrich", help="match subjects against a target store (§3.2)"

@@ -676,3 +676,32 @@ def test_bucketed_export_and_validate_reuse_clustering(spark, paths, monkeypatch
     assert manifest["export_counts"]["entities.ftm.json"] == 12
     assert seen == [True, True], seen
     spark.sql("DROP TABLE IF EXISTS osp_stmts_fixture_20260801_000000")
+
+
+def test_cli_dump_verb(spark, tmp_path, capsys):
+    """dump: collection scope → resolver rekey → id-dedupe → csv."""
+    from opensanctions_spark.__main__ import main
+    from opensanctions_spark.model.melt import melt_customers, melt_suppliers
+
+    cust = melt_customers(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    )
+    supp = melt_suppliers(
+        spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    )
+    archive = StatementArchive(spark, str(tmp_path / "archive"))
+    archive.write(cust, "customers", "20260801-000000")
+    archive.write(supp, "suppliers", "20260801-000000")
+    rc = main([
+        "dump", "--archive", str(tmp_path / "archive"),
+        "--datasets", "customers,suppliers",
+        "--format", "csv", "--out", str(tmp_path / "dump.csv"),
+        "--single-file",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statements"] == cust.count() + supp.count()
+    back = (
+        spark.read.option("header", True).csv(str(tmp_path / "dump.csv"))
+    )
+    assert back.select("id").distinct().count() == report["statements"]
