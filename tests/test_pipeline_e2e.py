@@ -705,3 +705,29 @@ def test_cli_dump_verb(spark, tmp_path, capsys):
         spark.read.option("header", True).csv(str(tmp_path / "dump.csv"))
     )
     assert back.select("id").distinct().count() == report["statements"]
+
+
+def test_publish_is_idempotent(spark, paths):
+    """Publishing the same version twice yields identical release state:
+    same listed set, same promotion, no spurious stale warnings."""
+    from opensanctions_spark.plans.publish import publish_dataset
+
+    v1_csv, _, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    config = DatasetConfig(name="fixture", assertions=[])
+    r1_out = os.path.join(out_dir, "r1")
+    run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=r1_out,
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+    )
+    a = publish_dataset(archive, "fixture", artifacts_dir=r1_out,
+                        version="20260801-000000")
+    b = publish_dataset(archive, "fixture", artifacts_dir=r1_out,
+                        version="20260801-000000")
+    assert a.published == b.published
+    assert b.stale_latest == []
+    assert archive.last_successful("fixture") == "20260801-000000"
+    assert archive.successful_versions("fixture") == ["20260801-000000"]
+    latest = os.path.join(archive_dir, "datasets", "latest", "fixture")
+    assert sorted(os.listdir(latest)) == sorted(a.published)
