@@ -169,6 +169,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_token_budget",
     "text_vocab_coverage",
     "mm_phash_dedup",
+    "text_oov_rate",
 ]
 
 

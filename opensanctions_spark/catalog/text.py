@@ -2361,3 +2361,68 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rk FROM freq
+  ) WHERE rk <= 20
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+FROM per_doc
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-20
+    vocabulary — the tokenizer-fit / domain-shift quality signal paired
+    with ``text_vocab_coverage`` (coverage sizes the vocab; OOV rate
+    scores each document against it). The vocabulary is top-k BY
+    CONSTRUCTION, so broadcasting it is legal at any corpus size —
+    unlike the full-vocabulary joins (tfidf/df) that must stay AQE's
+    call. Integer-ppm rates, exact on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "term")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("term")
+    )
+    per_doc = (
+        toks.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias("oov_ppm"),
+    )
