@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_vocab_coverage",
     "mm_phash_dedup",
     "text_oov_rate",
+    "graph_component_histogram",
 ]
 
 

@@ -290,6 +290,37 @@ def j6_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_component_histogram",
+    oracle="""
+WITH comp AS (
+  SELECT 'c-' || (c_custkey % 100) AS canonical_id, COUNT(*) AS n_members
+  FROM customer GROUP BY c_custkey % 100
+)
+SELECT CAST(n_members AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM comp GROUP BY n_members
+""",
+)
+def graph_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-cluster size distribution — the resolver-health diagnostic
+    run after every xref ("how big did the merge clusters get"; a sudden
+    mega-cluster means a bad judgement bridged unrelated entities, the
+    failure mode the edge-dedupe ambiguity rules exist to stop). Layered
+    on the full J6 canonicalization: connected components → members per
+    canonical id → clusters per size. Two bounded aggregations after the
+    CC labels — at 100 TB the histogram is label-size work, never
+    edge-size."""
+    mapping = j6_canonical_map(spark, sf_dir)
+    sizes = mapping.groupBy("canonical_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        sizes.groupBy(F.col("n_members").cast("long").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )
+
+
+@register(
     "j6_incremental_resolver",
     oracle="""
 SELECT 'c-' || c_custkey AS entity_id,
