@@ -235,15 +235,30 @@ def top_k_per_subject(
     k: int,
     subject_col: str = "subject_id",
     order_cols: list | None = None,
+    min_score_ratio: float | None = None,
 ) -> DataFrame:
     """Deterministic top-k matches per subject (T1: limit 10, score desc;
-    tie-break by candidate id so results are reproducible)."""
+    tie-break by candidate id so results are reproducible).
+
+    ``min_score_ratio`` is the reference's second candidate budget
+    (``zavod/zavod/runner/local_enricher.py:36-44``, default 0.1 there):
+    a candidate must score at least that fraction of its subject's BEST
+    candidate — pruning the long tail of weak matches before the matcher
+    spends CPU on them. The per-subject max rides the same window
+    partitioning as the rank, so the ratio costs no extra exchange."""
     order = order_cols or [F.col("score").desc(), F.col("candidate_id").asc()]
     w = Window.partitionBy(subject_col).orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
+    if min_score_ratio is not None:
+        best = F.max("score").over(Window.partitionBy(subject_col))
+        out = (
+            out.withColumn("_best", best)
+            .filter(F.col("score") >= F.lit(min_score_ratio) * F.col("_best"))
+            .drop("_best")
+        )
+    return out
 
 
 def bipartite_jaccard_pairs(

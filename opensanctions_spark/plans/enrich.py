@@ -42,6 +42,7 @@ from opensanctions_spark.operators.graph import expand_subgraph
 class EnrichConfig:
     cutoff: float = 0.5            # score cutoff (local_enricher.py:53)
     top_k: int = 10                # matches kept per subject (T1)
+    min_score_ratio: float | None = None  # ≥ ratio×best (local_enricher.py:36-44)
     max_token_freq: int | None = 100  # blocking DF cap on the target side
     expand_depth: int = 2          # bounded J4 expansion
 
@@ -87,7 +88,9 @@ def enrich_matches(
         .groupBy("subject_id", "candidate_id")
         .agg(F.max("score").alias("score"), F.max("via").alias("via"))
     )
-    return top_k_per_subject(merged, config.top_k).drop("rank")
+    return top_k_per_subject(
+        merged, config.top_k, min_score_ratio=config.min_score_ratio
+    ).drop("rank")
 
 
 def enrich(

@@ -47,6 +47,7 @@ class XrefConfig:
 
     threshold: float = 0.7        # score ≥ threshold → POSITIVE (auto-merge)
     top_k: int = 10               # T1: matches kept per subject
+    min_score_ratio: float | None = None  # candidate must score ≥ ratio×best
     limit: int | None = 5000      # T3: global candidate cap (xref limit)
     max_token_freq: int | None = 100  # blocking DF cap (skew guard)
 
@@ -64,7 +65,9 @@ def xref_pairs(subjects: DataFrame, config: XrefConfig) -> DataFrame:
     # undirect: every pair appears twice in the directional frame with
     # identical score — keep the (smaller, larger) orientation only
     pairs = scored.filter(F.col("subject_id") < F.col("candidate_id"))
-    pairs = top_k_per_subject(pairs, config.top_k).drop("rank")
+    pairs = top_k_per_subject(
+        pairs, config.top_k, min_score_ratio=config.min_score_ratio
+    ).drop("rank")
     if config.limit is not None:
         # deterministic global cap: total order, ties broken by ids
         pairs = pairs.orderBy(

@@ -96,3 +96,25 @@ def test_fused_topk_respects_df_cap(spark):
     ids = {r["subject_id"] for r in got}
     assert ids <= {0, 1, 2, 3}
     assert len(got) == 4  # two rare buckets x one mirrored pair each
+
+
+def test_min_score_ratio_prunes_weak_candidates(spark):
+    """The reference's second candidate budget: candidates scoring below
+    ratio x the subject's best are pruned; the best itself always
+    survives (ratio <= 1)."""
+    from opensanctions_spark.operators.blocking import top_k_per_subject
+
+    scored = spark.createDataFrame(
+        [
+            ("s1", "c1", 1.0), ("s1", "c2", 0.5), ("s1", "c3", 0.05),
+            ("s2", "c4", 0.2), ("s2", "c5", 0.01),
+        ],
+        "subject_id STRING, candidate_id STRING, score DOUBLE",
+    )
+    got = {
+        (r["subject_id"], r["candidate_id"])
+        for r in top_k_per_subject(scored, k=10, min_score_ratio=0.1).collect()
+    }
+    # c3 = 5% of s1's best (pruned); c5 = 5% of s2's best (pruned);
+    # s2's best (0.2 absolute) survives because the budget is RELATIVE
+    assert got == {("s1", "c1"), ("s1", "c2"), ("s2", "c4")}
