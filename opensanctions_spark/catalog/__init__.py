@@ -171,6 +171,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm_phash_dedup",
     "text_oov_rate",
     "graph_component_histogram",
+    "j5_min_score_ratio",
 ]
 
 

@@ -104,6 +104,83 @@ def j5_t1_blocking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j5_min_score_ratio",
+    oracle="""
+WITH raw_tokens AS (
+  SELECT DISTINCT p_partkey AS id,
+         unnest(string_split(p_name, ' ')) AS tok,
+         p_brand AS brand
+  FROM part
+),
+tokens AS (
+  SELECT DISTINCT id, tok || '#' || brand AS token FROM raw_tokens
+),
+sizes AS (SELECT id, COUNT(*) AS n_tokens FROM tokens GROUP BY id),
+pairs AS (
+  SELECT a.id AS subject_id, b.id AS candidate_id, COUNT(*) AS shared
+  FROM tokens a JOIN tokens b ON a.token = b.token AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT p.subject_id, p.candidate_id, p.shared,
+         CAST(p.shared AS DOUBLE)
+             / CAST(sa.n_tokens + sb.n_tokens - p.shared AS DOUBLE) AS score
+  FROM pairs p
+  JOIN sizes sa ON p.subject_id = sa.id
+  JOIN sizes sb ON p.candidate_id = sb.id
+),
+ranked AS (
+  SELECT subject_id, candidate_id, shared, score,
+         row_number() OVER (PARTITION BY subject_id
+                            ORDER BY score DESC, candidate_id) AS rank,
+         MAX(score) OVER (PARTITION BY subject_id) AS best
+  FROM scored
+)
+SELECT subject_id, candidate_id, shared, score, rank
+FROM ranked WHERE rank <= 5 AND score >= 0.5 * best
+""",
+)
+def j5_min_score_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking top-k under BOTH reference candidate budgets
+    (``zavod/zavod/runner/local_enricher.py:36-44``): top-5 per subject
+    AND score ≥ 0.5 × the subject's best — the relative budget that
+    prunes the weak-match tail before matcher CPU. Same single-shuffle
+    bucket construction as ``j5_t1_blocking_topk``; the ratio's
+    per-subject max rides the rank window's partitioning, so the second
+    budget costs zero additional exchanges."""
+    from opensanctions_spark.operators.blocking import (
+        jaccard_scored_pairs,
+        top_k_per_subject,
+    )
+
+    part = load(spark, sf_dir, "part")
+    toks = F.array_distinct(
+        F.transform(
+            F.split(F.col("p_name"), " "),
+            lambda w: F.concat(w, F.lit("#"), F.col("p_brand")),
+        )
+    )
+    tokens = (
+        part.select(F.col("p_partkey").alias("id"), toks.alias("_toks"))
+        .select(
+            "id",
+            F.explode_outer("_toks").alias("token"),
+            F.size("_toks").alias("n_tokens"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    scored = jaccard_scored_pairs(tokens)
+    top = top_k_per_subject(scored, k=5, min_score_ratio=0.5)
+    return top.select(
+        "subject_id",
+        "candidate_id",
+        "shared",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: Epoch window width for the time-bucketed range join: 6 h in µs. Sized
 #: ~1.5× the p99 interval duration (≈228 min in the events table) so the
 #: per-interval window fan-out stays ≈1 while per-(user, window) bucket
