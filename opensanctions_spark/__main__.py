@@ -273,11 +273,21 @@ def _cmd_gc(args: argparse.Namespace) -> int:
     window (the manifest bounds the id list; gc reclaims the files)."""
     from opensanctions_spark.sources.archive import StatementArchive
 
-    # filesystem-only unless a session already exists to drop bucketed
-    # catalog entries; the active-session probe avoids a JVM spin-up
+    # filesystem-only unless bucketed version dirs exist — those carry a
+    # metastore table whose catalog entry must drop with the files, or
+    # is_bucketed() misreports and later reads fail at scan time. A fresh
+    # CLI process has no active session, so probe the directories first
+    # and only pay the JVM spin-up when a bucketed dir is present.
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
+    if spark is None and StatementArchive.has_bucketed_dirs(
+        args.archive, args.dataset
+    ):
+        from opensanctions_spark.session import get_session
+
+        spark = get_session("osp-gc")
+        spark.sparkContext.setLogLevel("ERROR")
     archive = StatementArchive(spark, args.archive)
     deleted = archive.gc(args.dataset)
     print(json.dumps({"dataset": args.dataset, "deleted": deleted}))

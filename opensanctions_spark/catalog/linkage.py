@@ -854,3 +854,142 @@ def j7_edge_dedupe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.alias("ends"),
     )
     return dedupe_edges(edges)
+
+
+@register(
+    "j5_reference_scorer",
+    oracle="""
+WITH subj AS (
+  SELECT p_partkey AS id, p_name AS name,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL
+         WHEN p_partkey % 5 = 0 THEN substr(CAST(DATE '1992-01-01'
+              + (p_partkey % 2000) * INTERVAL 1 DAY AS VARCHAR), 1, 4)
+         ELSE CAST(DATE '1992-01-01'
+              + (p_partkey % 2000) * INTERVAL 1 DAY AS VARCHAR) END AS dob,
+    p_brand || ':' || CAST(p_partkey % 200 AS VARCHAR) AS idv
+  FROM part
+),
+tokens AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT id,
+           unnest(string_split_regex(lower(name), '[^a-z0-9]+')) AS tok
+    FROM subj
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM tokens GROUP BY id),
+pairs AS (
+  SELECT a.id AS subject_id, b.id AS candidate_id, COUNT(*) AS shared
+  FROM tokens a JOIN tokens b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT subject_id, candidate_id,
+         CAST(shared AS DOUBLE)
+             / CAST(sa.n + sb.n - shared AS DOUBLE) AS jscore
+  FROM pairs
+  JOIN sizes sa ON subject_id = sa.id
+  JOIN sizes sb ON candidate_id = sb.id
+),
+pruned AS (
+  SELECT subject_id, candidate_id FROM (
+    SELECT subject_id, candidate_id,
+           row_number() OVER (PARTITION BY subject_id
+                              ORDER BY jscore DESC, candidate_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 2
+),
+nj AS (
+  SELECT p.subject_id, p.candidate_id, COUNT(*) AS ninter
+  FROM pruned p
+  JOIN tokens a ON a.id = p.subject_id
+  JOIN tokens b ON b.id = p.candidate_id AND b.tok = a.tok
+  GROUP BY 1, 2
+),
+ptokens AS (
+  SELECT DISTINCT id,
+         substr(tok, 1, 1)
+           || regexp_replace(substr(tok, 2), '[aeiou]', '', 'g') AS ptok
+  FROM tokens
+),
+psizes AS (SELECT id, COUNT(*) AS n FROM ptokens GROUP BY id),
+pj AS (
+  SELECT p.subject_id, p.candidate_id, COUNT(*) AS pinter
+  FROM pruned p
+  JOIN ptokens a ON a.id = p.subject_id
+  JOIN ptokens b ON b.id = p.candidate_id AND b.ptok = a.ptok
+  GROUP BY 1, 2
+),
+feat AS (
+  SELECT p.subject_id, p.candidate_id,
+    (1000000 * nj.ninter) // (sa.n + sb.n - nj.ninter) AS nameppm,
+    (1000000 * pj.pinter) // (pa.n + pb.n - pj.pinter) AS phonppm,
+    CASE WHEN x.dob IS NULL OR y.dob IS NULL THEN 300000
+         WHEN x.dob = y.dob THEN 1000000
+         WHEN starts_with(x.dob, y.dob) OR starts_with(y.dob, x.dob)
+           THEN 600000
+         ELSE 0 END AS dobppm,
+    CASE WHEN x.dob IS NOT NULL AND y.dob IS NOT NULL AND x.dob <> y.dob
+           AND NOT (starts_with(x.dob, y.dob) OR starts_with(y.dob, x.dob))
+           AND len(x.dob) >= 10 AND len(y.dob) >= 10
+         THEN 1 ELSE 0 END AS clash,
+    CASE WHEN x.idv = y.idv THEN 1000000 ELSE 0 END AS idsppm
+  FROM pruned p
+  JOIN nj ON nj.subject_id = p.subject_id AND nj.candidate_id = p.candidate_id
+  JOIN pj ON pj.subject_id = p.subject_id AND pj.candidate_id = p.candidate_id
+  JOIN sizes sa ON sa.id = p.subject_id
+  JOIN sizes sb ON sb.id = p.candidate_id
+  JOIN psizes pa ON pa.id = p.subject_id
+  JOIN psizes pb ON pb.id = p.candidate_id
+  JOIN subj x ON x.id = p.subject_id
+  JOIN subj y ON y.id = p.candidate_id
+)
+SELECT subject_id, candidate_id,
+  CAST(CASE WHEN clash = 1
+    THEN ((35 * nameppm + 15 * phonppm + 20 * dobppm + 30 * idsppm) // 100) // 2
+    ELSE (35 * nameppm + 15 * phonppm + 20 * dobppm + 30 * idsppm) // 100
+  END AS BIGINT) AS score_ppm
+FROM feat
+""",
+)
+def j5_reference_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped DEFAULT pair scorer behind the pluggable
+    ``algorithm=`` hook (``zavod/zavod/integration/dedupe.py:50,67-69``;
+    nomenklatura's DefaultAlgorithm features): blocking + Jaccard top-2
+    proposes candidates JVM-side, then the Arrow-batched feature scorer
+    (``operators/scoring.py``) combines name-token Jaccard, phonetic-
+    skeleton Jaccard, prefix-date DOB compatibility and identifier
+    overlap with integer weights — all in exact ppm integers, replayed
+    bit-for-bit by the DuckDB oracle.
+
+    The part table stands in for the entity file: a synthesized prefix-
+    date ``dob`` (every 5th key year-only, every 11th missing) exercises
+    the reference's partial-date model, and a brand-scoped identifier
+    gives the strong-id feature real collisions."""
+    from opensanctions_spark.operators.blocking import tokenize
+    from opensanctions_spark.operators.scoring import reference_score_pairs
+
+    part = load(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    dob_full = F.date_add(
+        F.to_date(F.lit("1992-01-01")), (key % 2000).cast("int")
+    ).cast("string")
+    dob = (
+        F.when(key % 11 == 0, F.lit(None).cast("string"))
+        .when(key % 5 == 0, F.substring(dob_full, 1, 4))
+        .otherwise(dob_full)
+    )
+    subjects = part.select(
+        key.alias("id"),
+        F.col("p_name").alias("name"),
+        dob.alias("dob"),
+        F.array(
+            F.concat(F.col("p_brand"), F.lit(":"), (key % 200).cast("string"))
+        ).alias("id_numbers"),
+    )
+    tokens = tokenize(subjects, "id", "name")
+    pairs = jaccard_scored_pairs(tokens).filter(
+        F.col("subject_id") < F.col("candidate_id")
+    )
+    pruned = top_k_per_subject(pairs, k=2).select("subject_id", "candidate_id")
+    out = reference_score_pairs(pruned, subjects)
+    return out.select("subject_id", "candidate_id", "score_ppm")

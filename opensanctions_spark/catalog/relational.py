@@ -280,6 +280,59 @@ def j13_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j13_lookup_module",
+    oracle="""
+SELECT n_name AS nation,
+  CASE
+    WHEN contains(lower(trim(r_name)), 'middle') THEN 'ME'
+    WHEN lower(trim(r_name)) = 'africa' THEN 'AF'
+    WHEN lower(trim(r_name)) = 'america' THEN 'AM'
+    WHEN lower(trim(r_name)) = 'asia' THEN 'AS'
+    WHEN lower(trim(r_name)) = 'europe' THEN 'EU'
+    ELSE 'XX'
+  END AS region_code
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def j13_lookup_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 rebuilt on the reusable datapatch module
+    (``opensanctions_spark/functions/lookups.py``): the YAML lookup schema
+    of ``zavod/zavod/runtime/lookups.py:16-83`` — exact ``match`` options
+    plus a weighted ``contains`` option — loaded with ``load_lookups`` and
+    compiled to one CASE WHEN chain. Constant-folded by Catalyst: the only
+    exchange in the plan is the broadcast of the 5-row region dim."""
+    from opensanctions_spark.functions.lookups import load_lookups
+
+    lookups = load_lookups(
+        """
+lookups:
+  region_code:
+    normalize: true
+    lowercase: true
+    options:
+      - contains: middle
+        weight: 5
+        value: ME
+      - match: africa
+        value: AF
+      - match: america
+        value: AM
+      - match: asia
+        value: AS
+      - match: europe
+        value: EU
+"""
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    code = lookups["region_code"].value_column(F.col("r_name"), default=F.lit("XX"))
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_name").alias("nation"), code.alias("region_code"))
+    )
+
+
+@register(
     "a2_entity_counts",
     oracle="""
 SELECT n_name AS nation, c_mktsegment AS segment, COUNT(*) AS n_entities

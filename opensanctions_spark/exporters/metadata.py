@@ -384,7 +384,10 @@ def write_delta_index(
         },
     }
     with open(os.path.join(out_dir, "delta_index.json"), "w") as fh:
-        json.dump(data, fh, indent=2, sort_keys=True)
+        # no sort_keys: the keyed map must stay newest-first on disk like
+        # the reference's orjson write (consumers read the first key as
+        # "the latest delta")
+        json.dump(data, fh, indent=2)
     return data
 
 

@@ -54,6 +54,10 @@ class DatasetConfig:
     name: str
     assertions: list[Assertion] = field(default_factory=list)
     metadata: dict = field(default_factory=dict)
+    #: datapatch lookup tables (``lookups:`` in the dataset YAML —
+    #: ``zavod/zavod/meta/dataset.py:117-120``); ``prop.<name>`` lookups
+    #: are applied as a cleaning pass before the archive write
+    lookups: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, data: dict) -> "DatasetConfig":
@@ -68,7 +72,13 @@ class DatasetConfig:
                 )
             else:
                 assertions.append(Assertion(**a))
-        return cls(name=name, assertions=assertions, metadata=data)
+        lookups = {}
+        if "lookups" in data:
+            from opensanctions_spark.functions.lookups import load_lookups
+
+            lookups = load_lookups({"lookups": data.pop("lookups")})
+        return cls(name=name, assertions=assertions, metadata=data,
+                   lookups=lookups)
 
     @classmethod
     def from_file(cls, path: str) -> "DatasetConfig":
@@ -154,6 +164,13 @@ def run_dataset(
     # later failed validation must not feed timestamps or deltas.
     prev_version = archive.last_successful(config.name)
     prev = archive.read(config.name) if prev_version else None
+    # 0. datapatch cleaning: the dataset's prop.* lookup tables rewrite
+    # values before anything downstream sees them (the reference cleans at
+    # emit time — zavod/zavod/runtime/lookups.py:52-83); map-only stage
+    if config.lookups:
+        from opensanctions_spark.functions.lookups import apply_statement_lookups
+
+        statements = apply_statement_lookups(statements, config.lookups)
     statements = statements.drop("first_seen").withColumn(
         "last_seen", F.lit(run_time)
     )
@@ -302,12 +319,18 @@ def crawl_dataset(
     archive: StatementArchive,
     run_time: str,
     version: str | None = None,
+    lookups: dict | None = None,
 ) -> str:
     """The standalone crawl stage (``zavod crawl``,
     ``zavod/zavod/cli/etl.py:24-36``): stamp seen timestamps, propagate
     first_seen from the previous version (J1), write ONE immutable
     archive version. Returns the version id — validation/export read it
-    back, so re-running either never re-crawls."""
+    back, so re-running either never re-crawls. ``lookups`` applies the
+    dataset's datapatch cleaning pass first, like the fused run."""
+    if lookups:
+        from opensanctions_spark.functions.lookups import apply_statement_lookups
+
+        statements = apply_statement_lookups(statements, lookups)
     prev_version = archive.latest(name)
     prev = archive.read(name) if prev_version else None
     statements = statements.drop("first_seen").withColumn(
@@ -320,6 +343,22 @@ def crawl_dataset(
     else:
         statements = statements.withColumn("first_seen", F.lit(run_time))
     return archive.write(statements, name, version)
+
+
+def _delta_artifact_nonempty(path: str) -> bool:
+    """True when a delta.json artifact exists and carries data — the
+    reference checks object presence AND size > 0 before listing a version
+    in the delta index (``zavod/zavod/exporters/metadata/__init__.py:
+    210-229``). Spark text sinks are directories of part files; a plain
+    file (post-publish single_file copy) also counts."""
+    if os.path.isfile(path):
+        return os.path.getsize(path) > 0
+    if os.path.isdir(path):
+        return any(
+            n.startswith("part-") and os.path.getsize(os.path.join(path, n)) > 0
+            for n in os.listdir(path)
+        )
+    return False
 
 
 def _entity_stats(entities: DataFrame) -> tuple[int, int, dict[str, int]]:
@@ -460,13 +499,28 @@ def export_dataset(
         delta_out.select("line").write.mode("overwrite").text(
             os.path.join(out_dir, "delta.json")
         )
-        # K8/K12: the delta-versions index — every SUCCESSFUL version
-        # after the first carries a delta against its successful
-        # predecessor (failed versions never anchor a published delta)
+        # K8/K12: the delta-versions index. The reference
+        # (``zavod/zavod/exporters/metadata/__init__.py:200-256``,
+        # include_latest=True) lists the just-exported version FIRST —
+        # its delta.json ships alongside the index even though the
+        # version is still pending promotion — and then only prior
+        # versions whose delta artifact actually exists and is
+        # non-empty, so the index never points at missing files.
         from opensanctions_spark.exporters.metadata import write_delta_index
 
-        successful = archive.successful_versions(name)
-        write_delta_index(out_dir, name, successful[1:])
+        indexable = [
+            v for v in archive.successful_versions(name)
+            if v != version
+            and _delta_artifact_nonempty(
+                os.path.join(
+                    os.path.dirname(archive.version_path(name, v)),
+                    "delta.json",
+                )
+            )
+        ]
+        if _delta_artifact_nonempty(os.path.join(out_dir, "delta.json")):
+            indexable.append(version)
+        write_delta_index(out_dir, name, indexable)
     entities.unpersist()
     return {
         "dataset": name,

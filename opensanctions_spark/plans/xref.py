@@ -50,6 +50,11 @@ class XrefConfig:
     min_score_ratio: float | None = None  # candidate must score ≥ ratio×best
     limit: int | None = 5000      # T3: global candidate cap (xref limit)
     max_token_freq: int | None = 100  # blocking DF cap (skew guard)
+    #: pair-scoring algorithm (the reference's ``algorithm=`` plug,
+    #: ``dedupe.py:50,67-69``): "jaccard" keeps the blocking score;
+    #: "reference" re-scores surviving pairs with the feature-based
+    #: default (name/phonetic/DOB/identifier — ``operators/scoring.py``)
+    algorithm: str = "jaccard"
 
 
 def xref_pairs(subjects: DataFrame, config: XrefConfig) -> DataFrame:
@@ -73,6 +78,20 @@ def xref_pairs(subjects: DataFrame, config: XrefConfig) -> DataFrame:
         pairs = pairs.orderBy(
             F.col("score").desc(), "subject_id", "candidate_id"
         ).limit(config.limit)
+    if config.algorithm == "reference":
+        # re-score the PRUNED pairs with the feature-based default — the
+        # blocking Jaccard remains the candidate-generation metric, the
+        # reference algorithm decides the judgement (exactly the
+        # reference's index-then-score split)
+        from opensanctions_spark.operators.scoring import reference_score_pairs
+
+        pairs = reference_score_pairs(
+            pairs.drop("score"), subjects, ids_col="id_numbers"
+        ).drop(
+            "a_name", "b_name", "a_dob", "b_dob", "a_ids", "b_ids", "score_ppm"
+        )
+    elif config.algorithm != "jaccard":
+        raise ValueError(f"unknown xref algorithm: {config.algorithm!r}")
     attrs = subjects.select("id", "strong_ids", "id_numbers")
     pairs = (
         pairs.join(

@@ -86,6 +86,22 @@ class StatementArchive:
             return False
         return self.spark.catalog.tableExists(self._table_name(dataset, version))
 
+    @staticmethod
+    def has_bucketed_dirs(base_dir: str, dataset: str) -> bool:
+        """Session-free probe: does any version dir of ``dataset`` hold a
+        bucketed table's data? Lets a fresh CLI process (no SparkSession)
+        decide whether gc needs a session to drop catalog entries without
+        paying the JVM spin-up on the common filesystem-only case."""
+        ddir = os.path.join(base_dir, dataset)
+        try:
+            entries = os.listdir(ddir)
+        except FileNotFoundError:
+            return False
+        return any(
+            os.path.isdir(os.path.join(ddir, v, "statements_bucketed"))
+            for v in entries
+        )
+
     def _manifest_path(self, dataset: str) -> str:
         return os.path.join(self._dataset_dir(dataset), "versions.json")
 

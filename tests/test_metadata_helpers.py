@@ -22,6 +22,9 @@ def test_delta_index_newest_first_and_capped(tmp_path):
     assert "delta.json" in data["versions"]["v3"]
     on_disk = json.load(open(tmp_path / "delta_index.json"))
     assert on_disk == data
+    # dict == is order-insensitive; pin the on-disk KEY order too — the
+    # reference ships the keyed map newest-first
+    assert list(on_disk["versions"]) == ["v3", "v2"]
 
 
 def test_delta_index_empty_writes_nothing(tmp_path):

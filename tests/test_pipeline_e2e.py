@@ -731,3 +731,55 @@ def test_publish_is_idempotent(spark, paths):
     assert archive.successful_versions("fixture") == ["20260801-000000"]
     latest = os.path.join(archive_dir, "datasets", "latest", "fixture")
     assert sorted(os.listdir(latest)) == sorted(a.published)
+
+
+def test_delta_index_lists_pending_version_and_only_real_artifacts(
+    spark, paths, tmp_path
+):
+    """ADVICE r3: the delta index must (a) include the just-exported,
+    not-yet-promoted version — the reference's include_latest=True
+    (zavod/zavod/exporters/metadata/__init__.py:210-216) — and (b) list a
+    PRIOR version only when its version dir actually holds a non-empty
+    delta.json (the reference checks object presence + size before
+    listing), so consumers never fetch a 404."""
+    from opensanctions_spark.plans.run import crawl_dataset, export_dataset
+    from opensanctions_spark.plans.publish import publish_dataset
+
+    v1_csv, v2_csv, archive_dir, _ = paths
+    archive = StatementArchive(spark, archive_dir)
+
+    ver1 = crawl_dataset(
+        spark, crawl(spark, v1_csv), "fixture", archive, run_time="2024-01-01"
+    )
+    out1 = str(tmp_path / "out1")
+    export_dataset(spark, archive, "fixture", out1, run_time="2024-01-01")
+    publish_dataset(archive, "fixture", artifacts_dir=out1, version=ver1)
+    # first export has no prior → no delta.json, no index at all
+    assert not os.path.exists(os.path.join(out1, "delta_index.json"))
+
+    ver2 = crawl_dataset(
+        spark, crawl(spark, v2_csv), "fixture", archive, run_time="2024-02-01"
+    )
+    out2 = str(tmp_path / "out2")
+    export_dataset(spark, archive, "fixture", out2, run_time="2024-02-01")
+    with open(os.path.join(out2, "delta_index.json")) as fh:
+        didx = json.load(fh)
+    # ver2 is still pending (not promoted), yet it leads the index;
+    # ver1 is successful but has no delta artifact → excluded
+    assert list(didx["versions"]) == [str(ver2)]
+    publish_dataset(archive, "fixture", artifacts_dir=out2, version=ver2)
+
+    # third run: now ver2's version dir carries a real delta.json, so a
+    # fresh export lists [ver3 (pending, newest first), ver2] and still
+    # skips artifact-less ver1
+    ver3 = crawl_dataset(
+        spark, crawl(spark, v1_csv), "fixture", archive, run_time="2024-03-01"
+    )
+    out3 = str(tmp_path / "out3")
+    export_dataset(spark, archive, "fixture", out3, run_time="2024-03-01")
+    with open(os.path.join(out3, "delta_index.json")) as fh:
+        didx3 = json.load(fh)
+    assert list(didx3["versions"]) == [str(ver3), str(ver2)]
+    assert [e["version"] for e in didx3["unstable"]["version_list"]] == [
+        str(ver3), str(ver2)
+    ]

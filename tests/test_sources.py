@@ -365,3 +365,28 @@ def test_as_of_reaches_gc_protected_version_outside_window(spark, sf_dir, tmp_pa
     assert arch.gc("customers").count("20260701-000000") == 0  # protected
     assert arch.resolve_as_of("customers", "20260801") == "20260701-000000"
     assert arch.read("customers", as_of="20260801").count() == 10
+
+
+def test_has_bucketed_dirs_probe_is_session_free(spark, sf_dir, tmp_path):
+    """ADVICE r3: a fresh CLI process has no SparkSession, so `osp gc`
+    decides whether to spin one up (to DROP bucketed catalog tables with
+    their files) by probing the version dirs on disk — no JVM needed."""
+    base = str(tmp_path / "archive")
+    cust = melt_customers(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+
+    plain = StatementArchive(spark, base)
+    plain.write(cust.limit(5), "plainds", "20260801-000000")
+    assert StatementArchive.has_bucketed_dirs(base, "plainds") is False
+    assert StatementArchive.has_bucketed_dirs(base, "nosuchds") is False
+
+    bucketed = StatementArchive(spark, base, bucket_statements=True)
+    v = bucketed.write(cust.limit(5), "bucketds", "20260801-000000")
+    assert StatementArchive.has_bucketed_dirs(base, "bucketds") is True
+    # gc with a live session drops the catalog entry alongside the files
+    for d in range(2, 13):  # push the first version out of the window
+        bucketed.write(cust.limit(5), "bucketds", f"202608{d:02d}-000000")
+    deleted = bucketed.gc("bucketds")
+    assert v in deleted
+    assert not spark.catalog.tableExists(
+        bucketed._table_name("bucketds", v)
+    )
