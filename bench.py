@@ -68,6 +68,9 @@ HEADLINE = [
     # ratio_total the same way dedup_semantic_semdedup already skews it;
     # its scale evidence lives in SCALE.md §10 and the correctness gate.)
     "search_bm25",
+    # round 4 (VERDICT r3 task 2): the map-only chunker joins the suite
+    # so its floor-vs-data behaviour is measured alongside bm25's
+    "chunk_documents",
 ]
 
 

@@ -436,14 +436,36 @@ def test_j7_interval_overlap_is_bucketed_not_joined(spark, sf_dir):
 
 
 def test_bm25_vocabulary_join_is_not_hard_broadcast(spark, sf_dir):
-    """Same invariant as TF-IDF: the df (vocabulary) side must never carry
-    a forced broadcast hint — only the 3-term query list and the 1-row
-    corpus stats frame may hint."""
+    """Round-4 shape: the only broadcast hint is the 1-row corpus stats
+    frame — the corpus vocabulary never enters the plan (the row-wise
+    query filter precedes the explode) and df rides a window over the
+    tiny tf frame, not a join. A second hint would mean something
+    unbounded got hinted."""
     df = QUERIES["search_bm25"](spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     n_hints = analyzed.count("ResolvedHint")
-    assert n_hints == 2, (
-        f"expected exactly two broadcast hints (query terms, stats), saw {n_hints}"
+    assert n_hints == 1, (
+        f"expected exactly one broadcast hint (corpus stats), saw {n_hints}"
+    )
+
+
+def test_bm25_shuffles_only_query_postings(spark, sf_dir):
+    """The corpus-wide token stream must never hit an exchange: the
+    query-term filter runs INSIDE the scan projection (before the
+    explode), so every hash exchange in the plan carries query-term
+    postings or per-doc totals only. The old full-tf/dl shape had two
+    corpus-wide token shuffles (18.3× DuckDB at sf0.1)."""
+    plan = _executed_plan(QUERIES["search_bm25"](spark, sf_dir))
+    # postings tf agg + df term-window + per-doc totals: everything after
+    # the row-wise query filter, so each moves query-matched rows only
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"expected ≤3 hash exchanges (tf, df window, totals), saw {n}"
+    # the corpus must be tokenized at most twice (postings + stats), never
+    # three times — a shared-lineage df aggregate would re-explode it
+    n_gen = plan.count("Generate explode")
+    assert n_gen <= 1, f"expected ≤1 explode (query postings), saw {n_gen}"
+    assert "TakeOrderedAndProject" in plan, (
+        "final top-20 must be TakeOrderedAndProject, not a global window sort"
     )
 
 
@@ -481,3 +503,29 @@ def test_chunking_is_map_only(spark, sf_dir):
     exchanges of any kind."""
     plan = _executed_plan(QUERIES["chunk_documents"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_tfidf_topk_has_no_window_sort(spark, sf_dir):
+    """Round-4 fix (VERDICT r3 task 4): the per-doc top-3 must be the
+    TakeOrdered-shaped aggregate — hash-group by doc_id, sort each doc's
+    own term array — never a row_number window, which compiles to a full
+    Sort of every exchange partition (the sf1 cost driver at 3.16×)."""
+    plan = _executed_plan(QUERIES["text_tfidf_topk"](spark, sf_dir))
+    assert "Window" not in plan, "per-doc top-k regressed to a window"
+    assert "Sort " not in plan and "Sort\n" not in plan, (
+        "full sort operator in the tfidf plan — the bounded array "
+        "aggregate must not sort whole partitions"
+    )
+
+
+def test_tfidf_single_corpus_explode(spark, sf_dir):
+    """The tf relation feeds both the detail side and the df aggregation;
+    without the lineage break Spark duplicates the tokenize+explode+
+    shuffle subtree and the corpus is processed twice. The checkpointed
+    plan must contain exactly one explode."""
+    df = QUERIES["text_tfidf_topk"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_gen = plan.count("Generate explode") + plan.count("Generate posexplode")
+    # one corpus explode + the 3-element posexplode of the top-k array
+    assert n_gen <= 2, f"corpus subtree duplicated: {n_gen} generates"
