@@ -145,6 +145,7 @@ def _cmd_publish(args: argparse.Namespace) -> int:
         version=args.version,
         release=args.release,
         republish_to_latest=not args.no_latest,
+        store_base=args.store,
     )
     for name in result.stale_latest:
         print(f"warning: stale file in datasets/latest/{args.dataset}: {name}",
@@ -613,6 +614,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="version to publish (default: newest recorded)")
     pub_p.add_argument("--release", default="latest",
                        help="release name (default: latest)")
+    pub_p.add_argument("--store", default=None,
+                       help="object-store base URI for artifacts/releases "
+                            "(e.g. s3a://bucket/prefix with a registered "
+                            "backend; default: the archive dir)")
     pub_p.add_argument("--no-latest", action="store_true",
                        help="skip the datasets/latest re-publish")
     pub_p.set_defaults(fn=_cmd_publish)

@@ -74,9 +74,14 @@ def _export_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT persisted, although exporter queries consume the view 2-4
     # times: at query scale the duplicated assembly subplans pipeline in
     # parallel across cores, while a persist is a materialization
-    # barrier (measured +0.24 s on k3 at sf0.1, interleaved A/B). The
-    # multi-sink batch path (export_all) persists instead — there EIGHT
-    # consumers amortize the barrier.
+    # barrier. Round-4 A/B at sf1 (k3, min-of-4 with cache cleared):
+    # plain 1.07 s, localCheckpoint 1.18 s, persist 1.84 s, and a
+    # split-branch rewrite (cust/addr each assembled from its own
+    # statement frame, one scan per table) 1.60 s — the duplicated
+    # branches carry pushed-down prefix filters and pipeline across
+    # cores, so every materialization variant LOSES. The multi-sink
+    # batch path (export_all) persists instead — there EIGHT consumers
+    # amortize the barrier.
     return assemble_entities(cust_stmts.unionByName(addr_stmts))
 
 

@@ -1,6 +1,8 @@
 """Publish a dataset run: release-copy the run's artifacts and promote
-the version (``zavod/zavod/publish.py:63-95`` semantics, filesystem
-backend).
+the version (``zavod/zavod/publish.py:63-95`` semantics) through a
+pluggable object-store backend (``sources/objectstore.py`` — filesystem
+by default, ``memory://`` fake in tests, ``s3a://``/``gs://`` via
+``register_backend`` on a deployment).
 
 The reference uploads every run file to the immutable
 ``/artifacts/{dataset}/{version}/`` prefix, then server-side-copies the
@@ -26,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from opensanctions_spark.sources.archive import StatementArchive
@@ -48,18 +49,6 @@ class PublishResult:
     release: str
     published: list[str] = field(default_factory=list)
     stale_latest: list[str] = field(default_factory=list)
-
-
-def _copy(src: str, dst: str) -> None:
-    """Copy a run artifact — Spark sinks are directories, metadata files
-    are plain files; both copy whole."""
-    if os.path.isdir(src):
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
-    else:
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copy2(src, dst)
 
 
 def _listed_resources(artifacts_dir: str) -> list[str]:
@@ -91,46 +80,62 @@ def publish_dataset(
     version: str | None = None,
     release: str = "latest",
     republish_to_latest: bool = True,
+    store_base: str | None = None,
 ) -> PublishResult:
-    """Archive the run's artifacts under the version directory, copy the
-    listed resources to the release path(s), and promote the version to
-    ``last_successful`` so backfill reads resolve it."""
+    """Archive the run's artifacts under the version prefix, server-side
+    copy the listed resources to the release path(s), and promote the
+    version to ``last_successful`` so backfill reads resolve it.
+
+    ``store_base`` selects the object-store backend
+    (``sources/objectstore.py``): by default the archive's own base dir
+    (filesystem — byte-identical to the historical layout); an
+    ``s3a://…`` / ``gs://…`` URI with a registered client, or
+    ``memory://name`` in tests, routes the upload + the ``republish``
+    server-side copies through that store — exactly the reference's
+    backend seam (``zavod/zavod/publish.py:63-95``,
+    ``zavod/zavod/archive/backend.py``)."""
+    from opensanctions_spark.sources.objectstore import get_backend
+
     version = version or archive.latest(dataset)
     if version is None:
         raise FileNotFoundError(f"no versions for dataset {dataset}")
     if version not in archive.versions(dataset):
         raise ValueError(f"unknown version for {dataset}: {version}")
+    backend = get_backend(store_base or archive.base_dir)
 
-    # 1. every run file → the immutable version directory (the
+    # 1. every run file → the immutable version prefix (the
     # /artifacts/{dataset}/{version}/ upload)
-    version_dir = os.path.dirname(archive.version_path(dataset, version))
     for name in sorted(os.listdir(artifacts_dir)):
-        _copy(os.path.join(artifacts_dir, name), os.path.join(version_dir, name))
+        backend.get_object(f"{dataset}/{version}/{name}").publish(
+            os.path.join(artifacts_dir, name)
+        )
 
-    # 2. listed resources → /datasets/{release}/ (+ /datasets/latest/)
+    # 2. listed resources → /datasets/{release}/ (+ /datasets/latest/) —
+    # SERVER-SIDE copies from the version prefix: the bytes never
+    # round-trip through the publisher
     listed = [
         n for n in _listed_resources(artifacts_dir)
-        if os.path.exists(os.path.join(version_dir, n))
+        if backend.get_object(f"{dataset}/{version}/{n}").exists()
     ]
-    release_dirs = [os.path.join(archive.base_dir, "datasets", release, dataset)]
+    releases = [release]
     if republish_to_latest and release != "latest":
-        release_dirs.append(
-            os.path.join(archive.base_dir, "datasets", "latest", dataset)
-        )
-    for rdir in release_dirs:
-        os.makedirs(rdir, exist_ok=True)
+        releases.append("latest")
+    for rel in releases:
         for name in listed:
-            _copy(os.path.join(version_dir, name), os.path.join(rdir, name))
+            backend.get_object(f"datasets/{rel}/{dataset}/{name}").republish(
+                f"{dataset}/{version}/{name}"
+            )
 
     # 3. stale-latest scan: files a previous publish left behind that this
     # run no longer ships (warn, never delete — the reference's rationale:
     # deleting from the bucket is scary). Only meaningful when THIS publish
     # actually refreshed datasets/latest — a pinned-release publish that
     # skipped latest must not flag latest's intentionally-older contents.
-    latest_dir = os.path.join(archive.base_dir, "datasets", "latest", dataset)
     stale = []
-    if latest_dir in release_dirs and os.path.isdir(latest_dir):
-        stale = sorted(set(os.listdir(latest_dir)) - set(listed))
+    if "latest" in releases:
+        stale = sorted(
+            set(backend.list_children(f"datasets/latest/{dataset}")) - set(listed)
+        )
 
     # 4. promote: backfill reads now resolve this version
     archive.mark_successful(dataset, version)
