@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     # (inserted here as they land; see register() call sites)
     "j5_reference_scorer",
     "j13_lookup_module",
+    "f16_make_security",
     # -- oldest-checked fill (r1, original registration order) -------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",

@@ -356,3 +356,55 @@ def wikidata_deref(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("target").alias("target"))
     )
     return deref_qids(subjects, "qid", redirects)
+
+
+@register(
+    "f16_make_security",
+    oracle="""
+WITH base AS (
+  SELECT (CASE s_suppkey % 7 WHEN 0 THEN 'us' WHEN 1 THEN 'de'
+          WHEN 2 THEN 'xs' WHEN 3 THEN 'gb' WHEN 4 THEN 'cs'
+          WHEN 5 THEN 'fr' ELSE 'jp' END)
+         || lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS isin
+  FROM supplier
+),
+rows AS (
+  SELECT 'isin-' || upper(isin) AS entity_id, 'isin' AS prop,
+         upper(isin) AS value, CAST(NULL AS VARCHAR) AS origin
+  FROM base
+  UNION ALL
+  SELECT 'isin-' || upper(isin), 'country', substr(upper(isin), 1, 2),
+         'inferred'
+  FROM base
+  WHERE substr(upper(isin), 1, 2) NOT IN ('XS','XD','XC','XF','CS','QS')
+)
+SELECT entity_id, prop, value, origin FROM rows
+""",
+)
+def f16_make_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Security-entity helper (``zavod/zavod/helpers/securities.py:8-17``):
+    lowercase source ISINs (synthesized from supplier keys, every 3rd/5th
+    drawing an XS/CS pseudo-prefix) → ``isin-`` ids, the upper-cased isin
+    statement, and the prefix country with ``origin='inferred'`` — pseudo
+    prefixes emit no country row. Map-only projection, P5 guard does the
+    country filtering."""
+    from opensanctions_spark.functions.securities import make_security_statements
+
+    sup = load(spark, sf_dir, "supplier")
+    prefix = (
+        F.when(F.col("s_suppkey") % 7 == 0, "us")
+        .when(F.col("s_suppkey") % 7 == 1, "de")
+        .when(F.col("s_suppkey") % 7 == 2, "xs")
+        .when(F.col("s_suppkey") % 7 == 3, "gb")
+        .when(F.col("s_suppkey") % 7 == 4, "cs")
+        .when(F.col("s_suppkey") % 7 == 5, "fr")
+        .otherwise("jp")
+    )
+    base = sup.select(
+        F.concat(
+            prefix, F.lpad(F.col("s_suppkey").cast("string"), 10, "0")
+        ).alias("isin")
+    )
+    return make_security_statements(base, "isin", dataset="sec").select(
+        "entity_id", "prop", "value", "origin"
+    )
