@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "j5_reference_scorer",
     "j13_lookup_module",
     "f16_make_security",
+    "f17_make_identification",
     # -- oldest-checked fill (r1, original registration order) -------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",
@@ -147,7 +148,9 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_curate_increment",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # --- the driver's 50-row budget ends here (28 + 2 + 20) ---------------
+    # --- the driver's 50-row budget ends here (28 never-checked +
+    # 4 round-4 additions + 18 oldest-checked fit in 50; the tail below
+    # is ordering insurance in case the budget grows) -----------------------
     "j3_adjacency_region_revenue",
     "j10_dangling_anti_join",
     "j12_semi_join_gate",

@@ -408,3 +408,95 @@ def f16_make_security(spark: SparkSession, sf_dir: str) -> DataFrame:
     return make_security_statements(base, "isin", dataset="sec").select(
         "entity_id", "prop", "value", "origin"
     )
+
+
+@register(
+    "f17_make_identification",
+    oracle="""
+WITH base AS (
+  SELECT 'c-' || c_custkey AS holder_id,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE 'P' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') END AS number,
+         CASE c_custkey % 3 WHEN 0 THEN 'passport'
+                            WHEN 1 THEN 'national id'
+                            ELSE NULL END AS doc_type,
+         CASE WHEN c_custkey % 4 = 0 THEN NULL
+              ELSE (CASE c_custkey % 6 WHEN 0 THEN 'us' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'fr' WHEN 3 THEN 'gb' WHEN 4 THEN 'jp'
+                    ELSE 'br' END) END AS country
+  FROM customer
+),
+live AS (
+  SELECT *,
+         'id-' || md5(holder_id || '|' || number || '|'
+                      || coalesce(doc_type, '')) AS ident_id,
+         CASE WHEN doc_type = 'passport'
+              THEN 'Passport' ELSE 'Identification' END AS ident_schema
+  FROM base WHERE number IS NOT NULL
+),
+rows AS (
+  SELECT ident_id AS entity_id, ident_schema AS "schema",
+         'holder' AS prop, holder_id AS value FROM live
+  UNION ALL
+  SELECT ident_id, ident_schema, 'number', number FROM live
+  UNION ALL
+  SELECT ident_id, ident_schema, 'type', doc_type FROM live
+  WHERE doc_type IS NOT NULL
+  UNION ALL
+  SELECT ident_id, ident_schema, 'country', country FROM live
+  WHERE country IS NOT NULL
+  UNION ALL
+  SELECT holder_id, 'Person',
+         CASE WHEN doc_type = 'passport'
+              THEN 'passportNumber' ELSE 'idNumber' END,
+         number
+  FROM live
+)
+SELECT entity_id, "schema", prop, value FROM rows
+""",
+)
+def f17_make_identification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identification/Passport factory
+    (``zavod/zavod/helpers/identification.py:9-76``): synthesized
+    document rows over customers (every 5th number NULL → dropped, the
+    reference's number-is-None early return; doc_type cycles
+    passport / national id / NULL) → one map-only stack projection
+    emitting the Identification entity's holder/number/type/country
+    statements plus the holder's idNumber/passportNumber back-reference.
+    Passport rows take the Passport schema, exactly the reference's
+    ``passport=`` branch."""
+    from opensanctions_spark.functions.identifications import (
+        make_identification_statements,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    country = F.when(
+        ck % 4 != 0,
+        F.when(ck % 6 == 0, "us")
+        .when(ck % 6 == 1, "de")
+        .when(ck % 6 == 2, "fr")
+        .when(ck % 6 == 3, "gb")
+        .when(ck % 6 == 4, "jp")
+        .otherwise("br"),
+    )
+    base = cust.select(
+        F.concat(F.lit("c-"), ck).alias("holder_id"),
+        F.when(
+            ck % 5 != 0, F.concat(F.lit("P"), F.lpad(ck.cast("string"), 8, "0"))
+        ).alias("number"),
+        F.when(ck % 3 == 0, "passport")
+        .when(ck % 3 == 1, "national id")
+        .alias("doc_type"),
+        country.alias("country"),
+    )
+    out = make_identification_statements(
+        base,
+        dataset="ids",
+        holder_col="holder_id",
+        number_col="number",
+        doc_type_col="doc_type",
+        country_col="country",
+        passport=F.col("doc_type") == "passport",
+    )
+    return out.select("entity_id", "schema", "prop", "value")

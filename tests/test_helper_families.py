@@ -113,3 +113,46 @@ def test_load_programs_from_yaml_dir(tmp_path):
     (pdir / "UN-XXX.yml").write_text("key: UN-YYY\ntitle: t\n")
     with pytest.raises(ValueError, match="does not match"):
         load_programs(str(pdir))
+
+
+def test_make_identification_statements(spark):
+    """identification.py:57-75 emit set: NULL number emits nothing;
+    passport rows take the Passport schema + passportNumber back-ref,
+    others Identification + idNumber; NULL type/country rows dropped by
+    the P5 guard."""
+    from opensanctions_spark.functions.identifications import (
+        make_identification_statements,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c-1", "P100", "passport", "de"),
+            ("c-2", "N200", "national id", None),
+            ("c-3", None, "passport", "fr"),  # NULL number → dropped
+        ],
+        ["holder_id", "number", "doc_type", "country"],
+    )
+    stmts = make_identification_statements(
+        df,
+        dataset="ids",
+        holder_col="holder_id",
+        number_col="number",
+        doc_type_col="doc_type",
+        country_col="country",
+        passport=F.col("doc_type") == "passport",
+    ).collect()
+    assert all(r["entity_id"] is not None for r in stmts)
+    assert not any(r["value"] == "P300" for r in stmts)
+
+    pass_rows = [r for r in stmts if r["schema"] == "Passport"]
+    ident_rows = [r for r in stmts if r["schema"] == "Identification"]
+    assert {r["prop"] for r in pass_rows} == {"holder", "number", "type", "country"}
+    assert {r["prop"] for r in ident_rows} == {"holder", "number", "type"}
+
+    # the same id derivation on both entity rows of one document
+    assert len({r["entity_id"] for r in pass_rows}) == 1
+    # holder back-references carry the document number on the holder id
+    backs = {(r["entity_id"], r["prop"]): r["value"] for r in stmts
+             if r["schema"] == "Person"}
+    assert backs == {("c-1", "passportNumber"): "P100",
+                     ("c-2", "idNumber"): "N200"}
