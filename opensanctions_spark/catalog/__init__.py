@@ -127,6 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     "j13_lookup_module",
     "f16_make_security",
     "f17_make_identification",
+    "dedup_paragraph_exact",
+    "contamination_bloom",
     # -- oldest-checked fill (r1, original registration order) -------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",

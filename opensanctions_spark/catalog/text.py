@@ -2477,3 +2477,168 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias("oov_ppm"),
     )
+
+
+@register(
+    "contamination_bloom",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 50 <> 0),
+eval_u AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corpus c JOIN eval_u e USING (shingle)
+GROUP BY c.doc_id
+""",
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: the eval suite's
+    shingle set is folded into a bit array that ships as a plain column
+    LITERAL, so the corpus-side membership probe is four xxhash64 +
+    shift/mask expressions — whole-stage-codegen JVM work with ZERO
+    exchange of the corpus before pruning. Rows surviving the bloom are
+    exact-confirmed against the (broadcast) eval shingles, so the
+    output is the exact overlap — false positives die in the confirm
+    join, false negatives cannot exist — and DuckDB replays it as a
+    plain join.
+
+    100 TB story: eval benchmarks are fixed small artifacts, so the
+    bloom (sized ~10 bits/shingle, here 2^17 bits = 16 KB) is built
+    once and folded into the plan as a literal; the corpus is scanned
+    once, never shuffled, and the confirm join touches only the tiny
+    candidate stream. The same shape at cluster scale replaces the
+    literal with a broadcast variable; the plan is identical.
+    """
+    m = 1 << 17  # bits; ~13 bits/shingle at gate scale
+    k = 4
+    sh = _shingles(spark, sf_dir)
+    corpus = sh.filter(F.col("doc_id") % 50 != 0).select("doc_id", "shingle")
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("shingle").alias("shingle_e"))
+        .distinct()
+    )
+    # build the bit array driver-side from the SAME hash the probe uses
+    # (xxhash64, fixed seed 42) — eval sets are small by definition
+    hashes = [
+        r[0] for r in eval_sh.select(F.xxhash64("shingle_e").alias("h")).collect()
+    ]
+    words = [0] * (m // 64)
+    for h in hashes:
+        u = h & ((1 << 64) - 1)
+        h1, h2 = u % m, (((u >> 17) | 1) % m)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            words[idx >> 6] |= 1 << (idx & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    probed = corpus.withColumns(
+        {
+            "bloom": F.lit(words),
+            "h1": F.expr(f"pmod(xxhash64(shingle), {m})"),
+            "h2": F.expr(
+                f"pmod(shiftrightunsigned(xxhash64(shingle), 17) | CAST(1 AS BIGINT), {m})"
+            ),
+        }
+    )
+    # all-k-bits-set candidate filter: pure column math, codegen-able
+    bit_tests = [
+        f"(shiftrightunsigned(element_at(bloom, CAST(pmod(h1 + {i} * h2, {m}) div 64 AS INT) + 1), "
+        f"CAST(pmod(h1 + {i} * h2, {m}) % 64 AS INT)) & 1) = 1"
+        for i in range(k)
+    ]
+    cand = probed.filter(F.expr(" AND ".join(bit_tests))).select(
+        "doc_id", "shingle"
+    )
+    # exact confirm: bloom FPs (if any) drop out here, output is exact
+    return (
+        cand.join(
+            F.broadcast(eval_sh), F.col("shingle") == F.col("shingle_e"), "leftsemi"
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+paras AS (
+  SELECT doc_id, CAST(off // 12 AS BIGINT) AS idx,
+         array_to_string(list_slice(toks, off + 1, off + 12), ' ') AS para
+  FROM (SELECT doc_id, toks, n, unnest(range(0, n, 12)) AS off FROM sized)
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rk
+  FROM paras
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(COALESCE(SUM(CASE WHEN rk = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rk = 1),
+                    '')) AS kept_md5
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (the line-level pass of the CCNet /
+    RefinedWeb recipes): every document is cut into 12-token paragraphs,
+    each distinct paragraph survives only at its FIRST corpus occurrence
+    (global (doc_id, idx) order — deterministic, replayable), and each
+    document is re-assembled from its surviving paragraphs. Boilerplate
+    shared across near-duplicate documents disappears corpus-wide while
+    unique prose is untouched — dedup below the granularity of
+    ``dedup_exact`` and orthogonal to MinHash near-dup.
+
+    Exactly two linear shuffles at any scale: the first-occurrence rank
+    partitions by paragraph text, the re-assembly groups by doc_id —
+    both hash exchanges on bounded rows, no densifying intermediate
+    (paragraph count = token count / 12).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    sized = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    paras = (
+        sized.select(
+            "doc_id",
+            "toks",
+            F.explode_outer(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(12))
+            ).alias("off"),
+        )
+        .filter(F.col("off").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("CAST(off div 12 AS BIGINT)").alias("idx"),
+            F.array_join(F.slice("toks", F.col("off") + 1, F.lit(12)), " ").alias(
+                "para"
+            ),
+        )
+    )
+    ranked = paras.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("para").orderBy("doc_id", "idx")
+        ),
+    )
+    kept_struct = F.when(F.col("rk") == 1, F.struct("idx", "para"))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") == 1, 1)), F.lit(0)
+        ).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

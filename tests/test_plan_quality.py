@@ -529,3 +529,33 @@ def test_tfidf_single_corpus_explode(spark, sf_dir):
     n_gen = plan.count("Generate explode") + plan.count("Generate posexplode")
     # one corpus explode + the 3-element posexplode of the top-k array
     assert n_gen <= 2, f"corpus subtree duplicated: {n_gen} generates"
+
+
+def test_bloom_contamination_prunes_before_any_corpus_shuffle(spark, sf_dir):
+    """Round-4 shape: the bloom probe is a row-wise filter between the
+    documents scan and the confirm semi-join — the corpus must reach the
+    BroadcastHashJoin without crossing a hash exchange, and the only hash
+    exchanges in the plan are the eval-distinct build and the final
+    per-doc count (both tiny). A corpus-side hash exchange would mean the
+    prune runs after a shuffle and the shape is dead at 100 TB."""
+    plan = _executed_plan(QUERIES["contamination_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        "confirm join must be a broadcast semi-join"
+    )
+    # eval distinct (1, possibly collapsed by AQE) + final groupBy(doc_id)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected ≤2 hash exchanges (eval distinct, count), saw {n}"
+    # the probe itself must be column math, not a UDF
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_is_two_linear_exchanges(spark, sf_dir):
+    """First-occurrence rank partitions by paragraph, re-assembly groups
+    by doc — exactly two hash exchanges, with the aggregate split into a
+    map-side partial below the second (ObjectHashAggregate partial_*), so
+    both moves stay linear in the paragraph count at any scale."""
+    plan = _executed_plan(QUERIES["dedup_paragraph_exact"](spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected exactly 2 hash exchanges (rank, regroup), saw {n}"
+    assert "partial_count" in plan, "regroup must keep a map-side partial"
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
