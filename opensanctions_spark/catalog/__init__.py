@@ -129,6 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "f17_make_identification",
     "dedup_paragraph_exact",
     "contamination_bloom",
+    "k2_statements_csv",
     # -- oldest-checked fill (r1, original registration order) -------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",

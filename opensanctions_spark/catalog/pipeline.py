@@ -932,3 +932,43 @@ def pipeline_curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated1 = curate_corpus(wave1)
     fps, bands = curation_index(wave1, curated1)
     return curate_increment(wave2, fps, bands)
+
+
+@register(
+    "k2_statements_csv",
+    oracle=f"""
+WITH stmts AS ({_STMTS_SQL})
+SELECT md5('customers' || '|' || entity_id || '|' || prop || '|' || value) AS id,
+       entity_id,
+       entity_id AS canonical_id,
+       prop,
+       sch AS "schema",
+       value,
+       'customers' AS dataset,
+       CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS original_value,
+       (entity_id LIKE 'c-%' AND CAST(substr(entity_id, 3) AS BIGINT) % 4 = 0)
+         AS external,
+       first_seen, last_seen
+FROM stmts
+WHERE value IS NOT NULL AND len(value) > 0
+""",
+)
+def k2_statements_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 statements-CSV exporter as a standalone catalog exhibit
+    (``zavod/zavod/exporters/statements.py:9-30``): the raw granular
+    statement stream in the reference's exact column order — the same
+    projection ``plans/run.py`` writes per release. Previously e2e-only;
+    this pins the full 12-column surface (content-hash id, canonical_id
+    mirror, provenance stamps, external flag) against a closed-form
+    oracle. Map-only: one scan, one stack projection, zero shuffles.
+
+    K12 (metadata index) deliberately stays e2e-pinned: its artifact is
+    a driver-side JSON document (counts + resource listing), not a
+    row-stream — ``tests/test_exporters.py`` pins the reference fields.
+    """
+    from opensanctions_spark.exporters import statements_csv
+
+    ext = F.col("entity_id").substr(F.lit(3), F.lit(30)).cast("long") % 4 == 0
+    stmts = _customer_statements(spark, sf_dir).withColumn("external", ext)
+    return statements_csv(stmts)
