@@ -130,6 +130,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_paragraph_exact",
     "contamination_bloom",
     "k2_statements_csv",
+    "text_bigram_lm_score",
     # -- oldest-checked fill (r1, original registration order) -------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",

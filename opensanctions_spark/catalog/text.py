@@ -2642,3 +2642,93 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)),
+                i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true) -- noqa
+  FROM toks WHERE len(w) >= 2
+),
+train AS (SELECT w1, w2 FROM pairs WHERE source = 'src0'),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM train GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM train),
+scored AS (
+  SELECT p.doc_id,
+         (COALESCE(c12.c12, 0) + 1) * 1000000
+           // (COALESCE(c1.c1, 0) + v.v) AS ppm
+  FROM pairs p
+  LEFT JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+  LEFT JOIN c1 ON p.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+FROM scored
+GROUP BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the CCNet recipe's language-model
+    filter (KenLM perplexity over a clean reference corpus) rendered
+    with a token-bigram model and INTEGER math so the score is
+    bit-exact across engines: train add-one-smoothed bigram
+    probabilities on the reference slice (source = 'src0' stands in for
+    the clean corpus), then score every document by its mean
+    next-token probability in ppm — low avg_ppm = far from the
+    reference distribution, the rows a CCNet-style pipeline sends to
+    the tail bucket. Logs would cost cross-engine float drift; the
+    integer mean-probability form keeps the SAME ranking for the
+    filtering decision at gate scale.
+
+    Scale shape: the model is bounded by the reference VOCABULARY, not
+    the corpus (here ~10⁴ bigram rows) — both count tables broadcast
+    (AQE decides, nothing hinted), so scoring is one map-side join
+    pass over the corpus plus the per-doc aggregate: no corpus-wide
+    exchange beyond the final groupBy(doc_id), which re-uses the
+    bigram explode's natural doc locality.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"),
+    ).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    train = pairs.filter(F.col("source") == "src0").select("w1", "w2")
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = train.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        pairs.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            F.expr(
+                "(COALESCE(c12, 0) + 1) * 1000000 div (COALESCE(c1, 0) + v)"
+            ).alias("ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(ppm) div COUNT(*) AS BIGINT)").alias("avg_ppm"),
+    )

@@ -559,3 +559,14 @@ def test_paragraph_dedup_is_two_linear_exchanges(spark, sf_dir):
     assert n == 2, f"expected exactly 2 hash exchanges (rank, regroup), saw {n}"
     assert "partial_count" in plan, "regroup must keep a map-side partial"
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_model_joins_broadcast(spark, sf_dir):
+    """The bigram/unigram count tables are vocabulary-bounded, so both
+    model joins must resolve to broadcast hash joins (AQE decides —
+    nothing is hinted) and the corpus pair stream must reach the final
+    per-doc aggregate without a sort-merge join; the only corpus-wide
+    hash exchange is the groupBy(doc_id)."""
+    plan = _executed_plan(QUERIES["text_bigram_lm_score"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "model joins must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus pairs must not shuffle for the model join"
