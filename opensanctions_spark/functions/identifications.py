@@ -56,6 +56,7 @@ def make_identification_statements(
     end_col: str | None = None,
     key_col: str | None = None,
     passport: Column | bool = False,
+    holder_schema: Column | str = "Person",
 ) -> DataFrame:
     """Mention rows → Identification/Passport statements in the
     engine's IR, plus the holder's ``idNumber``/``passportNumber``
@@ -65,6 +66,12 @@ def make_identification_statements(
     ``passport`` may be a literal or a per-row boolean column: True
     rows become Passport entities and stamp ``passportNumber`` on the
     holder, mirroring the reference's branch (identification.py:71-74).
+
+    ``holder_schema`` is the schema the back-reference statement carries
+    — the reference adds idNumber/passportNumber to the EXISTING holder
+    entity with its own schema, so under lattice-rank widening
+    (a1_entity_assembly) a LegalEntity holder must not be widened to
+    Person; pass the holder's schema column (or a literal) here.
     """
     is_pass = passport if isinstance(passport, Column) else F.lit(bool(passport))
     number = F.col(number_col)
@@ -102,11 +109,16 @@ def make_identification_statements(
     for name, col in optional.items():
         if col is not None:
             rows.append(prop(name, F.col(col)))
+    holder_schema_col = (
+        holder_schema
+        if isinstance(holder_schema, Column)
+        else F.lit(str(holder_schema))
+    )
     # the holder back-reference (identification.py:71-74)
     rows.append(
         F.struct(
             holder.alias("entity_id"),
-            F.lit("Person").alias("schema"),
+            holder_schema_col.alias("schema"),
             F.when(is_pass, F.lit("passportNumber"))
             .otherwise(F.lit("idNumber"))
             .alias("prop"),

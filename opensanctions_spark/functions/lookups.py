@@ -223,7 +223,14 @@ class Lookup:
         )
         expr: Column | None = None
         for opt in self._ordered():
-            res = F.array(*[F.lit(v) for v in opt.values]).cast("array<string>")
+            if opt.prop is not None and not opt.values:
+                # Re-home-only option: the reference keeps the ORIGINAL
+                # value under the new property when the option carries a
+                # ``prop`` override but no value/values
+                # (zavod/zavod/runtime/lookups.py:79-81).
+                res = fallback
+            else:
+                res = F.array(*[F.lit(v) for v in opt.values]).cast("array<string>")
             cond = self._option_condition(opt, col)
             expr = F.when(cond, res) if expr is None else expr.when(cond, res)
         if expr is None:

@@ -113,7 +113,12 @@ def score_pair_ppm(
         {_phonetic_key(t) for t in ta}, {_phonetic_key(t) for t in tb}
     )
     dob, clash = _dob_ppm(a_dob, b_dob)
-    ids = PPM if set(a_ids or []) & set(b_ids or []) else 0
+    # Arrow hands array<string> columns to Python as numpy ndarrays, whose
+    # truthiness raises for >1 element — test length explicitly, never
+    # ``a_ids or []``.
+    sa = set(a_ids) if a_ids is not None and len(a_ids) else set()
+    sb = set(b_ids) if b_ids is not None and len(b_ids) else set()
+    ids = PPM if sa & sb else 0
     score = (
         WEIGHTS["name"] * name
         + WEIGHTS["phonetic"] * phon

@@ -116,8 +116,18 @@ class FileSystemObject(ArchiveObject):
         self.publish(src.path)
 
     def backfill(self, dest: str) -> None:
-        FileSystemObject(self.backend, dest).publish(self.path)  # pragma: no cover
-        # (local backfill == copy; kept for interface parity)
+        # ``dest`` is a LITERAL local path (possibly absolute), not an
+        # object name — download this object to it, mirroring
+        # MemoryObject.backfill and the reference's backend.backfill.
+        if os.path.isdir(self.path):
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            shutil.copytree(self.path, dest)
+        else:
+            parent = os.path.dirname(dest)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            shutil.copy2(self.path, dest)
 
     def read_bytes(self) -> bytes:
         with open(self.path, "rb") as fh:

@@ -156,3 +156,30 @@ def test_make_identification_statements(spark):
              if r["schema"] == "Person"}
     assert backs == {("c-1", "passportNumber"): "P100",
                      ("c-2", "idNumber"): "N200"}
+
+
+def test_make_identification_holder_schema(spark):
+    """The holder back-ref must carry the holder's OWN schema — a
+    LegalEntity holder would otherwise be lattice-widened to Person by
+    a1_entity_assembly (zavod adds idNumber to the existing holder)."""
+    from opensanctions_spark.functions.identifications import (
+        make_identification_statements,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("p-1", "Person", "N1"),
+            ("o-1", "LegalEntity", "N2"),
+        ],
+        ["holder_id", "holder_schema", "number"],
+    )
+    stmts = make_identification_statements(
+        df,
+        dataset="ids",
+        holder_col="holder_id",
+        number_col="number",
+        holder_schema=F.col("holder_schema"),
+    ).collect()
+    backs = {r["entity_id"]: r["schema"] for r in stmts
+             if r["prop"] == "idNumber"}
+    assert backs == {"p-1": "Person", "o-1": "LegalEntity"}

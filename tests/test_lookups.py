@@ -233,3 +233,32 @@ def test_run_dataset_applies_prop_lookups(spark, tmp_path):
     # raw values that clean to the same form must collide (dedupe)
     ids = {r["id"] for r in got.collect()}
     assert len(ids) == 3
+
+
+def test_prop_override_without_values_keeps_original(spark):
+    """A re-home-only option (prop set, no value/values) keeps the ORIGINAL
+    value under the new property (zavod/zavod/runtime/lookups.py:79-81) —
+    it must not silently drop the statement."""
+    lk = parse_lookup(
+        "type.address",
+        {
+            "lowercase": True,
+            "options": [
+                {"match": ["paris", "lyon"], "prop": "city"},
+                {"match": ["unknown"], "values": []},
+            ],
+        },
+    )
+    df = spark.createDataFrame(
+        [
+            ("e1", "address", "Paris"),
+            ("e2", "address", "Unknown"),
+            ("e3", "address", "Berlin"),
+        ],
+        ["entity_id", "prop", "value"],
+    )
+    out = apply_prop_lookup(df, lk).orderBy("entity_id").collect()
+    assert [(r["entity_id"], r["prop"], r["value"]) for r in out] == [
+        ("e1", "city", "Paris"),   # re-homed, value preserved
+        ("e3", "address", "Berlin"),
+    ]

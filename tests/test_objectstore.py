@@ -112,3 +112,27 @@ def test_publish_dataset_to_fake_object_store(spark, tmp_path, bucket):
     )
     assert res2.published == ["index.json"]
     assert set(res2.stale_latest) == latest - {"index.json"}
+
+
+def test_filesystem_backfill_downloads_to_literal_dest(tmp_path):
+    """FileSystemObject.backfill copies the object TO the given local path
+    (absolute paths included) — not to a root-relative object name."""
+    root = tmp_path / "bucket"
+    backend = FileSystemBackend(str(root))
+    src = tmp_path / "index.json"
+    src.write_text('{"v": 1}')
+    backend.get_object("ds/v1/index.json").publish(str(src))
+
+    dest = tmp_path / "restore" / "index.json"
+    backend.get_object("ds/v1/index.json").backfill(str(dest))
+    assert json.loads(dest.read_text()) == {"v": 1}
+    # nothing landed inside the bucket root at the dest path
+    assert not (root / str(dest).lstrip("/")).exists()
+
+    sinkdir = tmp_path / "delta.json"
+    sinkdir.mkdir()
+    (sinkdir / "part-00000").write_text("line1\n")
+    backend.get_object("ds/v1/delta.json").publish(str(sinkdir))
+    destdir = tmp_path / "restore2" / "delta.json"
+    backend.get_object("ds/v1/delta.json").backfill(str(destdir))
+    assert (destdir / "part-00000").read_text() == "line1\n"

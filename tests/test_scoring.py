@@ -105,3 +105,29 @@ def test_xref_algorithm_plug(spark):
     assert score13 < 0.5  # the homonym drops below threshold
     with pytest.raises(ValueError, match="unknown xref algorithm"):
         xref_pairs(subjects, XrefConfig(algorithm="nope")).collect()
+
+
+def test_reference_scorer_multi_id_arrays(spark):
+    """Arrow hands array<string> columns to the pandas UDF as numpy
+    ndarrays; subjects carrying 2+ id_numbers must not trip ndarray
+    truthiness (`a_ids or []` raised ValueError)."""
+    from opensanctions_spark.operators.scoring import reference_score_pairs
+
+    subjects = spark.createDataFrame(
+        [
+            ("p1", "ana gomez", "1970-01-01", ["INN:1", "LEI:2"]),
+            ("p2", "ana gomez", "1970-01-01", ["LEI:2", "IMO:3", "QID:4"]),
+            ("p3", "ana gomez", None, None),
+        ],
+        "id STRING, name STRING, dob STRING, id_numbers ARRAY<STRING>",
+    )
+    pairs = spark.createDataFrame(
+        [("p1", "p2"), ("p1", "p3")], "subject_id STRING, candidate_id STRING"
+    )
+    got = {
+        (r["subject_id"], r["candidate_id"]): r["score_ppm"]
+        for r in reference_score_pairs(pairs, subjects).collect()
+    }
+    assert got[("p1", "p2")] == PPM  # shared LEI across multi-element arrays
+    # null array side: ids feature 0, dob unknown 0.3
+    assert got[("p1", "p3")] == (35 * PPM + 15 * PPM + 20 * 300_000) // 100
