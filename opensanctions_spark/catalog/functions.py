@@ -500,3 +500,370 @@ def f17_make_identification(spark: SparkSession, sf_dir: str) -> DataFrame:
         passport=F.col("doc_type") == "passport",
     )
     return out.select("entity_id", "schema", "prop", "value")
+
+
+@register(
+    "f18_make_sanction",
+    oracle="""
+WITH base AS (
+  SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS entity_id,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Person' ELSE 'LegalEntity' END
+           AS subj_schema,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE 'k' || CAST(c_custkey % 3 AS VARCHAR) END AS key,
+         'Program ' || CAST(c_custkey % 4 AS VARCHAR) AS program_name,
+         CASE c_custkey % 4 WHEN 0 THEN 'UN-SCISIL' WHEN 1 THEN 'US-BIS-DPL'
+              WHEN 2 THEN 'XX-UNKNOWN' ELSE NULL END AS program_key,
+         'src-' || CAST(c_custkey % 4 AS VARCHAR) AS source_program_key,
+         CASE c_custkey % 5 WHEN 1 THEN '2019' WHEN 2 THEN '2024-05'
+              WHEN 3 THEN '2026-01-04' WHEN 4 THEN '2027' ELSE NULL END
+           AS start_raw,
+         CASE c_custkey % 6 WHEN 1 THEN '2020-01-01' WHEN 2 THEN '2026'
+              WHEN 3 THEN '2099-12-31' WHEN 4 THEN 'see annex'
+              WHEN 5 THEN '2026-08' ELSE NULL END AS end_raw
+  FROM customer
+),
+live AS (
+  SELECT *,
+    'osp-' || md5('Sanction|' || entity_id ||
+                  CASE WHEN key IS NULL THEN '' ELSE '|' || key END) AS sid,
+    CASE WHEN start_raw IS NOT NULL
+          AND regexp_matches(start_raw, '^\\d{4}(-\\d{2}(-\\d{2})?)?$')
+         THEN start_raw END AS start_c,
+    CASE WHEN end_raw IS NOT NULL
+          AND regexp_matches(end_raw, '^\\d{4}(-\\d{2}(-\\d{2})?)?$')
+         THEN end_raw END AS end_c,
+    COALESCE(program_key IN ('UN-SCISIL', 'US-BIS-DPL'), FALSE) AS resolved
+  FROM base
+),
+status AS (
+  SELECT *,
+    CASE WHEN end_c IS NOT NULL THEN
+      CASE WHEN (start_c IS NULL OR
+                 start_c || substr('0000-01-01', length(start_c) + 1)
+                   <= '2026-08-13')
+            AND (end_c || substr('9999-12-31', length(end_c) + 1)
+                   >= '2026-08-13')
+           THEN 'active' ELSE 'inactive' END
+    END AS status_v
+  FROM live
+),
+rows AS (
+  SELECT sid AS entity_id, 'Sanction' AS "schema", 'entity' AS prop,
+         entity_id AS value, CAST(NULL AS VARCHAR) AS origin,
+         CAST(NULL AS VARCHAR) AS original_value
+  FROM status
+  UNION ALL
+  SELECT sid, 'Sanction', 'country', 'us', 'metadata', NULL FROM status
+  UNION ALL
+  SELECT sid, 'Sanction', 'authority', 'Test Authority', 'metadata', NULL
+  FROM status
+  UNION ALL
+  SELECT sid, 'Sanction', 'sourceUrl', 'https://example.com/sanctions',
+         'metadata', NULL
+  FROM status
+  UNION ALL
+  SELECT sid, 'Sanction', 'program', program_name, NULL, NULL FROM status
+  UNION ALL
+  SELECT sid, 'Sanction', 'programId', program_key, 'metadata',
+         source_program_key
+  FROM status WHERE resolved
+  UNION ALL
+  SELECT sid, 'Sanction', 'programUrl',
+         CASE program_key WHEN 'UN-SCISIL' THEN 'https://un.example/scisil'
+              WHEN 'US-BIS-DPL' THEN 'https://bis.example/dpl' END,
+         'metadata', NULL
+  FROM status WHERE resolved
+  UNION ALL
+  SELECT entity_id, subj_schema, 'programId', program_key, 'metadata', NULL
+  FROM status WHERE resolved
+  UNION ALL
+  SELECT sid, 'Sanction', 'startDate', start_c, NULL, NULL
+  FROM status WHERE start_c IS NOT NULL
+  UNION ALL
+  SELECT sid, 'Sanction', 'endDate', end_c, NULL, NULL
+  FROM status WHERE end_c IS NOT NULL
+  UNION ALL
+  SELECT sid, 'Sanction', 'status', status_v, NULL, NULL
+  FROM status WHERE status_v IS NOT NULL
+)
+SELECT entity_id, "schema", prop, value, origin, original_value FROM rows
+""",
+)
+def f18_make_sanction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanction factory (``zavod/zavod/helpers/sanctions.py:21-113`` —
+    the reference's most-used crawler helper): synthesized designation
+    rows over customers exercise every branch — keyed vs unkeyed ids,
+    publisher country/authority/sourceUrl with ``origin=metadata``,
+    program-registry resolution (one unknown key that must emit
+    nothing), prefix-date start/end at year/month/day precision, one
+    unparseable end date (``see annex`` — dropped, ValueError parity via
+    ``invalid_prefix_dates``), and the construction-time active/inactive
+    status at RUN_TIME. One map-only stack projection, no shuffle."""
+    from opensanctions_spark.functions.sanctions import make_sanction_statements
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    base = cust.select(
+        F.concat(F.lit("c-"), ck).alias("entity_id"),
+        F.when(ck % 2 == 0, "Person").otherwise("LegalEntity").alias("subj_schema"),
+        F.when(ck % 3 != 0, F.concat(F.lit("k"), ck % 3)).alias("key"),
+        F.concat(F.lit("Program "), ck % 4).alias("program_name"),
+        F.when(ck % 4 == 0, "UN-SCISIL")
+        .when(ck % 4 == 1, "US-BIS-DPL")
+        .when(ck % 4 == 2, "XX-UNKNOWN")
+        .alias("program_key"),
+        F.concat(F.lit("src-"), ck % 4).alias("source_program_key"),
+        F.when(ck % 5 == 1, "2019")
+        .when(ck % 5 == 2, "2024-05")
+        .when(ck % 5 == 3, "2026-01-04")
+        .when(ck % 5 == 4, "2027")
+        .alias("start_raw"),
+        F.when(ck % 6 == 1, "2020-01-01")
+        .when(ck % 6 == 2, "2026")
+        .when(ck % 6 == 3, "2099-12-31")
+        .when(ck % 6 == 4, "see annex")
+        .when(ck % 6 == 5, "2026-08")
+        .alias("end_raw"),
+    )
+    out = make_sanction_statements(
+        base,
+        dataset="sanc",
+        entity_col="entity_id",
+        publisher_name="Test Authority",
+        publisher_country="us",
+        source_url="https://example.com/sanctions",
+        key_col="key",
+        program_name_col="program_name",
+        program_key_col="program_key",
+        source_program_key_col="source_program_key",
+        start_col="start_raw",
+        end_col="end_raw",
+        entity_schema=F.col("subj_schema"),
+        program_urls={
+            "UN-SCISIL": "https://un.example/scisil",
+            "US-BIS-DPL": "https://bis.example/dpl",
+        },
+        run_time="2026-08-13T00:00:00",
+    )
+    return out.select(
+        "entity_id", "schema", "prop", "value", "origin", "original_value"
+    )
+
+
+@register(
+    "f19_make_occupancy",
+    oracle="""
+WITH occ_src AS (
+  SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS person_id,
+         c_custkey % 25 AS pos_idx,
+         CASE c_custkey % 4 WHEN 1 THEN '2015-03-01' WHEN 2 THEN '2024-01'
+              WHEN 3 THEN '2026-05-01' ELSE NULL END AS start_d,
+         CASE c_custkey % 5 WHEN 1 THEN '2019-06-30' WHEN 2 THEN '2023'
+              WHEN 3 THEN '2026-12-31' WHEN 4 THEN '2027-01'
+              ELSE NULL END AS end_d,
+         CASE WHEN c_custkey % 6 = 0 THEN '2014' ELSE NULL END AS pstart,
+         CASE c_custkey % 7 WHEN 0 THEN '2021-12-31' WHEN 1 THEN '2026-10'
+              ELSE NULL END AS pend,
+         CASE WHEN c_custkey % 8 = 0 THEN '2013-11-05' ELSE NULL END
+           AS election,
+         c_custkey % 11 <> 0 AS is_pep,
+         c_custkey % 2 = 0 AS nei
+  FROM customer
+),
+pos_attrs AS (
+  SELECT DISTINCT pos_idx,
+         'Office ' || CAST(pos_idx AS VARCHAR) AS pos_name,
+         CASE pos_idx % 5 WHEN 0 THEN 'us' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+              WHEN 3 THEN 'gb' ELSE 'jp' END AS pos_country,
+         CASE pos_idx % 4 WHEN 0 THEN 'gov.national' WHEN 1 THEN 'gov.state'
+              WHEN 2 THEN 'gov.muni' ELSE NULL END AS pos_topic,
+         CASE pos_idx % 3 WHEN 1 THEN '1995' WHEN 2 THEN '2003-07'
+              ELSE NULL END AS inception
+  FROM occ_src
+),
+pos_ids AS (
+  SELECT *,
+         'osp-' || md5(concat_ws('|', 'position', pos_name, pos_country,
+                                 inception)) AS position_id
+  FROM pos_attrs
+),
+position_rows AS (
+  SELECT position_id AS entity_id, 'Position' AS "schema", 'name' AS prop,
+         pos_name AS value, CAST(NULL AS VARCHAR) AS origin
+  FROM pos_ids
+  UNION ALL
+  SELECT position_id, 'Position', 'country', pos_country, NULL FROM pos_ids
+  UNION ALL
+  SELECT position_id, 'Position', 'topics', pos_topic, NULL
+  FROM pos_ids WHERE pos_topic IS NOT NULL
+  UNION ALL
+  SELECT position_id, 'Position', 'inceptionDate', inception, NULL
+  FROM pos_ids WHERE inception IS NOT NULL
+),
+joined AS (
+  SELECT o.*, p.position_id, p.pos_topic
+  FROM occ_src o JOIN pos_ids p ON o.pos_idx = p.pos_idx
+),
+statused AS (
+  SELECT *,
+    CASE WHEN end_d IS NOT NULL AND end_d > '2026-08-13' THEN 'current'
+         WHEN end_d IS NOT NULL AND
+              CAST(CAST(substr(end_d, 1, 4) AS INT) +
+                   (CASE pos_topic WHEN 'gov.national' THEN 5
+                         WHEN 'gov.state' THEN 2 WHEN 'gov.muni' THEN 1
+                         ELSE 5 END) AS VARCHAR) || substr(end_d, 5)
+                >= '2026-08-13' THEN 'ended'
+         WHEN end_d IS NOT NULL THEN NULL
+         WHEN pend IS NOT NULL AND pend <= '2026-08-13' AND
+              CAST(CAST(substr(pend, 1, 4) AS INT) +
+                   (CASE pos_topic WHEN 'gov.national' THEN 5
+                         WHEN 'gov.state' THEN 2 WHEN 'gov.muni' THEN 1
+                         ELSE 5 END) AS VARCHAR) || substr(pend, 5)
+                >= '2026-08-13' THEN 'ended'
+         WHEN pend IS NOT NULL AND pend <= '2026-08-13' THEN NULL
+         WHEN end_d IS NULL AND pend IS NULL
+              AND COALESCE(start_d, pstart, election) IS NULL
+              AND NOT nei THEN NULL
+         WHEN nei THEN 'current'
+         ELSE 'unknown' END AS status_v
+  FROM joined
+),
+live AS (
+  SELECT *,
+    'osp-' || md5(concat_ws('|', person_id, position_id, 'started',
+                            COALESCE(start_d, 'unknown'), 'ended',
+                            COALESCE(end_d, 'unknown'),
+                            CASE WHEN pstart IS NOT NULL
+                                 THEN 'period_start' END, pstart,
+                            CASE WHEN pend IS NOT NULL
+                                 THEN 'period_end' END, pend)) AS oid
+  FROM statused
+  WHERE is_pep AND status_v IS NOT NULL
+),
+occupancy_rows AS (
+  SELECT oid AS entity_id, 'Occupancy' AS "schema", 'holder' AS prop,
+         person_id AS value, CAST(NULL AS VARCHAR) AS origin
+  FROM live
+  UNION ALL
+  SELECT oid, 'Occupancy', 'post', position_id, NULL FROM live
+  UNION ALL
+  SELECT oid, 'Occupancy', 'startDate', start_d, NULL
+  FROM live WHERE start_d IS NOT NULL
+  UNION ALL
+  SELECT oid, 'Occupancy', 'endDate', end_d, NULL
+  FROM live WHERE end_d IS NOT NULL
+  UNION ALL
+  SELECT oid, 'Occupancy', 'periodStart', pstart, NULL
+  FROM live WHERE pstart IS NOT NULL
+  UNION ALL
+  SELECT oid, 'Occupancy', 'periodEnd', pend, NULL
+  FROM live WHERE pend IS NOT NULL
+  UNION ALL
+  SELECT oid, 'Occupancy', 'electionDate', election, NULL
+  FROM live WHERE election IS NOT NULL
+  UNION ALL
+  SELECT oid, 'Occupancy', 'status', status_v, NULL
+  FROM live WHERE status_v <> 'unknown'
+  UNION ALL
+  SELECT person_id, 'Person', 'topics', 'role.pep', 'inferred' FROM live
+)
+SELECT entity_id, "schema", prop, value, origin FROM position_rows
+UNION ALL
+SELECT entity_id, "schema", prop, value, origin FROM occupancy_rows
+""",
+)
+def f19_make_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position + Occupancy factories
+    (``zavod/zavod/helpers/positions.py:21-131,132-273``): 25 synthetic
+    positions (distinct attribute projection → one emit each; id hashes
+    name/country/inception with make_id's NULL-skip) and one occupancy
+    per customer exercising the full state machine — future/graced/
+    expired end dates with topic-dependent after-office windows, past
+    and future period ends, the T5 effective-start chain, the
+    no-dates-and-not-well-maintained drop, the non-PEP categorisation
+    gate (every 11th row), status omitted when 'unknown', and the
+    holder's inferred role.pep topic. Both factories are map-only stack
+    projections; the only shuffle is the DISTINCT on 25 position rows."""
+    from opensanctions_spark.functions.positions import (
+        make_occupancy_statements,
+        make_position_statements,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pos_idx = (ck % 25).alias("pos_idx")
+    occ_src = cust.select(
+        F.concat(F.lit("c-"), ck).alias("person_id"),
+        pos_idx,
+        F.when(ck % 4 == 1, "2015-03-01")
+        .when(ck % 4 == 2, "2024-01")
+        .when(ck % 4 == 3, "2026-05-01")
+        .alias("start_d"),
+        F.when(ck % 5 == 1, "2019-06-30")
+        .when(ck % 5 == 2, "2023")
+        .when(ck % 5 == 3, "2026-12-31")
+        .when(ck % 5 == 4, "2027-01")
+        .alias("end_d"),
+        F.when(ck % 6 == 0, "2014").alias("pstart"),
+        F.when(ck % 7 == 0, "2021-12-31")
+        .when(ck % 7 == 1, "2026-10")
+        .alias("pend"),
+        F.when(ck % 8 == 0, "2013-11-05").alias("election"),
+        (ck % 11 != 0).alias("is_pep"),
+        (ck % 2 == 0).alias("nei"),
+    )
+    pi = F.col("pos_idx")
+    pos_attrs = occ_src.select(
+        pi,
+        F.concat(F.lit("Office "), pi).alias("pos_name"),
+        F.when(pi % 5 == 0, "us")
+        .when(pi % 5 == 1, "de")
+        .when(pi % 5 == 2, "fr")
+        .when(pi % 5 == 3, "gb")
+        .otherwise("jp")
+        .alias("pos_country"),
+        F.when(pi % 4 == 0, "gov.national")
+        .when(pi % 4 == 1, "gov.state")
+        .when(pi % 4 == 2, "gov.muni")
+        .alias("pos_topic"),
+        F.when(pi % 3 == 1, "1995").when(pi % 3 == 2, "2003-07").alias("inception"),
+    ).distinct()
+
+    position_stmts = make_position_statements(
+        pos_attrs,
+        dataset="peps",
+        name_col="pos_name",
+        country_col="pos_country",
+        topics_col="pos_topic",
+        inception_col="inception",
+    )
+
+    from opensanctions_spark.functions.positions import make_position_id
+
+    pos_ids = pos_attrs.select(
+        pi,
+        F.col("pos_topic"),
+        make_position_id(
+            F.col("pos_name"), country=F.col("pos_country"),
+            inception=F.col("inception"),
+        ).alias("position_id"),
+    )
+    joined = occ_src.join(F.broadcast(pos_ids), "pos_idx")
+    occupancy_stmts = make_occupancy_statements(
+        joined,
+        dataset="peps",
+        person_col="person_id",
+        position_col="position_id",
+        start_col="start_d",
+        end_col="end_d",
+        period_start_col="pstart",
+        period_end_col="pend",
+        election_col="election",
+        topic_col="pos_topic",
+        is_pep_col="is_pep",
+        no_end_implies_current=F.col("nei"),
+        current_time="2026-08-13T00:00:00",
+    )
+    cols = ["entity_id", "schema", "prop", "value", "origin"]
+    return position_stmts.select(*cols).unionByName(occupancy_stmts.select(*cols))

@@ -43,11 +43,14 @@ def finish_statements(df: DataFrame, dataset: str, schema_name: str | None = Non
             "id",
             statement_id(F.col("dataset"), F.col("entity_id"), F.col("prop"), F.col("value")),
         )
-        .withColumn("lang", F.lit(None).cast("string"))
-        .withColumn("origin", F.lit(None).cast("string"))
-        .withColumn("original_value", F.lit(None).cast("string"))
         .withColumn("external", F.lit(False))
     )
+    # provenance columns: keep caller-provided values (factories that stamp
+    # per-row origin/original_value, e.g. make_sanction's metadata-origin
+    # statements), default to NULL
+    for prov in ("lang", "origin", "original_value"):
+        if prov not in df.columns:
+            out = out.withColumn(prov, F.lit(None).cast("string"))
     # seen-timestamps: keep caller-provided columns (multi-run emit shapes
     # stamp per-row times in one projection), default to the run time
     if "first_seen" not in df.columns:

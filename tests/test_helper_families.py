@@ -183,3 +183,214 @@ def test_make_identification_holder_schema(spark):
     backs = {r["entity_id"]: r["schema"] for r in stmts
              if r["prop"] == "idNumber"}
     assert backs == {"p-1": "Person", "o-1": "LegalEntity"}
+
+
+def test_make_sanction_statements(spark):
+    """make_sanction emit set (zavod/zavod/helpers/sanctions.py:21-113 +
+    zavod/zavod/tests/helpers/test_sanctions.py): stable id per
+    (entity, key), publisher metadata with origin=metadata, program
+    registry gate, construction-time status."""
+    from opensanctions_spark.functions.sanctions import (
+        make_sanction_statements,
+        sanction_is_active,
+        invalid_prefix_dates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # known program, started past / ends future -> active
+            ("jeff", "Person", None, "Test Program", "US-BIS-DPL", "src-1",
+             "2020-01-01", "2099"),
+            # same entity, different key -> different sanction id
+            ("jeff", "Person", "other", None, None, None, None, None),
+            # unknown program key -> no programId/programUrl/back-ref
+            ("acme", "LegalEntity", None, "Other", "OS-TEST", "src-2",
+             None, "2020-01-01"),
+            # future start -> inactive even with future end
+            ("kim", "Person", None, None, None, None, "2027", "2099-12-31"),
+            # unparseable end date -> no endDate, no status
+            ("lee", "Person", None, None, None, None, "2020", "see annex"),
+        ],
+        "entity_id STRING, schema STRING, key STRING, program_name STRING, "
+        "program_key STRING, source_program_key STRING, start STRING, "
+        "end STRING",
+    )
+    stmts = make_sanction_statements(
+        df,
+        dataset="sanc",
+        entity_col="entity_id",
+        publisher_name="OpenSanctions",
+        publisher_country="us",
+        source_url="https://example.com/src",
+        key_col="key",
+        program_name_col="program_name",
+        program_key_col="program_key",
+        source_program_key_col="source_program_key",
+        start_col="start",
+        end_col="end",
+        entity_schema=F.col("schema"),
+        program_urls={"US-BIS-DPL": "https://bis.example/dpl"},
+        run_time="2026-08-13T00:00:00",
+    ).collect()
+
+    by_subject = {}
+    for r in stmts:
+        if r["prop"] == "entity":
+            by_subject.setdefault(r["value"], set()).add(r["entity_id"])
+    # one sanction per (entity, key): jeff carries two distinct ids
+    assert len(by_subject["jeff"]) == 2
+    assert len(by_subject["acme"]) == 1
+
+    # metadata-origin statements
+    auth = [r for r in stmts if r["prop"] == "authority"]
+    assert all(r["value"] == "OpenSanctions" and r["origin"] == "metadata"
+               for r in auth)
+    assert len(auth) == 5
+
+    # program registry gate
+    pids = [r for r in stmts if r["prop"] == "programId"]
+    assert [r["value"] for r in pids if r["schema"] == "Sanction"] == ["US-BIS-DPL"]
+    sanction_pid = [r for r in pids if r["schema"] == "Sanction"][0]
+    assert sanction_pid["original_value"] == "src-1"
+    # subject back-ref carries the subject's OWN schema
+    back = [r for r in pids if r["schema"] == "Person"]
+    assert len(back) == 1 and back[0]["entity_id"] == "jeff"
+    urls = [r["value"] for r in stmts if r["prop"] == "programUrl"]
+    assert urls == ["https://bis.example/dpl"]
+
+    # construction-time status
+    status = {r["entity_id"]: r["value"] for r in stmts if r["prop"] == "status"}
+    jeff_active_id = [r["entity_id"] for r in stmts
+                      if r["prop"] == "entity" and r["value"] == "jeff"
+                      and r["entity_id"] in status]
+    assert status[jeff_active_id[0]] == "active"
+    kim_id = [r["entity_id"] for r in stmts
+              if r["prop"] == "entity" and r["value"] == "kim"][0]
+    acme_id = [r["entity_id"] for r in stmts
+               if r["prop"] == "entity" and r["value"] == "acme"][0]
+    assert status[kim_id] == "inactive"     # starts after run time
+    assert status[acme_id] == "inactive"    # ended before run time
+    # unparseable end: no endDate statement, no status (ValueError parity
+    # lives in invalid_prefix_dates below)
+    lee_id = [r["entity_id"] for r in stmts
+              if r["prop"] == "entity" and r["value"] == "lee"][0]
+    assert lee_id not in status
+    assert not [r for r in stmts
+                if r["entity_id"] == lee_id and r["prop"] == "endDate"]
+    bad = invalid_prefix_dates(df, "end").collect()
+    assert [r["entity_id"] for r in bad] == ["lee"]
+
+    # is_active prefix expansion: end-year prefix covers through Dec 31
+    row = spark.range(1).select(
+        sanction_is_active(F.lit("2020"), F.lit("2026"),
+                           "2026-08-13T00:00:00").alias("a"),
+        sanction_is_active(F.lit(None).cast("string"), F.lit("2026-08-14"),
+                           "2026-08-13T00:00:00").alias("b"),
+        sanction_is_active(F.lit("2026-08-13"), F.lit(None).cast("string"),
+                           "2026-08-13T00:00:00").alias("c"),
+    ).collect()[0]
+    assert row["a"] and row["b"] and row["c"]
+
+
+def test_make_position_statements(spark):
+    """make_position (zavod/zavod/helpers/positions.py:21-131 +
+    tests/helpers/test_positions.py): id varies with country and
+    inception but not name-equal positions; wikidata QID wins as id;
+    full emit set."""
+    from opensanctions_spark.functions.positions import make_position_statements
+
+    df = spark.createDataFrame(
+        [
+            ("Minister of finance", "de", None, None, None),
+            ("Minister of finance", "de", "2021-01-01", None, None),
+            ("Minister of finance", "uk", None, None, None),
+            ("boss", "de", "2021-01-01", "5", "Q123"),
+        ],
+        "name STRING, country STRING, inception STRING, seats STRING, "
+        "qid STRING",
+    )
+    stmts = make_position_statements(
+        df,
+        dataset="peps",
+        name_col="name",
+        country_col="country",
+        inception_col="inception",
+        seats_col="seats",
+        wikidata_col="qid",
+    ).collect()
+    ids_by_country = {}
+    for r in stmts:
+        if r["prop"] == "name" and r["value"] == "Minister of finance":
+            ids_by_country.setdefault(r["entity_id"], 0)
+    # three distinct ids for the three (country, inception) variants
+    assert len(ids_by_country) == 3
+    # QID verbatim as id
+    boss = [r for r in stmts if r["prop"] == "name" and r["value"] == "boss"]
+    assert boss[0]["entity_id"] == "Q123"
+    assert {r["prop"] for r in stmts if r["entity_id"] == "Q123"} == {
+        "name", "country", "inceptionDate", "numberOfSeats", "wikidataId",
+    }
+
+
+def test_make_occupancy_statements_gate_and_status(spark):
+    """make_occupancy (positions.py:132-273): non-PEP rows emit nothing;
+    expired end dates (beyond after-office) emit nothing; status omitted
+    when unknown; holder picks up inferred role.pep."""
+    from opensanctions_spark.functions.positions import make_occupancy_statements
+
+    df = spark.createDataFrame(
+        [
+            # ended within national grace -> 'ended'
+            ("p1", "pos1", "2010", "2023-01-01", "gov.national", True, True),
+            # ended beyond muni grace -> dropped
+            ("p2", "pos1", "2010", "2023-01-01", "gov.muni", True, True),
+            # non-PEP categorisation -> dropped
+            ("p3", "pos1", "2020", None, "gov.national", False, True),
+            # no end, well-maintained -> current
+            ("p4", "pos2", "2020", None, "gov.national", True, True),
+            # no end, not well-maintained, has start -> unknown (no status row)
+            ("p5", "pos2", "2020", None, "gov.national", True, False),
+            # no dates at all, not well-maintained -> dropped
+            ("p6", "pos2", None, None, "gov.national", True, False),
+        ],
+        "person STRING, position STRING, start STRING, end STRING, "
+        "topic STRING, is_pep BOOLEAN, nei BOOLEAN",
+    )
+    stmts = make_occupancy_statements(
+        df,
+        dataset="peps",
+        person_col="person",
+        position_col="position",
+        start_col="start",
+        end_col="end",
+        topic_col="topic",
+        is_pep_col="is_pep",
+        no_end_implies_current=F.col("nei"),
+        current_time="2026-08-13T00:00:00",
+    ).collect()
+    holders = {r["value"] for r in stmts if r["prop"] == "holder"}
+    assert holders == {"p1", "p4", "p5"}
+    status = {}
+    for r in stmts:
+        if r["prop"] == "status":
+            occ = r["entity_id"]
+            holder = [s["value"] for s in stmts
+                      if s["entity_id"] == occ and s["prop"] == "holder"][0]
+            status[holder] = r["value"]
+    assert status == {"p1": "ended", "p4": "current"}  # p5 unknown -> omitted
+    peps = {r["entity_id"]: r["origin"] for r in stmts
+            if r["prop"] == "topics" and r["value"] == "role.pep"}
+    assert set(peps) == {"p1", "p4", "p5"} and set(peps.values()) == {"inferred"}
+
+    # id stability: same inputs -> same occupancy id; start-missing vs
+    # end-missing stay distinct (the started/ended markers)
+    from opensanctions_spark.functions.positions import make_occupancy_id
+    row = spark.range(1).select(
+        make_occupancy_id(F.lit("p"), F.lit("pos"), F.lit("2020"),
+                          F.lit(None).cast("string")).alias("a"),
+        make_occupancy_id(F.lit("p"), F.lit("pos"),
+                          F.lit(None).cast("string"), F.lit("2020")).alias("b"),
+        make_occupancy_id(F.lit("p"), F.lit("pos"), F.lit("2020"),
+                          F.lit(None).cast("string")).alias("c"),
+    ).collect()[0]
+    assert row["a"] == row["c"] and row["a"] != row["b"]
