@@ -867,3 +867,180 @@ def f19_make_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["entity_id", "schema", "prop", "value", "origin"]
     return position_stmts.select(*cols).unionByName(occupancy_stmts.select(*cols))
+
+
+@register(
+    "f20_make_address",
+    oracle="""
+WITH base AS (
+  SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS holder_id,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Person' ELSE 'Company' END
+           AS holder_schema,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 3 = 0
+              THEN 'Main Street ' || CAST(c_custkey % 50 AS VARCHAR)
+              END AS full_raw,
+         CASE WHEN c_custkey % 13 = 0 OR c_custkey % 3 = 0 THEN NULL
+              ELSE 'Street ' || CAST(c_custkey % 100 AS VARCHAR)
+              END AS street,
+         CASE WHEN c_custkey % 13 = 0 OR c_custkey % 4 = 0 THEN NULL
+              ELSE 'City ' || CAST(c_custkey % 40 AS VARCHAR) END AS city,
+         CASE WHEN c_custkey % 13 = 0 OR c_custkey % 5 = 0 THEN NULL
+              ELSE lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+              END AS postal,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 6 = 0 THEN 'Bavaria'
+              WHEN c_custkey % 6 = 1 THEN 'Texas' END AS state,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 6 = 1 THEN 'Texas'
+              WHEN c_custkey % 6 = 2 THEN 'North' END AS region,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 7 = 0 THEN 'Germany'
+              WHEN c_custkey % 7 = 1 THEN 'fr'
+              WHEN c_custkey % 7 = 2 THEN NULL
+              ELSE 'United States' END AS country,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 8 = 0 THEN 'US' END AS code_in,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL
+              WHEN c_custkey % 9 = 0 THEN 'k9' END AS key
+  FROM customer
+),
+derived AS (
+  SELECT *,
+    lower(COALESCE(code_in,
+                   CASE WHEN length(country) = 2 THEN country END)) AS code,
+    CASE WHEN length(country) <> 2 THEN country END AS cname,
+    CASE WHEN region = state THEN NULL ELSE region END AS region_f
+  FROM base
+),
+fulled AS (
+  SELECT *,
+    COALESCE(full_raw,
+             NULLIF(concat_ws(', ', street, city, region_f, state, postal,
+                              COALESCE(cname, code)), '')) AS full0
+  FROM derived
+),
+addr AS (
+  SELECT *,
+    CASE WHEN full0 = COALESCE(cname, '') OR full0 = COALESCE(code, '')
+         THEN NULL ELSE full0 END AS full_v
+  FROM fulled
+),
+ids AS (
+  SELECT *,
+    CASE WHEN full_raw IS NULL AND full_v IS NOT NULL
+         THEN 'inferred' END AS full_origin,
+    NULLIF(regexp_replace(regexp_replace(lower(trim(full_v)),
+                                         '[^a-z0-9]+', '-', 'g'),
+                          '^-+|-+$', '', 'g'), '') AS slug,
+    COALESCE(code_in, country) AS original_country
+  FROM addr
+),
+live AS (
+  SELECT *,
+    CASE WHEN concat_ws('|', code, slug, key) <> ''
+         THEN 'addr-' || md5(concat_ws('|', code, slug, key)) END AS aid
+  FROM ids
+),
+keep AS (SELECT * FROM live WHERE aid IS NOT NULL),
+rows AS (
+  SELECT aid AS entity_id, 'Address' AS "schema", 'full' AS prop,
+         full_v AS value, full_origin AS origin,
+         CAST(NULL AS VARCHAR) AS original_value
+  FROM keep WHERE full_v IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'street', street, NULL, NULL
+  FROM keep WHERE street IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'city', city, NULL, NULL
+  FROM keep WHERE city IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'postalCode', postal, NULL, NULL
+  FROM keep WHERE postal IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'region', region_f, NULL, NULL
+  FROM keep WHERE region_f IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'state', state, NULL, NULL
+  FROM keep WHERE state IS NOT NULL
+  UNION ALL
+  SELECT aid, 'Address', 'country', code, NULL, original_country
+  FROM keep WHERE code IS NOT NULL
+  UNION ALL
+  SELECT holder_id, holder_schema, 'country', code, NULL, NULL
+  FROM keep WHERE code IS NOT NULL
+  UNION ALL
+  SELECT holder_id, holder_schema, 'addressEntity', aid, NULL, NULL
+  FROM keep WHERE full_v IS NOT NULL
+  UNION ALL
+  SELECT holder_id, holder_schema, 'address', full_v, NULL, NULL
+  FROM keep WHERE full_v IS NOT NULL
+)
+SELECT entity_id, "schema", prop, value, origin, original_value FROM rows
+""",
+)
+def f20_make_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address factory (``zavod/zavod/helpers/addresses.py:107-262``):
+    synthesized address rows over customers exercise every branch —
+    given vs composed full lines (``origin='inferred'``), the
+    two-letter-country-as-code rule, case-normalized country codes in
+    the id hash, region==state dedup, full==country suppression, keyed
+    ids, all-NULL rows dropped (NULL id), and the ``apply_address``
+    holder back-refs (country always; addressEntity/address only when a
+    full line exists) carrying the holder's own schema. One map-only
+    stack projection."""
+    from opensanctions_spark.functions.addresses import make_address_statements
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    dead = ck % 13 == 0
+    n = F.lit(None).cast("string")
+    base = cust.select(
+        F.concat(F.lit("c-"), ck).alias("holder_id"),
+        F.when(ck % 2 == 0, "Person").otherwise("Company").alias("holder_schema"),
+        F.when(
+            ~dead & (ck % 3 == 0),
+            F.concat(F.lit("Main Street "), ck % 50),
+        ).alias("full_raw"),
+        F.when(
+            ~dead & (ck % 3 != 0), F.concat(F.lit("Street "), ck % 100)
+        ).alias("street"),
+        F.when(
+            ~dead & (ck % 4 != 0), F.concat(F.lit("City "), ck % 40)
+        ).alias("city"),
+        F.when(
+            ~dead & (ck % 5 != 0),
+            F.lpad((ck % 100000).cast("string"), 5, "0"),
+        ).alias("postal"),
+        F.when(~dead, F.when(ck % 6 == 0, "Bavaria").when(ck % 6 == 1, "Texas")
+               .otherwise(n)).alias("state"),
+        F.when(~dead, F.when(ck % 6 == 1, "Texas").when(ck % 6 == 2, "North")
+               .otherwise(n)).alias("region"),
+        F.when(
+            ~dead,
+            F.when(ck % 7 == 0, "Germany")
+            .when(ck % 7 == 1, "fr")
+            .when(ck % 7 == 2, n)
+            .otherwise("United States"),
+        ).alias("country"),
+        F.when(~dead & (ck % 8 == 0), "US").alias("code_in"),
+        F.when(~dead & (ck % 9 == 0), "k9").alias("key"),
+    )
+    out = make_address_statements(
+        base,
+        dataset="addrs",
+        full_col="full_raw",
+        street_col="street",
+        city_col="city",
+        postal_code_col="postal",
+        state_col="state",
+        region_col="region",
+        country_col="country",
+        country_code_col="code_in",
+        key_col="key",
+        holder_col="holder_id",
+        holder_schema=F.col("holder_schema"),
+    )
+    return out.select(
+        "entity_id", "schema", "prop", "value", "origin", "original_value"
+    )

@@ -36,3 +36,171 @@ def normalize_address(col: Column) -> Column:
     """Squash repeated separators/whitespace: ' ,, ' → ', '."""
     no_dup_commas = F.regexp_replace(col, r"\s*,[\s,]*", ", ")
     return F.trim(F.regexp_replace(no_dup_commas, r"\s+", " "))
+
+
+def slugify(col: Column) -> Column:
+    """Slug form used inside the address id hash
+    (normality.slugify_text in the reference's ``_make_id``): lowercase,
+    non-alphanumeric runs → '-', trimmed; empty → NULL."""
+    slug = F.regexp_replace(F.lower(F.trim(col)), r"[^a-z0-9]+", "-")
+    slug = F.regexp_replace(slug, r"^-+|-+$", "")
+    return F.when(slug != "", slug)
+
+
+def make_address_id(
+    full: Column,
+    country_code: Column,
+    key: Column | None = None,
+) -> Column:
+    """Address entity id (``zavod/zavod/helpers/addresses.py:86-105``):
+    ``addr-`` + hash(country_code, slugify(full), key) — NULL parts
+    skipped (concat_ws = make_entity_id's None skip); with no full
+    address the id falls back to hash(country_code, key); all-NULL
+    parts → NULL id (caller drops the row). md5 for oracle parity."""
+    slug = slugify(full)
+    parts = [country_code, slug]
+    if key is not None:
+        parts.append(key)
+    joined = F.concat_ws("|", *parts)
+    return F.when(joined != "", F.concat(F.lit("addr-"), F.md5(joined)))
+
+
+def make_address_statements(
+    df: "DataFrame",
+    dataset: str,
+    full_col: str | None = None,
+    remarks_col: str | None = None,
+    summary_col: str | None = None,
+    po_box_col: str | None = None,
+    street_col: str | None = None,
+    city_col: str | None = None,
+    postal_code_col: str | None = None,
+    state_col: str | None = None,
+    region_col: str | None = None,
+    country_col: str | None = None,
+    country_code_col: str | None = None,
+    key_col: str | None = None,
+    holder_col: str | None = None,
+    holder_schema: Column | str = "LegalEntity",
+) -> "DataFrame":
+    """Address rows → Address statements — the emit set of
+    ``make_address`` + ``apply_address``
+    (``zavod/zavod/helpers/addresses.py:107-243,244-262``) as one
+    map-only stack projection:
+
+    - a two-letter ``country`` value is treated as a code when no code
+      is given (addresses.py:154-163); codes are lower-cased so the id
+      hash is stable across "US" vs "us" (:166-169);
+    - ``region`` equal to ``state`` is dropped so no rendering path
+      duplicates it (:186-188);
+    - a missing ``full`` is composed from the parts (F10
+      ``compose_address``; the reference renders country-specific
+      templates via rigour — the composed line here is the fixed
+      summary/po_box/street/city/region/state/postal/code order) and
+      carries ``origin='inferred'`` (:190-220);
+    - ``full`` equal to the bare country name is suppressed (:222-223);
+    - the id is ``make_address_id`` over (code, slug(full), key);
+      NULL-id rows emit nothing (:227-229);
+    - with ``holder_col`` the holder gets the ``apply_address``
+      back-refs: ``country`` always, plus ``addressEntity`` and
+      ``address`` (the full line) when full is present (:244-262).
+
+    The reference's registry-driven country-name→code cleaning is a
+    dataset-level lookup (J13) applied before this factory.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+    from opensanctions_spark.model.melt import finish_statements
+
+    null_s = F.lit(None).cast("string")
+    col = lambda c: F.trim(F.col(c)) if c else null_s  # noqa: E731
+    nullif = lambda c: F.when(c.isNotNull() & (c != ""), c)  # noqa: E731
+
+    country = nullif(col(country_col))
+    code_in = nullif(col(country_code_col))
+    # country field that is really a code (addresses.py:154-163)
+    country_is_code = country.isNotNull() & (F.length(country) == 2)
+    code = F.lower(F.coalesce(code_in, F.when(country_is_code, country)))
+    country_name = F.when(~country_is_code, country)
+
+    state = nullif(col(state_col))
+    region_raw = nullif(col(region_col))
+    region = F.when(region_raw != state, region_raw).otherwise(
+        F.when(state.isNull(), region_raw)
+    )
+    summary = nullif(col(summary_col))
+    po_box = nullif(col(po_box_col))
+    street = nullif(col(street_col))
+    city = nullif(col(city_col))
+    postal = nullif(col(postal_code_col))
+
+    full_in = nullif(col(full_col))
+    composed = compose_address(
+        summary, po_box, street, city, region, state, postal,
+        F.coalesce(country_name, code),
+    )
+    full = F.coalesce(full_in, composed)
+    # a full line that is just the country (name or bare code) carries no
+    # address content — suppress it (addresses.py:222-223; the code case
+    # arises here because composition falls back to the code where the
+    # reference renders a country template)
+    full = F.when(
+        (full != F.coalesce(country_name, F.lit("")))
+        & (full != F.coalesce(code, F.lit(""))),
+        full,
+    )
+    full_origin = F.when(full_in.isNull() & full.isNotNull(), F.lit("inferred"))
+
+    aid = make_address_id(full, code, key=nullif(col(key_col)))
+    original_country = F.coalesce(code_in, country)
+
+    def prop(
+        name: str, value: Column, origin: Column | None = None,
+        original_value: Column | None = None,
+    ) -> Column:
+        return F.struct(
+            aid.alias("entity_id"),
+            F.lit("Address").alias("schema"),
+            F.lit(name).alias("prop"),
+            value.cast("string").alias("value"),
+            (origin if origin is not None else null_s).alias("origin"),
+            (original_value if original_value is not None else null_s).alias(
+                "original_value"
+            ),
+        )
+
+    rows = [
+        prop("full", full, origin=full_origin),
+        prop("remarks", nullif(col(remarks_col))),
+        prop("summary", summary),
+        prop("postOfficeBox", po_box),
+        prop("street", street),
+        prop("city", city),
+        prop("postalCode", postal),
+        prop("region", region),
+        prop("state", state),
+        prop("country", code, original_value=original_country),
+    ]
+    if holder_col:
+        holder = nullif(col(holder_col))
+        schema_col = (
+            holder_schema
+            if isinstance(holder_schema, Column)
+            else F.lit(str(holder_schema))
+        )
+
+        def back(name: str, value: Column) -> Column:
+            return F.struct(
+                holder.alias("entity_id"),
+                schema_col.alias("schema"),
+                F.lit(name).alias("prop"),
+                value.cast("string").alias("value"),
+                null_s.alias("origin"),
+                null_s.alias("original_value"),
+            )
+
+        rows.append(back("country", code))
+        rows.append(back("addressEntity", F.when(full.isNotNull(), aid)))
+        rows.append(back("address", full))
+
+    stacked = df.filter(aid.isNotNull()).select(F.inline(F.array(*rows)))
+    return finish_statements(stacked, dataset=dataset)

@@ -394,3 +394,77 @@ def test_make_occupancy_statements_gate_and_status(spark):
                           F.lit(None).cast("string")).alias("c"),
     ).collect()[0]
     assert row["a"] == row["c"] and row["a"] != row["b"]
+
+
+def test_make_address_statements(spark):
+    """make_address/apply_address (zavod/zavod/helpers/addresses.py:
+    107-262 + tests/helpers/test_addresses.py): id keyed on
+    (code, slug(full), key) with case-stable codes; composed full gets
+    origin=inferred; full==country suppressed; all-NULL rows dropped;
+    holder back-refs gated on full."""
+    from opensanctions_spark.functions.addresses import make_address_statements
+
+    df = spark.createDataFrame(
+        [
+            # given full, uppercase code normalized into the hash
+            ("e1", "Person", "12 Main St, Springfield", None, None, None,
+             None, "US", None),
+            # same full, lowercase code -> SAME address id
+            ("e2", "Person", "12 Main St, Springfield", None, None, None,
+             None, "us", None),
+            # composed from parts -> inferred origin
+            ("e3", "Company", None, "Hauptstr. 1", "Berlin", None,
+             "Germany", None, None),
+            # code-only: composed full == bare code -> suppressed, id from code
+            ("e4", "Person", None, None, None, None, None, "de", None),
+            # two-letter country treated as code
+            ("e5", "Person", None, "Rue X", None, None, "fr", None, None),
+            # everything null -> dropped
+            ("e6", "Person", None, None, None, None, None, None, None),
+            # keyed id differs from unkeyed
+            ("e7", "Person", "12 Main St, Springfield", None, None, None,
+             None, "us", "k1"),
+        ],
+        "holder STRING, hschema STRING, full STRING, street STRING, "
+        "city STRING, postal STRING, country STRING, code STRING, key STRING",
+    )
+    stmts = make_address_statements(
+        df,
+        dataset="addrs",
+        full_col="full",
+        street_col="street",
+        city_col="city",
+        postal_code_col="postal",
+        country_col="country",
+        country_code_col="code",
+        key_col="key",
+        holder_col="holder",
+        holder_schema=F.col("hschema"),
+    ).collect()
+
+    addr_of = {r["entity_id"]: r["value"] for r in stmts
+               if r["prop"] == "addressEntity"}
+    assert addr_of["e1"] == addr_of["e2"]          # case-stable id
+    assert addr_of["e7"] != addr_of["e1"]          # key changes id
+    assert "e6" not in {r["entity_id"] for r in stmts}   # all-null dropped
+
+    # composed full carries origin=inferred and joins parts in order
+    e3_full = [r for r in stmts
+               if r["entity_id"] == addr_of["e3"] and r["prop"] == "full"]
+    assert e3_full[0]["value"] == "Hauptstr. 1, Berlin, Germany"
+    assert e3_full[0]["origin"] == "inferred"
+
+    # country-only: no full/addressEntity/address, but holder country set
+    e4_props = {r["prop"] for r in stmts if r["entity_id"] == "e4"}
+    assert e4_props == {"country"}
+    assert "e4" not in addr_of
+    # the Address side still emits its country row (hash on code only)
+    e4_country = [r for r in stmts if r["prop"] == "country"
+                  and r["value"] == "de"]
+    assert len(e4_country) == 2  # the Address row + the holder back-ref
+
+    # 'fr' country treated as code: address country value is the code
+    e5_aid = addr_of["e5"]
+    e5 = {r["prop"]: r["value"] for r in stmts if r["entity_id"] == e5_aid}
+    assert e5["country"] == "fr"
+    assert e5["full"] == "Rue X, fr"
