@@ -777,3 +777,93 @@ def s10_archive_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the tempdir dies with this function — cut lineage into executor
         # block storage (stays distributed; no driver round-trip)
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "s11_name_extraction",
+    oracle="""
+SELECT 'c-' || CAST(c_custkey AS VARCHAR) AS entity_id,
+       'name' AS prop, c_name AS value
+FROM customer
+UNION ALL
+SELECT 'c-' || CAST(c_custkey AS VARCHAR),
+       CASE WHEN c_custkey % 3 = 0 THEN 'previousName' ELSE 'alias' END,
+       (CASE WHEN c_custkey % 3 = 0 THEN 'Old-' ELSE 'Ali-' END)
+         || CAST(c_custkey AS VARCHAR)
+FROM customer
+""",
+)
+def s11_name_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM name-extraction pack
+    (``zavod/zavod/extract/names/clean.py`` on the S11 machinery):
+    every customer carries a raw-name list — the primary name, a
+    marker-prefixed alias or former name, a blank and a duplicate (both
+    dropped by the in-row cleaning) — rendered to the SimpleNames
+    prompt. Even custkeys are pre-seeded in the response cache, odd
+    ones go through the injected deterministic fake model (no API
+    client in this container); both produce the same SimpleNames JSON,
+    which ``names_to_statements`` explodes into per-(prop, value) name
+    statements that the oracle recomputes from the source columns."""
+    import json as _json
+
+    from opensanctions_spark.sources.names_extract import (
+        INPUT_MARKER,
+        extract_names,
+        name_extraction_requests,
+        names_to_statements,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    second = F.when(
+        ck % 3 == 0, F.concat(F.lit("f/k/a Old-"), ck)
+    ).otherwise(F.concat(F.lit("a.k.a. Ali-"), ck))
+    base = cust.select(
+        F.concat(F.lit("c-"), ck).alias("entity_id"),
+        ck.alias("custkey"),
+        F.lit("Person").alias("schema"),
+        F.array(
+            F.col("c_name"), second, F.lit("  "), F.col("c_name")
+        ).alias("raw_names"),
+    )
+    reqs = name_extraction_requests(base)
+    cached_payload = F.to_json(
+        F.struct(
+            F.array(F.col("c_name")).alias("name"),
+            F.when(
+                ck % 3 != 0, F.array(F.concat(F.lit("Ali-"), ck))
+            ).otherwise(F.array().cast("array<string>")).alias("alias"),
+            F.array().cast("array<string>").alias("weakAlias"),
+            F.when(
+                ck % 3 == 0, F.array(F.concat(F.lit("Old-"), ck))
+            ).otherwise(F.array().cast("array<string>")).alias("previousName"),
+            F.array().cast("array<string>").alias("abbreviation"),
+        )
+    )
+    cache = (
+        cust.filter(ck % 2 == 0)
+        .select(F.concat(F.lit("c-"), ck).alias("entity_id"), "c_name", ck)
+        .join(reqs.select("entity_id", "request_hash"), "entity_id")
+        .select("request_hash", cached_payload.alias("response_raw"))
+    )
+
+    def fake_names_model(prompt: str) -> str:
+        payload = _json.loads(prompt.split(INPUT_MARKER, 1)[1])
+        out: dict[str, list[str]] = {
+            "name": [], "alias": [], "weakAlias": [],
+            "previousName": [], "abbreviation": [],
+        }
+        for s in payload["strings"]:
+            if s.startswith("f/k/a "):
+                out["previousName"].append(s[len("f/k/a "):])
+            elif s.startswith("a.k.a. "):
+                out["alias"].append(s[len("a.k.a. "):])
+            else:
+                out["name"].append(s)
+        return _json.dumps(out, ensure_ascii=False)
+
+    extracted = extract_names(reqs, cache, extract_fn=fake_names_model)
+    stmts = names_to_statements(
+        extracted, dataset="names", entity_col="entity_id"
+    )
+    return stmts.select("entity_id", "prop", "value")

@@ -206,3 +206,66 @@ def test_run_extraction_batches_misses_beyond_max_batch(spark):
     assert len(calls) == 25          # one call per distinct prompt
     assert len(set(calls)) == 25
     assert all(r["response"]["label"] is not None for r in out)
+
+
+def test_names_extraction_pack(spark):
+    """The LLM name-extraction pack (zavod/zavod/extract/names/clean.py):
+    prompt carries raw UTF-8 (ensure_ascii=False parity), in-row
+    cleaning trims/dedupes, typed SimpleNames parse, and
+    names_to_statements explodes accepted responses into per-prop name
+    statements."""
+    import json
+
+    from opensanctions_spark.sources.names_extract import (
+        INPUT_MARKER,
+        extract_names,
+        name_extraction_requests,
+        names_to_statements,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("e1", "Person",
+             ["Иван Петров", "a.k.a. Vanya", "  ", "Иван Петров"]),
+            ("e2", "Company", ["ACME Corp; ACME Holdings"]),
+        ],
+        "entity_id STRING, schema STRING, raw_names ARRAY<STRING>",
+    )
+    reqs = name_extraction_requests(df)
+    prompts = {r["entity_id"]: r["prompt"] for r in reqs.collect()}
+    # raw UTF-8 in the prompt, no \\u escapes; blanks and dups removed
+    assert "Иван Петров" in prompts["e1"]
+    assert "\\u" not in prompts["e1"]
+    payload = json.loads(prompts["e1"].split(INPUT_MARKER, 1)[1])
+    assert payload == {"entity_schema": "Person",
+                       "strings": ["Иван Петров", "a.k.a. Vanya"]}
+
+    def fake(prompt: str) -> str:
+        data = json.loads(prompt.split(INPUT_MARKER, 1)[1])
+        out = {"name": [], "alias": [], "weakAlias": [],
+               "previousName": [], "abbreviation": []}
+        for s in data["strings"]:
+            if s.startswith("a.k.a. "):
+                out["alias"].append(s[7:])
+            elif "; " in s:
+                first, rest = s.split("; ", 1)
+                out["name"].append(first)
+                out["alias"].append(rest)
+            else:
+                out["name"].append(s)
+        return json.dumps(out, ensure_ascii=False)
+
+    extracted = extract_names(reqs, None, extract_fn=fake)
+    stmts = names_to_statements(
+        extracted, dataset="names", entity_col="entity_id",
+        entity_schema=F.col("schema"),
+    ).collect()
+    got = {(r["entity_id"], r["prop"], r["value"]) for r in stmts}
+    assert got == {
+        ("e1", "name", "Иван Петров"),
+        ("e1", "alias", "Vanya"),
+        ("e2", "name", "ACME Corp"),
+        ("e2", "alias", "ACME Holdings"),
+    }
+    schemas = {r["entity_id"]: r["schema"] for r in stmts}
+    assert schemas == {"e1": "Person", "e2": "Company"}
