@@ -83,55 +83,32 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()`` (r1/r2/r3 each recorded exactly registration order
-#: [0:50], mutually disjoint — the rotation works). Round 4 rotation
-#: (VERDICT r3 task 1): the 28 catalog queries that have never received a
-#: driver row go FIRST (cheapest-first within the group so the expensive
-#: streaming/iterative ones can't starve a wall-clock budget), then any
-#: round-4 additions, then the oldest-checked (r1) queries fill the
-#: remaining slots → a green round makes lifetime driver coverage
-#: 178/178.
+#: ``queries()``. Lifetime coverage after round 4 is 186/186 — every
+#: catalog query has at least one green driver row. Round-5 rotation
+#: (VERDICT r4 tasks 1-3, 7-8): the round-5 additions go FIRST, then the
+#: 12 queries whose only driver rows date back to round 1 (no green row
+#: may age past three rounds), then the next-oldest checked queries
+#: (r1's remaining set, then early-r2 sinks/functions) fill the 50.
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked (28), cheap → expensive ----------------------
-    "q2_min_cost_supplier",
-    "q12_shipmode_priority",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "j5_custom_scorer_udf",
-    "j5_min_score_ratio",
-    "s6_excel_distributed",
-    "s7_pdf_scanned",
-    "sample_quality_weighted",
-    "sample_token_budget",
-    "text_vocab_coverage",
-    "text_oov_rate",
-    "text_quality_classifier",
-    "chunk_documents",
-    "mm_audio_energy",
-    "mm_phash_dedup",
-    "search_inverted_index",
-    "search_bm25",
-    "dedup_lsh_recall",
-    "dedup_near_cluster_star",
-    "graph_component_histogram",
-    "pipeline_enrich_expand",
-    "ann_lsh_hyperplane",
-    "ann_kmeans_loop",
-    "text_bpe_train",
-    "graph_pagerank",
-    "stream_stateful_totals",
-    "stream_curate_corpus",
-    # -- round-4 additions (driver row wanted this round) ------------------
-    # (inserted here as they land; see register() call sites)
-    "j5_reference_scorer",
-    "j13_lookup_module",
-    "f16_make_security",
-    "f17_make_identification",
-    "dedup_paragraph_exact",
-    "contamination_bloom",
-    "k2_statements_csv",
-    "text_bigram_lm_score",
-    # -- oldest-checked fill (r1, original registration order) -------------
+    # -- round-5 additions (4) ---------------------------------------------
+    "f18_make_sanction",
+    "f19_make_occupancy",
+    "f20_make_address",
+    "s11_name_extraction",
+    # -- r1-only driver rows, stale for 3 rounds (12) ----------------------
+    "a2_entity_counts",
+    "a3_fill_rate",
+    "a5_last_change",
+    "a7_issue_counts",
+    "a12_assertions",
+    "j3_adjacency_region_revenue",
+    "j8_same_id_equijoin",
+    "j10_dangling_anti_join",
+    "j12_semi_join_gate",
+    "j13_lookup_join",
+    "t2_t3_facet_topk",
+    "f12_t5_active_status",
+    # -- next-oldest fill: the rest of r1's set (18) -----------------------
     "a1_entity_assembly",
     "s9_p2_statement_filters",
     "p1_target_filter",
@@ -146,25 +123,38 @@ DRIVER_PRIORITY: list[str] = [
     "d2_d3_union_dedupe",
     "a8_t4_prefix_date_dedup",
     "f8_deterministic_ids",
-    "f12_t5_active_status",
     "scd2_entity_history",
     "pipeline_curate_corpus",
     "pipeline_curate_increment",
     "q1_pricing_summary",
+    # -- early-r2 sinks/functions fill (16): 4+12+18+16 = 50 ---------------
     "q3_shipping_priority",
-    # --- the driver's 50-row budget ends here (28 never-checked +
-    # 4 round-4 additions + 18 oldest-checked fit in 50; the tail below
-    # is ordering insurance in case the budget grows) -----------------------
-    "j3_adjacency_region_revenue",
-    "j10_dangling_anti_join",
-    "j12_semi_join_gate",
-    "j8_same_id_equijoin",
-    "j13_lookup_join",
-    "a2_entity_counts",
-    "a3_fill_rate",
-    "a5_last_change",
-    "a7_issue_counts",
-    "a12_assertions",
+    "q8_market_share",
+    "k3_simple_csv",
+    "k2_statements_csv",
+    "k4_nested_json",
+    "k5_senzing",
+    "k6_names_txt",
+    "k7_statistics",
+    "k9_securities",
+    "k10_maritime",
+    "f1_f2_date_parse",
+    "f3_f14_f15_text_guards",
+    "f5_name_cleaning",
+    "f6_number_parse",
+    "f7_identifier_checksums",
+    "f10_address_compose",
+    # --- the driver's 50-row budget ends here; the tail below is ordering
+    # insurance in case the budget grows --------------------------------------
+    "f11_crypto_wallets",
+    "f13_occupancy_status",
+    "s1_csv_scan",
+    "s3_json_scan",
+    "s8_cache_ttl",
+    "j4_recursive_expansion",
+    "j7_interval_overlap",
+    "j9_match_rules",
+    "d4_change_detection",
 ]
 
 
