@@ -119,9 +119,14 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join + top-k (T2 ordering, T3 limit).
 
-    customer is the small dimension → broadcast; lineitem⋈orders is the
-    big co-partitioned join on orderkey. Top-k by (revenue, orderkey) is a
-    total order → deterministic."""
+    The selective customer dimension (BUILDING ≈ 1/5) joins onto orders
+    BEFORE the fact-fact join, so the orderkey shuffle moves ~5× fewer
+    orders rows — Catalyst does not reorder joins without CBO, so the
+    pruning join order is stated explicitly (plan-gated). No hard
+    broadcast hint on customer: it scales with SF (SCALE.md §3 policy) —
+    AQE broadcasts it at test scale and falls back to a partitioned join
+    at 100×. Top-k by (revenue, orderkey) is a total order →
+    deterministic."""
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -130,9 +135,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    # the merge hint pins the fact-fact join to SMJ: without it the
+    # planner's join-size fallback (a PRODUCT of the input sizes) makes
+    # the pruned orders side look enormous and it broadcasts 3M+ filtered
+    # lineitem rows instead — measured 2.05 s vs 0.98 s at sf1. SMJ on
+    # orderkey is also the only shape that survives 100×.
+    pruned_orders = orders.join(cust, orders.o_custkey == cust.c_custkey).hint("merge")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(pruned_orders, li.l_orderkey == pruned_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(

@@ -211,12 +211,16 @@ GROUP BY year(o_orderdate)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of ECONOMY-part revenue in a region.
 
-    Seven-table join where every dimension (part, supplier, customer,
-    nation ×2, region) broadcasts; the fact-fact lineitem⋈orders join is
-    the single shuffle. The ratio is a conditional aggregate — numerator
-    and denominator in ONE pass (same trick as q14), not two scans. The
-    selective p_type filter prunes lineitem rows through the broadcast
-    hash join before the shuffle."""
+    The selective customer→nation→region chain (EUROPE ≈ 1/5) prunes
+    ``orders`` BEFORE the fact-fact lineitem⋈orders join — stated
+    explicitly because Catalyst does not reorder joins without CBO
+    (plan-gated) — so the single shuffle moves ~5× fewer orders rows;
+    the ECONOMY part filter prunes lineitem the same way on its side.
+    Hard broadcast hints only on nation/region (bounded dims); part /
+    supplier / customer scale with SF and carry NO hint (SCALE.md §3) —
+    AQE broadcasts them at test scale and degrades gracefully at 100×.
+    The ratio is a conditional aggregate — numerator and denominator in
+    ONE pass (same trick as q14), not two scans."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -234,14 +238,31 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     national = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
         F.lit(0).cast(DEC)
     )
+    # semi-join reduction to a literal: the region→nation chain is a
+    # bounded dimension (≤25 keys at ANY scale), collected once so the
+    # customer prune is a pure pushed filter. As a join output its size
+    # estimate would be a PRODUCT (no CBO) — the planner then broadcast
+    # 1.5M orders rows instead of the 30k EU customers (measured).
+    eu_keys = [
+        r["c_nk"]
+        for r in n1.join(
+            F.broadcast(region), F.col("c_rk") == region.r_regionkey
+        ).select("c_nk").collect()
+    ]
+    cust_eu = cust.filter(cust.c_nationkey.isin(eu_keys)).select("c_custkey")
+    # merge hint: same product-estimate trap as q3 — without it the
+    # planner broadcasts the filtered lineitem chain instead of the far
+    # smaller pruned-orders side
+    pruned_orders = orders.join(
+        cust_eu, orders.o_custkey == cust_eu.c_custkey
+    ).hint("merge")
+    supp_n = supp.join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(pruned_orders, li.l_orderkey == pruned_orders.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("_yr"))
         .agg(
             (
