@@ -206,12 +206,16 @@ def test_q7_broadcasts_every_dimension(spark, sf_dir):
 
 
 def test_q8_single_fact_shuffle(spark, sf_dir):
-    """Q8's seven-table join: six dimension broadcasts around ONE
-    shuffled fact-fact join, and the ratio is one aggregate pass (no
-    second scan for the denominator)."""
+    """Q8's seven-table join: dimension broadcasts around ONE shuffled
+    fact-fact join (the round-5 shape collapses the customer-side
+    nation⋈region chain to a literal ``isin`` pushed to the customer
+    scan, so those two joins vanish from the plan entirely), and the
+    ratio is one aggregate pass (no second scan for the denominator)."""
     plan = _executed_plan(QUERIES["q8_market_share"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 5
-    # each table scanned once — nation legitimately twice (two roles)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the EU prune reaches the customer scan as an In filter
+    assert "In(c_nationkey" in plan
+    # each table scanned once; nation/region twice (role + key collection)
     assert plan.count("Scan parquet") <= 8
 
 
