@@ -600,6 +600,6 @@ def test_q8_prunes_orders_before_fact_shuffle(spark, sf_dir):
     df = QUERIES["q8_market_share"](spark, sf_dir)
     plan = _optimized_plan(df)
     assert plan.index("l_orderkey#") < plan.index("o_custkey#")
-    # executed plan still broadcasts everything at test scale (AQE)
+    # executed plan still broadcasts the dimensions at test scale (AQE)
     executed = _executed_plan(df)
-    assert executed.count("BroadcastHashJoin") >= 5
+    assert executed.count("BroadcastHashJoin") >= 4
