@@ -54,26 +54,57 @@ def pack_media(df: DataFrame, id_col: str, payload_col: str, kind: str = "raw",
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+#: kind → decoder(content: bytes, fmt: str) -> bytes. 'raw' (identity) is
+#: the deterministic fake codec; a real cluster registers PIL/soundfile/
+#: pyav decoders here (``register_codec``) without touching any plan —
+#: the same injection seam as ``sources/pdf.py``'s ``ocr_pages``.
+_CODECS: dict[str, "object"] = {"raw": lambda content, fmt: content}
+
+
+def register_codec(kind: str, decode_fn) -> None:
+    """Register a media decoder for ``decode_media``: ``decode_fn(content
+    bytes, fmt str) -> decoded bytes``. Must be picklable — it ships to
+    executors inside the Arrow stage closure (e.g. a module-level
+    function wrapping ``PIL.Image.open``/``soundfile.read``/``av.open``).
+    """
+    _CODECS[kind] = decode_fn
+
+
+def decode_media(media: DataFrame, codecs: dict | None = None) -> DataFrame:
     """Codec boundary: decode content → raw buffer, Arrow-batched.
 
-    kind='raw' is the deterministic fake (identity). Real codecs (PIL /
-    soundfile / pyav) are not installed — any other kind raises inside
-    the task, which is the clearly-marked stub required here.
+    The decoder per ``kind`` comes from the registry (``register_codec``;
+    per-call override via ``codecs``). kind='raw' is the pre-registered
+    deterministic fake (identity). Real codecs (PIL / soundfile / pyav)
+    are not installed in this container — an unregistered kind raises
+    inside the task, naming the injection point, which is the
+    clearly-marked stub required here.
     """
+    table = dict(_CODECS)
+    if codecs:
+        table.update(codecs)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            bad = pdf.loc[pdf["kind"] != "raw", "kind"]
+            bad = pdf.loc[~pdf["kind"].isin(list(table)), "kind"]
             if len(bad):
                 raise NotImplementedError(
-                    f"no codec for kind={bad.iloc[0]!r}: media libraries "
-                    "are not available in this environment"
+                    f"no codec registered for kind={bad.iloc[0]!r}: media "
+                    "libraries are not available in this environment — "
+                    "wire one with register_codec(kind, fn)"
                 )
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "buf": pdf["content"]}
+                {
+                    "media_id": pdf["media_id"],
+                    "buf": [
+                        table[k](bytes(c), f)
+                        for k, c, f in zip(
+                            pdf["kind"], pdf["content"], pdf["fmt"]
+                        )
+                    ],
+                }
             )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
