@@ -204,3 +204,12 @@ def make_address_statements(
 
     stacked = df.filter(aid.isNotNull()).select(F.inline(F.array(*rows)))
     return finish_statements(stacked, dataset=dataset)
+
+
+def postcode_pobox(col: Column) -> tuple[Column, Column]:
+    """(postcode, po_box) split for postcode fields that sometimes carry a
+    stuffed PO Box (``zavod/zavod/helpers/addresses.py:284-295``): a value
+    matching the PO-Box pattern moves wholesale to the po_box side and
+    postcode becomes NULL; anything else stays a postcode."""
+    is_box = col.rlike(r"(?i)^p\.?o\.? ?box [\d-]+$")
+    return F.when(~is_box, col), F.when(is_box, col)

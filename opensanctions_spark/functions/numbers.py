@@ -48,3 +48,34 @@ def normalize_unit(amount: Column, unit: Column) -> tuple[Column, Column]:
     # would drift vs exact-decimal engines), cast to double at the end
     factor = F.coalesce(factor_map[unit], F.lit(1.0)).cast("decimal(18,6)")
     return (amount * factor).cast("double"), canonical
+
+
+def render_number(col: Column) -> Column:
+    """The reference's number rendering (``zavod/zavod/helpers/numbers.py:
+    12-17`` ``_float_str``): integers print bare, everything else at two
+    decimals — ``5.0`` → ``'5'``, ``5.125`` → ``'5.12'``."""
+    d = col.cast("double")
+    # format_string, not format_number: the latter inserts thousands
+    # separators ("1,234.50") which _float_str never emits
+    return F.when(
+        d == F.floor(d), F.floor(d).cast("long").cast("string")
+    ).otherwise(F.format_string("%.2f", d))
+
+
+def apply_number(col: Column) -> Column:
+    """``apply_number``'s value text (``zavod/zavod/helpers/numbers.py:
+    20-66``): parse the amount, normalize the unit, render
+    ``"{num} {unit}"`` (or the bare number); unparseable input → NULL
+    (the reference warns and skips the emit — P5 drops the row). Pure
+    column math; pair with the statement factories to emit."""
+    amount = extract_amount(col)
+    unit = extract_unit(col)
+    canonical_amount, canonical_unit = normalize_unit(amount, unit)
+    num = render_number(canonical_amount)
+    return F.when(
+        amount.isNotNull(),
+        F.when(
+            (canonical_unit.isNotNull()) & (canonical_unit != ""),
+            F.concat(num, F.lit(" "), canonical_unit),
+        ).otherwise(num),
+    )

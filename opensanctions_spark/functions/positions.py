@@ -323,3 +323,25 @@ def make_occupancy_statements(
     )
     stacked = gated.select(F.inline(F.array(*rows)))
     return finish_statements(stacked, dataset=dataset)
+
+
+def earliest_term_start(topics: list[str] | None = None,
+                        run_time: str | None = None) -> str:
+    """Cut-off start date for historical parliamentary/government terms
+    (``zavod/zavod/helpers/positions.py:249-273``): the after-office
+    window for the given topics plus 2× the default window of slack,
+    subtracted from the run time — crawlers drop occupancies older than
+    this before emitting. Driver-side scalar (it parameterizes a filter
+    literal, it is not per-row math)."""
+    from datetime import date, timedelta
+
+    from opensanctions_spark.model.melt import RUN_TIME
+
+    topics = topics or ["gov.national"]
+    years = max(
+        (AFTER_OFFICE_YEARS.get(t, DEFAULT_AFTER_OFFICE) for t in topics),
+        default=DEFAULT_AFTER_OFFICE,
+    )
+    years += DEFAULT_AFTER_OFFICE * 2  # extra slack, positions.py:268
+    run = date.fromisoformat((run_time or RUN_TIME)[:10])
+    return (run - timedelta(days=365 * years)).isoformat()

@@ -226,3 +226,56 @@ def test_url_canonicalization(spark):
     df = spark.createDataFrame([(c[0],) for c in cases], "u string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_postcode_pobox_split(spark):
+    """addresses.py:284-295: a PO-Box value stuffed into the postcode
+    field moves wholesale to the po_box side."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.addresses import postcode_pobox
+
+    df = spark.createDataFrame(
+        [("PO Box 123",), ("p.o. box 4-5",), ("10117",), (None,)], ["pc"]
+    )
+    postcode, po_box = postcode_pobox(F.col("pc"))
+    rows = df.select(postcode.alias("postcode"), po_box.alias("po_box")).collect()
+    assert [(r["postcode"], r["po_box"]) for r in rows] == [
+        (None, "PO Box 123"),
+        (None, "p.o. box 4-5"),
+        ("10117", None),
+        (None, None),
+    ]
+
+
+def test_apply_number_render(spark):
+    """numbers.py:12-66: parse → unit-normalize → render; integers print
+    bare, fractions at two decimals, unparseable input drops."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.functions.numbers import apply_number, render_number
+
+    df = spark.createDataFrame(
+        [("5 kg",), ("2.5 km",), ("1,250",), ("n/a",), ("0.125 m",)], ["v"]
+    )
+    rows = [r["out"] for r in df.select(apply_number(F.col("v")).alias("out")).collect()]
+    # 5 kg -> 5000 g; 2.5 km -> 2500 m; 1,250 bare; n/a -> NULL; 0.125 m stays
+    assert rows == ["5000 g", "2500 m", "1250", None, "0.13 m"]
+    r = spark.range(1).select(
+        render_number(F.lit(1234.5)).alias("a"),
+        render_number(F.lit(7.0)).alias("b"),
+    ).collect()[0]
+    assert (r["a"], r["b"]) == ("1234.50", "7")  # no thousands separator
+
+
+def test_earliest_term_start_windows():
+    """positions.py:249-273: after-office window for the topics + 2x the
+    default slack, off the run date."""
+    from opensanctions_spark.functions.positions import earliest_term_start
+
+    # gov.national: 5y window + 10y slack = 15y before 2026-08-13
+    assert earliest_term_start(["gov.national"], "2026-08-13T00:00:00") == "2011-08-17"
+    # gov.muni: 1y + 10y = 11y
+    assert earliest_term_start(["gov.muni"], "2026-08-13T00:00:00") == "2015-08-16"
+    # unknown topic falls back to the default window
+    assert earliest_term_start(["x"], "2026-08-13T00:00:00") == "2011-08-17"
