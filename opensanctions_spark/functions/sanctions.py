@@ -245,3 +245,13 @@ def make_sanction_statements(
 
     stacked = df.select(F.inline(F.array(*rows)))
     return finish_statements(stacked, dataset=dataset)
+
+
+def lookup_sanction_program_key(lookup, source_key_col: Column) -> Column:
+    """``lookup_sanction_program_key`` (sanctions.py:13-19): resolve the
+    source's own program key to an OpenSanctions program key through the
+    dataset's ``sanction.program`` lookup (J13). Column form — the
+    lookup compiles to a literal map probe / CASE chain; unresolved keys
+    yield NULL (the reference warns; count the NULLs into the issue
+    channel). ``lookup`` is a ``functions.lookups.Lookup``."""
+    return lookup.value_column(source_key_col, default=F.lit(None).cast("string"))

@@ -468,3 +468,22 @@ def test_make_address_statements(spark):
     e5 = {r["prop"]: r["value"] for r in stmts if r["entity_id"] == e5_aid}
     assert e5["country"] == "fr"
     assert e5["full"] == "Rue X, fr"
+
+
+def test_lookup_sanction_program_key(spark):
+    """sanctions.py:13-19: source program key -> OS program key through
+    the dataset 'sanction.program' lookup; misses are NULL."""
+    from opensanctions_spark.functions.lookups import parse_lookup
+    from opensanctions_spark.functions.sanctions import lookup_sanction_program_key
+
+    lk = parse_lookup(
+        "sanction.program",
+        {"options": [
+            {"match": ["SDGT", "sdgt-x"], "value": "US-OFAC-SDGT"},
+            {"match": ["CAATSA"], "value": "US-CAATSA"},
+        ]},
+    )
+    df = spark.createDataFrame([("SDGT",), ("CAATSA",), ("???",), (None,)], ["k"])
+    got = [r["pk"] for r in df.select(
+        lookup_sanction_program_key(lk, F.col("k")).alias("pk")).collect()]
+    assert got == ["US-OFAC-SDGT", "US-CAATSA", None, None]
