@@ -560,34 +560,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table join: revenue from orders where the
     supplier and customer share a nation, restricted to one region.
 
-    The join-ordering exhibit: region→nation prune first (broadcast,
-    cuts supplier AND customer before any fact-table work), lineitem⋈
-    orders carries the only big shuffle, and the customer-nation =
-    supplier-nation condition rides the supplier join rather than
-    spawning a separate stage. Catalyst reorders freely because every
-    predicate is declarative."""
+    The join-ordering exhibit, round-5 shape: the bounded region→nation
+    chain collapses to a literal key set (≤25 at ANY scale) pushed as an
+    ``isin`` filter into BOTH the supplier and customer scans — valid for
+    customers because c_nationkey must equal an ASIA s_nationkey — so
+    the supplier join prunes lineitem ~1/region-count BEFORE the
+    fact-fact orderkey shuffle, and the customer join prunes orders the
+    same way. No hard broadcast hints on the SF-scaling tables
+    (supplier/customer — SCALE.md §3); the shuffle_hash hint pins the
+    fact-fact join against the no-CBO product-estimate trap (see q3 —
+    unhinted, the planner broadcasts 6M lineitem rows; measured 2.1 s
+    vs 1.5 s at sf1, and the hash build beats merge's double sort by
+    ~5%). Round-4's broadcast-everything plan was 1.22 s at sf1 but
+    hard-broadcast two SF-scaling dimensions — a driver OOM, not an AQE
+    fallback, at 100× — so the 0.3 s is the price of the shape that
+    survives scale-up."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nation = load(spark, sf_dir, "nation").join(
+    nation = load(spark, sf_dir, "nation")
+    asia = nation.join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    asia_keys = [r["n_nationkey"] for r in asia.collect()]
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(asia_keys))
+        .select("s_suppkey", "s_nationkey")
     )
-    supp = load(spark, sf_dir, "supplier").join(
-        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(asia_keys))
+        .select("c_custkey", "c_nationkey")
     )
-    cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pruned_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).hint("shuffle_hash")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            pruned_orders,
+            (li.l_orderkey == pruned_orders.o_orderkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("nation"))
