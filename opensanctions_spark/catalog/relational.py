@@ -251,7 +251,7 @@ def j8_same_id_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     return (
-        cust.join(F.broadcast(supp), cust.c_custkey == supp.s_suppkey)
+        cust.join(supp, cust.c_custkey == supp.s_suppkey)
         .select(
             F.col("c_custkey").alias("shared_key"),
             F.col("c_name").alias("customer_name"),
@@ -526,7 +526,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -651,7 +651,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -692,7 +692,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -758,7 +758,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", F.year("o_orderdate").alias("_yr"), "o_totalprice")
     )
@@ -1096,8 +1096,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        li.join(F.broadcast(part), "l_partkey")
-        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        li.join(part, "l_partkey")
+        .join(excluded, "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1371,7 +1371,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     qty_c = F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long")
     pair = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(qty_c.alias("qty_c"))
     )
@@ -1470,9 +1470,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load(spark, sf_dir, "supplier")
     counts = (
-        waiting.join(
-            F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey
-        )
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
