@@ -1,0 +1,336 @@
+"""Reference crawler-API compatibility layer.
+
+The reference's 483 crawlers are driver-side Python against two objects:
+a ``Context`` (``zavod/zavod/context.py:54-666`` — make/make_id/
+make_slug/lookup/emit/audit_data/resources/log) and an ``Entity``
+(``zavod/zavod/entity.py:16-198`` — multi-valued ``add``/``set``/``get``
+with None-skip). This module is that surface for the Spark engine: a
+crawler written for the reference runs with an import swap, and every
+``emit`` lands in the canonical statements DataFrame that the rest of
+the engine (J1 timestamp join, A1 assembly, exporters) consumes.
+
+Execution model (SURVEY §2.10 boundary): crawling is inherently
+sequential driver-side HTTP/parsing — the Context buffers emitted
+statements as plain tuples and converts them to Arrow-backed DataFrames
+in bounded batches (``flush_rows``), so driver memory holds one batch,
+never the crawl. The statement IR stamping (content-hash ids, P5 guard,
+seen timestamps) is the same ``finish_statements`` path the melt
+factories use — a crawled statement and a melted statement are
+indistinguishable downstream.
+
+Python-side entity factories (``h.make_address`` style) are deliberately
+NOT duplicated here: the fixture-parity test shows the pattern — build
+the address/sanction parts as source columns and run the DataFrame
+factories (``functions/addresses.py`` etc.) over the emitted frame, or
+compute small helpers inline. ``context.make_id``/``make_slug`` match
+the catalog's F8 forms so ids agree across both routes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opensanctions_spark.model.registry import (
+    EDGE_SCHEMATA,
+    SCHEMA_PARENTS,
+)
+
+_SLUG_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _ensure_list(value: Any) -> list[Any]:
+    if value is None:
+        return []
+    if isinstance(value, (list, tuple, set)):
+        return list(value)
+    return [value]
+
+
+@dataclass(frozen=True)
+class Schema:
+    """Driver-side view of one FtM schema (``zavod/zavod/entity.py``
+    delegates to the followthemoney model; the engine's lattice lives in
+    ``model/registry.py`` and this wraps it)."""
+
+    name: str
+
+    def is_a(self, other: str | "Schema") -> bool:
+        other_name = other.name if isinstance(other, Schema) else other
+        if self.name == other_name:
+            return True
+        return other_name in SCHEMA_PARENTS.get(self.name, [])
+
+    @property
+    def edge(self) -> bool:
+        return self.name in EDGE_SCHEMATA
+
+    @property
+    def source_prop(self) -> str:
+        return EDGE_SCHEMATA[self.name][0]
+
+    @property
+    def target_prop(self) -> str:
+        return EDGE_SCHEMATA[self.name][1]
+
+    @property
+    def directed(self) -> bool:
+        return EDGE_SCHEMATA[self.name][2]
+
+
+class Entity:
+    """A bag of (prop, value) assertions under one id — ``Entity.add``
+    skips None and empty strings exactly like the reference's P5 guard
+    (``zavod/zavod/entity.py:47-48``); every property is multi-valued."""
+
+    def __init__(self, schema: Schema) -> None:
+        self.schema = schema
+        self.id: str | None = None
+        #: (prop, value, lang, origin, original_value)
+        self._stmts: list[tuple[str, str, str | None, str | None, str | None]] = []
+
+    def add(
+        self,
+        prop: str,
+        values: Any,
+        lang: str | None = None,
+        origin: str | None = None,
+        original_value: str | None = None,
+    ) -> "Entity":
+        for v in _ensure_list(values):
+            if v is None:
+                continue
+            text = str(v).strip()
+            if not text:
+                continue
+            self._stmts.append((prop, text, lang, origin, original_value))
+        return self
+
+    def set(self, prop: str, values: Any, **kwargs: Any) -> "Entity":
+        self._stmts = [s for s in self._stmts if s[0] != prop]
+        return self.add(prop, values, **kwargs)
+
+    def get(self, prop: str) -> list[str]:
+        return [s[1] for s in self._stmts if s[0] == prop]
+
+    def first(self, prop: str) -> str | None:
+        vals = self.get(prop)
+        return vals[0] if vals else None
+
+    @property
+    def statements(self):
+        return list(self._stmts)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"<Entity({self.schema.name}, {self.id!r}, {len(self._stmts)} stmts)>"
+
+
+class CrawlerContext:
+    """The driver-side crawl context (``zavod/zavod/context.py``).
+
+    Statements buffer as tuples and flush to DataFrame batches every
+    ``flush_rows`` emits; ``statements_df()`` unions the batches and
+    stamps the canonical IR columns. ``issues`` collects warn/error
+    entries (the A7 channel); ``resources`` collects export_resource
+    registrations (the K12 resources.json input).
+    """
+
+    SOURCE_TITLE = "Source data"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Any,
+        work_dir: str | None = None,
+        flush_rows: int = 100_000,
+    ) -> None:
+        from opensanctions_spark.functions.lookups import Lookup
+
+        self.spark = spark
+        self.dataset = config
+        self.work_dir = work_dir
+        self.flush_rows = flush_rows
+        self.issues: list[dict[str, Any]] = []
+        self.resources: list[dict[str, Any]] = []
+        self.log = _Log(self.issues)
+        self._lookups: dict[str, Lookup] = dict(getattr(config, "lookups", {}) or {})
+        self._buffer: list[tuple] = []
+        self._batches: list[DataFrame] = []
+        self._n_emitted = 0
+
+    # -- entity construction ------------------------------------------------
+
+    def make(self, schema: str) -> Entity:
+        return Entity(Schema(schema))
+
+    def make_id(self, *parts: Any, hash_prefix: str | None = None) -> str | None:
+        """Hash-based id (``zavod/zavod/context.py:512-531``): the
+        dataset name (or ``hash_prefix``) plus the non-None parts,
+        hashed — identical derivation to the catalog's F8 ``make_id``
+        (md5 of '|'-joined parts, ``osp-`` prefix)."""
+        clean = [str(p) for p in parts if p is not None and str(p).strip()]
+        if not clean:
+            return None
+        prefix = hash_prefix or getattr(self.dataset, "name", "osp")
+        digest = hashlib.md5("|".join([prefix, *clean]).encode("utf-8")).hexdigest()
+        return f"osp-{digest}"
+
+    def make_slug(self, *parts: Any, prefix: str | None = None) -> str | None:
+        """Slug-based id (``zavod/zavod/context.py:504-510``):
+        ``{dataset}-{slugified parts}``."""
+        clean = []
+        for p in parts:
+            if p is None:
+                continue
+            slug = _SLUG_RE.sub("-", str(p).lower()).strip("-")
+            if slug:
+                clean.append(slug)
+        if not clean:
+            return None
+        prefix = prefix if prefix is not None else getattr(self.dataset, "name", "osp")
+        return "-".join([prefix, *clean]) if prefix else "-".join(clean)
+
+    # -- lookups (J13) ------------------------------------------------------
+
+    def lookup(self, name: str, value: str | None):
+        lk = self._lookups.get(name)
+        return lk.match(value) if lk is not None else None
+
+    def lookup_value(
+        self, name: str, value: str | None, default: str | None = None
+    ) -> str | None:
+        lk = self._lookups.get(name)
+        if lk is None:
+            return default
+        return lk.get_value(value, default=default)
+
+    # -- emit ---------------------------------------------------------------
+
+    def emit(self, entity: Entity, external: bool = False) -> None:
+        """Append the entity's statements to the run
+        (``zavod/zavod/context.py:622-666``); entities without an id are
+        a crawler bug — fail loudly like the reference's assert."""
+        if entity.id is None:
+            raise ValueError(f"entity of schema {entity.schema.name} has no id")
+        for prop, value, lang, origin, original_value in entity.statements:
+            self._buffer.append(
+                (
+                    entity.id, entity.schema.name, prop, value,
+                    lang, origin, original_value, external,
+                )
+            )
+        self._n_emitted += 1
+        if len(self._buffer) >= self.flush_rows:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buffer:
+            return
+        batch = self.spark.createDataFrame(
+            self._buffer,
+            "entity_id STRING, schema STRING, prop STRING, value STRING, "
+            "lang STRING, origin STRING, original_value STRING, "
+            "external BOOLEAN",
+        )
+        self._batches.append(batch)
+        self._buffer = []
+
+    def statements_df(self, run_time: str | None = None) -> DataFrame:
+        """The crawl's statements in the canonical IR — same stamping as
+        the melt factories (content-hash ids, P5 guard, seen
+        timestamps), with crawler-provided lang/origin/original_value
+        and external preserved."""
+        from pyspark.sql import functions as F
+
+        from opensanctions_spark.model.melt import RUN_TIME, finish_statements
+
+        self._flush()
+        if not self._batches:
+            batch = self.spark.createDataFrame(
+                [],
+                "entity_id STRING, schema STRING, prop STRING, value STRING, "
+                "lang STRING, origin STRING, original_value STRING, "
+                "external BOOLEAN",
+            )
+            self._batches.append(batch)
+        df = self._batches[0]
+        for b in self._batches[1:]:
+            df = df.unionByName(b)
+        ts = run_time or RUN_TIME
+        df = df.withColumn("first_seen", F.lit(ts)).withColumn("last_seen", F.lit(ts))
+        return finish_statements(df, dataset=getattr(self.dataset, "name", "osp"))
+
+    # -- audit / resources / issues ----------------------------------------
+
+    def audit_data(self, data: dict[str, Any], ignore: list[str] | None = None) -> None:
+        """Warn about unconsumed source fields
+        (``zavod/zavod/context.py:600-620``)."""
+        ignore = set(ignore or [])
+        leftover = {
+            k: v for k, v in data.items()
+            if k not in ignore and v is not None and str(v).strip()
+        }
+        if leftover:
+            self.log.warn("Unconsumed source fields", fields=sorted(leftover))
+
+    def get_resource_path(self, name: str) -> str:
+        base = self.work_dir or os.path.join(".", "resources")
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, name)
+
+    def export_resource(
+        self, path: str, mime_type: str | None = None, title: str | None = None
+    ) -> None:
+        self.resources.append(
+            {"name": os.path.basename(str(path)), "path": str(path),
+             "mime_type": mime_type, "title": title}
+        )
+
+    @property
+    def n_emitted(self) -> int:
+        return self._n_emitted
+
+
+@dataclass
+class _Log:
+    """Minimal structlog-shaped logger writing to the issues channel
+    (``zavod/zavod/runtime/issues.py:27-63`` analogue — A7 counts over
+    ``level``)."""
+
+    issues: list = field(default_factory=list)
+
+    def _record(self, level: str, message: str, **data: Any) -> None:
+        self.issues.append({"level": level, "message": message, "data": data})
+
+    def info(self, message: str, **data: Any) -> None:
+        self._record("info", message, **data)
+
+    def warn(self, message: str, **data: Any) -> None:
+        self._record("warning", message, **data)
+
+    warning = warn
+
+    def error(self, message: str, **data: Any) -> None:
+        self._record("error", message, **data)
+
+
+def crawl(
+    spark: SparkSession,
+    config: Any,
+    entry_point,
+    work_dir: str | None = None,
+    run_time: str | None = None,
+) -> tuple[DataFrame, CrawlerContext]:
+    """Run one crawler entry point (``zavod/zavod/crawl.py:19-77``):
+    build the context, invoke ``entry_point(context)``, return the
+    statements DataFrame + the context (issues/resources). Feed the
+    frame to ``plans/run.py`` ``run_dataset``/``crawl_dataset`` for the
+    rest of the lifecycle."""
+    context = CrawlerContext(spark, config, work_dir=work_dir)
+    entry_point(context)
+    return context.statements_df(run_time=run_time), context

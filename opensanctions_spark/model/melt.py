@@ -43,8 +43,11 @@ def finish_statements(df: DataFrame, dataset: str, schema_name: str | None = Non
             "id",
             statement_id(F.col("dataset"), F.col("entity_id"), F.col("prop"), F.col("value")),
         )
-        .withColumn("external", F.lit(False))
     )
+    # keep a caller-provided external flag (enrichment emits externals,
+    # zavod/zavod/runner/enrich.py:161-199); default False
+    if "external" not in df.columns:
+        out = out.withColumn("external", F.lit(False))
     # provenance columns: keep caller-provided values (factories that stamp
     # per-row origin/original_value, e.g. make_sanction's metadata-origin
     # statements), default to NULL
