@@ -134,24 +134,77 @@ def make_address_statements(
     postal = nullif(col(postal_code_col))
 
     full_in = nullif(col(full_col))
-    composed = compose_address(
-        summary, po_box, street, city, region, state, postal,
+    # concat_ws, not compose_address: identical semantics here (inputs are
+    # already trimmed and empty→NULL, and concat_ws skips NULLs), but the
+    # HOF filter/transform lambdas inside compose_address are
+    # CodegenFallback expressions — interpreted per evaluation.
+    composed_raw = F.concat_ws(
+        ", ", summary, po_box, street, city, region, state, postal,
         F.coalesce(country_name, code),
     )
-    full = F.coalesce(full_in, composed)
+
+    # Materialize the shared sub-expressions ONCE as columns before the
+    # inline stack.  Inlining them instead duplicates the full/id trees
+    # into every emitted struct: the generated projection method then
+    # blows janino's 64 KB limit, Spark silently falls back to
+    # interpreted expressions, and the f20 exhibit runs 302 s instead of
+    # ~3 s at sf1.  CollapseProject keeps this boundary because the
+    # aliases below are non-cheap and referenced repeatedly.
+    base = df.select(
+        composed_raw.alias("_composed_raw"),
+        full_in.alias("_full_in"),
+        code.alias("_code"),
+        country_name.alias("_country_name"),
+        F.coalesce(code_in, country).alias("_original_country"),
+        nullif(col(remarks_col)).alias("_remarks"),
+        summary.alias("_summary"),
+        po_box.alias("_po_box"),
+        street.alias("_street"),
+        city.alias("_city"),
+        postal.alias("_postal"),
+        region.alias("_region"),
+        state.alias("_state"),
+        nullif(col(key_col)).alias("_key"),
+        (nullif(col(holder_col)) if holder_col else null_s).alias("_holder"),
+        (
+            holder_schema
+            if isinstance(holder_schema, Column)
+            else F.lit(str(holder_schema))
+        ).alias("_holder_schema"),
+    )
+
+    composed = F.when(F.col("_composed_raw") != "", F.col("_composed_raw"))
+    full = F.coalesce(F.col("_full_in"), composed)
     # a full line that is just the country (name or bare code) carries no
     # address content — suppress it (addresses.py:222-223; the code case
     # arises here because composition falls back to the code where the
     # reference renders a country template)
     full = F.when(
-        (full != F.coalesce(country_name, F.lit("")))
-        & (full != F.coalesce(code, F.lit(""))),
+        (full != F.coalesce(F.col("_country_name"), F.lit("")))
+        & (full != F.coalesce(F.col("_code"), F.lit(""))),
         full,
     )
-    full_origin = F.when(full_in.isNull() & full.isNotNull(), F.lit("inferred"))
+    full_origin = F.when(
+        F.col("_full_in").isNull() & full.isNotNull(), F.lit("inferred")
+    )
+    aid = make_address_id(full, F.col("_code"), key=F.col("_key"))
 
-    aid = make_address_id(full, code, key=nullif(col(key_col)))
-    original_country = F.coalesce(code_in, country)
+    # NO .filter(aid.isNotNull()) here: PushDownPredicates substitutes the
+    # alias through both projections, and because full/composed are each
+    # referenced several times the substitution is exponential — a 125 KB
+    # filter expression lands on the scan and poisons codegen for the
+    # whole fused stage.  The NULL-id drop happens in the generator
+    # instead (inline over a NULL array emits nothing), which leaves no
+    # predicate for Catalyst to push.
+    base = base.select(
+        aid.alias("_aid"),
+        full.alias("_full"),
+        full_origin.alias("_full_origin"),
+        "*",
+    )
+
+    aid, full, full_origin = F.col("_aid"), F.col("_full"), F.col("_full_origin")
+    code = F.col("_code")
 
     def prop(
         name: str, value: Column, origin: Column | None = None,
@@ -170,23 +223,19 @@ def make_address_statements(
 
     rows = [
         prop("full", full, origin=full_origin),
-        prop("remarks", nullif(col(remarks_col))),
-        prop("summary", summary),
-        prop("postOfficeBox", po_box),
-        prop("street", street),
-        prop("city", city),
-        prop("postalCode", postal),
-        prop("region", region),
-        prop("state", state),
-        prop("country", code, original_value=original_country),
+        prop("remarks", F.col("_remarks")),
+        prop("summary", F.col("_summary")),
+        prop("postOfficeBox", F.col("_po_box")),
+        prop("street", F.col("_street")),
+        prop("city", F.col("_city")),
+        prop("postalCode", F.col("_postal")),
+        prop("region", F.col("_region")),
+        prop("state", F.col("_state")),
+        prop("country", code, original_value=F.col("_original_country")),
     ]
     if holder_col:
-        holder = nullif(col(holder_col))
-        schema_col = (
-            holder_schema
-            if isinstance(holder_schema, Column)
-            else F.lit(str(holder_schema))
-        )
+        holder = F.col("_holder")
+        schema_col = F.col("_holder_schema")
 
         def back(name: str, value: Column) -> Column:
             return F.struct(
@@ -202,7 +251,9 @@ def make_address_statements(
         rows.append(back("addressEntity", F.when(full.isNotNull(), aid)))
         rows.append(back("address", full))
 
-    stacked = df.filter(aid.isNotNull()).select(F.inline(F.array(*rows)))
+    # rows with no id emit nothing (addresses.py:227-229) — conditional
+    # array, not a Filter node (see the pushdown note above)
+    stacked = base.select(F.inline(F.when(aid.isNotNull(), F.array(*rows))))
     return finish_statements(stacked, dataset=dataset)
 
 

@@ -603,3 +603,40 @@ def test_q8_prunes_orders_before_fact_shuffle(spark, sf_dir):
     # executed plan still broadcasts the dimensions at test scale (AQE)
     executed = _executed_plan(df)
     assert executed.count("BroadcastHashJoin") >= 4
+
+
+def test_factory_exhibits_have_bounded_plans(spark, sf_dir):
+    """SCALE.md §12: the f20 post-mortem — PushDownPredicates substitutes
+    aliases through projections with no cost guard, so a `.filter()` on a
+    chained multi-reference expression (composed→full→id) exploded the
+    optimized plan to 136 KB, blew janino's 64 KB method limit, and
+    dropped the whole fused stage to interpreted eval (302 s at sf1).
+    Gate every statement-factory exhibit on optimized-plan size; the
+    fixed shapes sit at 1-12 KB, so 32 KB catches a substitution
+    regression with a wide margin while never flagging a legitimate
+    shape change."""
+    for name in (
+        "f16_make_security",
+        "f17_make_identification",
+        "f18_make_sanction",
+        "f19_make_occupancy",
+        "f20_make_address",
+    ):
+        plan = _optimized_plan(QUERIES[name](spark, sf_dir))
+        assert len(plan) < 32_768, (
+            f"{name}: optimized plan is {len(plan)} chars — an alias "
+            "substitution blowup (see SCALE.md §12)"
+        )
+
+
+def test_f20_null_id_drop_is_generator_not_filter(spark, sf_dir):
+    """The NULL-id row drop must live inside the inline generator
+    (`inline(when(cond, array(...)))`), not a Filter node above the
+    projection — a Filter on the id expression is exactly what
+    PushDownPredicates turns into the 125 KB scan predicate."""
+    plan = _optimized_plan(QUERIES["f20_make_address"](spark, sf_dir))
+    below_generate = plan[plan.index("Generate"):]
+    assert "Filter" not in below_generate, (
+        "Filter found below the inline generator — the NULL-id drop "
+        "must be the conditional array, not a pushable predicate"
+    )
