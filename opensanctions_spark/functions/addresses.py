@@ -15,15 +15,17 @@ PO_BOX_RE = r"(?i)\b(?:P\.?\s*O\.?\s*Box|Postfach|Boîte Postale)\s*(\d+)"
 def compose_address(*parts: Column) -> Column:
     """Join non-empty address parts with ', ' in the given order
     (street, city, state, postal_code, country — the reference's
-    format order)."""
-    arr = F.array(*parts)
-    present = F.filter(arr, lambda x: x.isNotNull() & (F.trim(x) != ""))
-    # explicit 1-arg lambda: F.trim itself is 2-parameter and F.transform
-    # would pass the element index as its trim-character set
-    return F.when(
-        F.size(present) > 0,
-        F.array_join(F.transform(present, lambda x: F.trim(x)), ", "),
-    )
+    format order).
+
+    concat_ws over trim-nullified parts, not array filter/transform
+    HOFs: lambda higher-order functions are CodegenFallback expressions
+    (interpreted per evaluation), while this form stays inside
+    whole-stage codegen (SCALE.md §12). concat_ws skips NULLs, so
+    nullifying empty-after-trim parts first gives identical semantics;
+    an all-empty row yields '' which the outer when maps back to NULL."""
+    cleaned = [F.when(F.trim(p) != "", F.trim(p)) for p in parts]
+    joined = F.concat_ws(", ", *cleaned)
+    return F.when(joined != "", joined)
 
 
 def extract_po_box(col: Column) -> Column:
