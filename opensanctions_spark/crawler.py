@@ -101,10 +101,21 @@ class Entity:
         lang: str | None = None,
         origin: str | None = None,
         original_value: str | None = None,
+        quiet: bool = False,
     ) -> "Entity":
+        # ``quiet`` mirrors the reference's suppress-invalid-prop flag
+        # (zavod/zavod/entity.py); this layer has no per-schema property
+        # registry, so it is accepted for signature parity and ignored.
         for v in _ensure_list(values):
             if v is None:
                 continue
+            # entity-valued props (``sanction.add("entity", entity)``)
+            # resolve to the entity's id, like the reference's
+            # Entity.add with an Entity argument
+            if isinstance(v, Entity):
+                if v.id is None:
+                    continue
+                v = v.id
             text = str(v).strip()
             if not text:
                 continue
@@ -117,6 +128,9 @@ class Entity:
 
     def get(self, prop: str) -> list[str]:
         return [s[1] for s in self._stmts if s[0] == prop]
+
+    def has(self, prop: str) -> bool:
+        return any(s[0] == prop for s in self._stmts)
 
     def first(self, prop: str) -> str | None:
         vals = self.get(prop)
@@ -294,6 +308,13 @@ class CrawlerContext:
     @property
     def n_emitted(self) -> int:
         return self._n_emitted
+
+    @property
+    def lang(self) -> str | None:
+        """Dataset default language (``context.lang`` in the reference —
+        dataset YAML ``lang:``, surfaced here from config metadata)."""
+        meta = getattr(self.dataset, "metadata", None) or {}
+        return meta.get("lang") or getattr(self.dataset, "lang", None)
 
 
 @dataclass
