@@ -1355,3 +1355,355 @@ def remove_namespace(el: Any) -> Any:
                 if key.startswith("{"):
                     attrib[key.split("}", 1)[1]] = attrib.pop(key)
     return el
+
+
+# --------------------------------------------------------------------------
+# html (zavod/zavod/helpers/html.py) — over the stdlib DOM
+# (``opensanctions_spark.dom``; the reference hands crawlers lxml trees)
+
+_BR_RE = re.compile(r"</?(?:br|p)\s*/?>", re.IGNORECASE)
+
+
+def parse_html(text: str):
+    """Driver-side HTML → ElementTree (the compat ``fetch_html`` tree);
+    see ``opensanctions_spark.dom``."""
+    from opensanctions_spark.dom import parse_html as _parse
+
+    return _parse(text)
+
+
+def element_text(el: Any | None, squash: bool = True) -> str:
+    """Text content of an element, '' when empty (html.py:18-40)."""
+    if el is None:
+        return ""
+    if hasattr(el, "text_content"):  # lxml-shaped trees
+        text = str(el.text_content())
+    else:
+        text = "".join(el.itertext())
+    return _squash(text) if squash else text
+
+
+def element_text_hash(el: Any) -> str:
+    """sha1 of the squashed text content; empty elements hash to
+    sha1('') (html.py:43-55)."""
+    return hashlib.sha1(element_text(el).encode("utf-8")).hexdigest()
+
+
+def parse_html_table(
+    table: Any,
+    header_tag: str = "th",
+    skiprows: int = 0,
+    ignore_colspan: set[str] | None = None,
+    slugify_headers: bool = True,
+    index_empty_headers: bool = False,
+) -> Iterable[dict[str, Any]]:
+    """HTML table → dict rows keyed by slugified headers
+    (html.py:58-128): duplicate headers raise, cell-count mismatches
+    raise unless the row's colspans are in ``ignore_colspan``. Rows of
+    tables nested inside a cell are excluded via a parent walk."""
+    parent_of = {child: parent for parent in table.iter() for child in parent}
+
+    def nearest_table(el: Any) -> Any:
+        node = parent_of.get(el)
+        while node is not None:
+            if node.tag == "table":
+                return node
+            node = parent_of.get(node)
+        return None
+
+    headers: list[str] | None = None
+    rows = [r for r in table.iter("tr") if nearest_table(r) in (table, None)]
+    for rownum, row in enumerate(rows):
+        if rownum < skiprows:
+            continue
+        if headers is None:
+            headers = []
+            for colnum, el in enumerate(row.findall(f"./{header_tag}")):
+                header_text = element_text(el)
+                if slugify_headers:
+                    header_text = (_slugify(header_text) or "").replace("-", "_")
+                if index_empty_headers and not header_text:
+                    header_text = f"column_{colnum}"
+                headers.append(header_text)
+            duplicates = {hdr for hdr in headers if headers.count(hdr) > 1}
+            assert not duplicates, f"Duplicate headers: {sorted(duplicates)}"
+            continue
+        cells = row.findall("./td")
+        if len(headers) != len(cells):
+            colspans = {c.get("colspan") for c in cells}
+            if ignore_colspan and colspans == set(ignore_colspan):
+                continue
+            str_cells = [element_text(c) for c in cells]
+            raise AssertionError(
+                f"Expected {len(headers)} cells, found {len(cells)} "
+                f"on row {rownum} {str_cells}"
+            )
+        yield dict(zip(headers, cells))
+
+
+def cells_to_str(row: dict[str, Any]) -> dict[str, str | None]:
+    """Element cells → their text (empty → None, html.py:131-141)."""
+    return {k: element_text(v) or None for k, v in row.items()}
+
+
+def links_to_dict(el: Any) -> dict[str | None, str | None]:
+    """{slug(anchor text): href} for each <a> (html.py:144-153)."""
+    return {
+        (_slugify(element_text(a)) or "").replace("-", "_") or None: a.get("href")
+        for a in el.iter("a")
+    }
+
+
+def split_html_newline_tags(string: str) -> list[str]:
+    """Split on <br>/<p> tags, dropping empties (html.py:234-240)."""
+    return [s for s in _BR_RE.split(string) if s.strip()]
+
+
+def xpath_elements(
+    el: Any, path: str, *, expect_exactly: int | None = None
+) -> list[Any]:
+    """ElementPath query returning elements (the reference's lxml XPath
+    narrowed to the stdlib ``findall`` subset — html.py:156-185)."""
+    result = el.findall(path)
+    if expect_exactly is not None and len(result) != expect_exactly:
+        raise ValueError(
+            f"Expected {expect_exactly} elements, got {len(result)} "
+            f"for path {path!r}"
+        )
+    return result
+
+
+def xpath_element(el: Any, path: str) -> Any:
+    """Exactly-one element match (html.py:188-196)."""
+    return xpath_elements(el, path, expect_exactly=1)[0]
+
+
+def xpath_strings(
+    el: Any, path: str, *, expect_exactly: int | None = None
+) -> list[str]:
+    """Text-returning query: a trailing ``/@attr`` yields attribute
+    values, ``/text()`` yields element text (html.py:199-220 narrowed to
+    the same subset)."""
+    if path.endswith("/text()"):
+        results = [
+            element_text(e, squash=False)
+            for e in el.findall(path[: -len("/text()")] or ".")
+        ]
+    else:
+        prefix, _, last = path.rpartition("/")
+        if last.startswith("@"):
+            attr = last[1:]
+            found = el.findall(prefix or ".")
+            results = [e.get(attr) for e in found if e.get(attr) is not None]
+        else:
+            raise ValueError(
+                f"string path must end in /@attr or /text(): {path!r}"
+            )
+    if expect_exactly is not None and len(results) != expect_exactly:
+        raise ValueError(
+            f"Expected {expect_exactly} strings, got {len(results)} "
+            f"for path {path!r}"
+        )
+    return results
+
+
+def xpath_string(el: Any, path: str) -> str:
+    """Exactly-one string match (html.py:223-231)."""
+    return xpath_strings(el, path, expect_exactly=1)[0]
+
+
+# --------------------------------------------------------------------------
+# change detection (zavod/zavod/helpers/change.py) — crawler guards that
+# warn (or raise) when a source document drifts from a pinned hash
+
+
+def assert_file_hash(path: Any, hash: str, raise_exc: bool = False) -> bool:
+    """sha1-pin a local file (change.py:44-66)."""
+    digest = hashlib.sha1()
+    with open(path, "rb") as fh:
+        digest.update(fh.read())
+    actual = digest.hexdigest()
+    if actual != hash:
+        if raise_exc:
+            raise AssertionError(f"Expected hash {hash}, got {actual} for {path}")
+        return False
+    return True
+
+
+def _dom_hash(node: Any | None, text_only: bool = False) -> str | None:
+    """change.py:69-92: canonical-ish serialisation → lowercase, squash,
+    strip spaces, sha1."""
+    import xml.etree.ElementTree as ET
+
+    if node is None:
+        return None
+    if text_only:
+        serialised = "".join(node.itertext())
+    else:
+        serialised = ET.tostring(node, encoding="unicode")
+    text = _squash(serialised.lower())
+    if not text:
+        return None
+    return hashlib.sha1(text.replace(" ", "").encode("utf-8")).hexdigest()
+
+
+def assert_dom_hash(
+    node: Any | None, hash: str, raise_exc: bool = False,
+    text_only: bool = False,
+) -> bool:
+    """sha1-pin a DOM node (change.py:95-115)."""
+    actual = _dom_hash(node, text_only=text_only)
+    if actual != hash:
+        if raise_exc:
+            raise AssertionError(f"Expected hash {hash}, got {actual} for {node!r}")
+        return False
+    return True
+
+
+def assert_url_hash(
+    context: CrawlerContext, url: str, hash: str, raise_exc: bool = False
+) -> bool:
+    """sha1-pin the document at a URL (change.py:14-41); fetched with
+    urllib so ``file://`` fixtures work offline."""
+    from urllib.request import urlopen
+
+    digest = hashlib.sha1()
+    with urlopen(url) as res:  # noqa: S310 - crawler-declared source URL
+        while True:
+            chunk = res.read(8192 * 10)
+            if not chunk:
+                break
+            digest.update(chunk)
+    actual = digest.hexdigest()
+    if actual != hash:
+        if raise_exc:
+            raise AssertionError(f"Expected hash {hash}, got {actual} for {url}")
+        context.log.warning(
+            f"URL hash changed: {url}", expected=hash, actual=actual, url=url
+        )
+        return False
+    return True
+
+
+def assert_html_url_hash(
+    context: CrawlerContext, url: str, hash: str, path: str | None = None,
+    raise_exc: bool = False, text_only: bool = False,
+) -> bool:
+    """sha1-pin (part of) an HTML document at a URL (change.py:118-129)."""
+    from urllib.request import urlopen
+
+    with urlopen(url) as res:  # noqa: S310
+        doc = parse_html(res.read().decode("utf-8", "replace"))
+    node = doc.find(path) if path is not None else doc
+    ok = assert_dom_hash(node, hash, raise_exc=raise_exc, text_only=text_only)
+    if not ok:
+        context.log.warning(f"DOM hash changed: {url}", url=url)
+    return ok
+
+
+# --------------------------------------------------------------------------
+# excel / pdf (zavod/zavod/helpers/{excel,pdf}.py) — bridges onto the
+# engine's stdlib readers (sources/xls.py, sources/pdf.py)
+
+_EXCEL_EPOCH = datetime(1899, 12, 30)
+
+
+def convert_excel_date(value: Any) -> str | None:
+    """Excel serial number → ISO date(time) string (excel.py
+    ``convert_excel_date``; the 1899-12-30 epoch with the Lotus leap-year
+    bug folded in)."""
+    if value is None:
+        return None
+    try:
+        serial = float(str(value).strip())
+    except ValueError:
+        return None
+    if serial <= 0 or serial > 200_000:
+        return None
+    dt = _EXCEL_EPOCH + timedelta(days=serial)
+    if dt.hour == 0 and dt.minute == 0 and dt.second == 0:
+        return dt.date().isoformat()
+    return dt.replace(microsecond=0).isoformat()
+
+
+def convert_excel_cell(value: Any) -> str | None:
+    """Cell value → clean string (excel.py ``convert_excel_cell``):
+    floats that are whole numbers print bare, empties → None."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else str(value)
+    text = str(value).strip()
+    return text or None
+
+
+def parse_xlsx_sheet(
+    context: CrawlerContext, path: str, sheet: str | int = 0,
+    skiprows: int = 0, header_lookup: str | None = None,
+) -> Iterable[dict[str, str | None]]:
+    """xlsx sheet → dict rows keyed by slugified headers (excel.py
+    ``parse_xlsx_sheet``), read by the engine's stdlib xlsx reader.
+    ``header_lookup`` maps raw header text through a dataset lookup."""
+    from opensanctions_spark.sources import _xlsx_rows
+
+    rows = _xlsx_rows(path, sheet)[skiprows:]
+    if not rows:
+        return
+    headers = []
+    for raw in rows[0]:
+        text = (raw or "").strip()
+        if header_lookup:
+            res = context.lookup(header_lookup, text)
+            if res is not None and res.values:
+                text = res.values[0]
+        headers.append((_slugify(text) or "").replace("-", "_"))
+    for row in rows[1:]:
+        padded = list(row) + [None] * (len(headers) - len(row))
+        yield {
+            h: (str(v).strip() or None if v is not None else None)
+            for h, v in zip(headers, padded)
+        }
+
+
+def parse_xls_sheet(
+    context: CrawlerContext, path: str, sheet: int = 0, skiprows: int = 0
+) -> Iterable[dict[str, str | None]]:
+    """Legacy .xls sheet → dict rows (excel.py ``parse_xls_sheet``),
+    read by the engine's stdlib OLE2/BIFF reader."""
+    from opensanctions_spark.sources.xls import xls_rows
+
+    with open(path, "rb") as fh:
+        rows = xls_rows(fh.read(), sheet=sheet)[skiprows:]
+    if not rows:
+        return
+    headers = [(_slugify((h or "").strip()) or "").replace("-", "_") for h in rows[0]]
+    for row in rows[1:]:
+        padded = list(row) + [None] * (len(headers) - len(row))
+        yield {
+            h: (str(v).strip() or None if v is not None else None)
+            for h, v in zip(headers, padded)
+        }
+
+
+def parse_pdf_table(
+    context: CrawlerContext, path: str,
+    headers_per_page: bool = False, skiprows: int = 0,
+) -> Iterable[dict[str, str | None]]:
+    """PDF table → dict rows (pdf.py ``parse_pdf_table``), via the
+    engine's stdlib PDF text extractor."""
+    from opensanctions_spark.sources.pdf import parse_pdf_table as _parse
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    yield from _parse(data, headers_per_page=headers_per_page, skiprows=skiprows)
+
+
+def make_pdf_page_images(path: str) -> list[tuple[int, bytes, str]]:
+    """(page, image bytes, format) for each page of a scanned PDF
+    (pdf.py ``make_pdf_page_images``; rasterising text PDFs needs a
+    renderer this container does not ship — the scanned-page extraction
+    path is real, see ``sources/pdf.py`` ``pdf_page_images``)."""
+    from opensanctions_spark.sources.pdf import pdf_page_images
+
+    with open(path, "rb") as fh:
+        return pdf_page_images(fh.read())

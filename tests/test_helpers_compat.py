@@ -487,3 +487,156 @@ def test_make_article_and_documentation():
     assert doc.get("entity") == ["p-1"]
     assert doc.get("document") == [art.id]
     assert doc.get("date") == ["2021-05-01"]  # inherited from the article
+
+
+# --------------------------------------------------------------------------
+# html / change / excel / pdf bridges
+
+
+HTML_DOC = """
+<html><body>
+<h1>Title</h1>
+<table id="main">
+  <tr><th>Name</th><th>Country Code</th><th></th></tr>
+  <tr><td><a href="/p/1">Ada</a></td><td>de</td><td>x</td></tr>
+  <tr><td>Bob</td><td>us</td><td>y</td></tr>
+</table>
+<p>first<br>second</p>
+</body></html>
+"""
+
+
+def test_parse_html_and_element_text():
+    doc = h.parse_html(HTML_DOC)
+    assert doc.tag == "html"
+    h1 = doc.find(".//h1")
+    assert h.element_text(h1) == "Title"
+    assert h.element_text(None) == ""
+
+
+def test_parse_html_table_and_cells():
+    doc = h.parse_html(HTML_DOC)
+    table = doc.find(".//table")
+    rows = list(h.parse_html_table(table, index_empty_headers=True))
+    assert len(rows) == 2
+    assert sorted(rows[0]) == ["column_2", "country_code", "name"]
+    first = h.cells_to_str(rows[0])
+    assert first["name"] == "Ada"
+    assert first["country_code"] == "de"
+    links = h.links_to_dict(rows[0]["name"])
+    assert links == {"ada": "/p/1"}
+
+
+def test_parse_html_table_nested_tables_excluded():
+    doc = h.parse_html(
+        "<table><tr><th>a</th></tr>"
+        "<tr><td><table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    table = doc.find(".//table")
+    rows = list(h.parse_html_table(table))
+    assert len(rows) == 1  # the nested table's row is not a row of ours
+
+
+def test_xpath_helpers():
+    doc = h.parse_html(HTML_DOC)
+    table = h.xpath_element(doc, ".//table")
+    assert table.get("id") == "main"
+    assert len(h.xpath_elements(table, ".//td")) == 6
+    hrefs = h.xpath_strings(doc, ".//a/@href")
+    assert hrefs == ["/p/1"]
+    assert h.xpath_string(doc, ".//h1/text()") == "Title"
+    with pytest.raises(ValueError):
+        h.xpath_elements(doc, ".//h1", expect_exactly=2)
+
+
+def test_split_html_newline_tags():
+    assert h.split_html_newline_tags("first<br>second<p>third</p>") == [
+        "first", "second", "third"
+    ]
+
+
+def test_element_text_hash_empty_is_sha1_of_nothing():
+    doc = h.parse_html("<div></div>")
+    el = doc.find(".//div")
+    assert h.element_text_hash(el) == "da39a3ee5e6b4b0d3255bfef95601890afd80709"
+
+
+def test_change_asserts(tmp_path):
+    import hashlib as hl
+
+    p = tmp_path / "doc.txt"
+    p.write_bytes(b"stable content")
+    good = hl.sha1(b"stable content").hexdigest()
+    assert h.assert_file_hash(p, good)
+    assert not h.assert_file_hash(p, "0" * 40)
+    with pytest.raises(AssertionError):
+        h.assert_file_hash(p, "0" * 40, raise_exc=True)
+
+    ctx = _context()
+    url = p.as_uri()
+    assert h.assert_url_hash(ctx, url, good)
+    assert not h.assert_url_hash(ctx, url, "0" * 40)
+    assert ctx.issues
+
+    doc = h.parse_html("<div>Some <b>content</b></div>")
+    node = doc.find(".//div")
+    pinned = h._dom_hash(node)
+    assert h.assert_dom_hash(node, pinned)
+    assert not h.assert_dom_hash(node, "0" * 40)
+    # text-only hash survives markup-only changes
+    doc2 = h.parse_html("<div>Some <i>content</i></div>")
+    assert h._dom_hash(doc2.find(".//div"), text_only=True) == h._dom_hash(
+        node, text_only=True
+    )
+
+
+def test_html_url_hash(tmp_path):
+    p = tmp_path / "page.html"
+    p.write_text("<html><body><div id='x'>Pinned</div></body></html>")
+    ctx = _context()
+    doc = h.parse_html(p.read_text())
+    pinned = h._dom_hash(doc.find(".//div"))
+    assert h.assert_html_url_hash(ctx, p.as_uri(), pinned, path=".//div")
+    assert not h.assert_html_url_hash(ctx, p.as_uri(), "0" * 40, path=".//div")
+
+
+def test_convert_excel_date_and_cell():
+    # 2020-03-15 is serial 43905 from the 1899-12-30 epoch
+    assert h.convert_excel_date(43905) == "2020-03-15"
+    assert h.convert_excel_date("43905.5") == "2020-03-15T12:00:00"
+    assert h.convert_excel_date("not a number") is None
+    assert h.convert_excel_date(None) is None
+    assert h.convert_excel_cell(5.0) == "5"
+    assert h.convert_excel_cell(" x ") == "x"
+    assert h.convert_excel_cell("") is None
+
+
+def test_parse_xlsx_and_xls_sheets(tmp_path):
+    from opensanctions_spark.sources import write_xlsx
+    from opensanctions_spark.sources.xls import write_xls
+
+    xlsx = str(tmp_path / "t.xlsx")
+    # the fixture writer stringifies values, so empty = "" (not None)
+    write_xlsx(xlsx, ["Full Name", "Country"], [["Ada", "de"], ["Bob", ""]])
+    rows = list(h.parse_xlsx_sheet(_context(), xlsx))
+    assert rows == [
+        {"full_name": "Ada", "country": "de"},
+        {"full_name": "Bob", "country": None},
+    ]
+
+    xls = str(tmp_path / "t.xls")
+    write_xls(xls, ["Full Name", "Country"], [["Ada", "de"]])
+    rows = list(h.parse_xls_sheet(_context(), xls))
+    assert rows == [{"full_name": "Ada", "country": "de"}]
+
+
+def test_parse_pdf_table_bridge(tmp_path):
+    from opensanctions_spark.sources.pdf import write_pdf_table
+
+    pdf = str(tmp_path / "t.pdf")
+    write_pdf_table(pdf, ["Name", "Code"], [["Ada", "P1"], ["Bob", "P2"]])
+    rows = list(h.parse_pdf_table(_context(), pdf))
+    assert rows == [
+        {"name": "Ada", "code": "P1"},
+        {"name": "Bob", "code": "P2"},
+    ]
