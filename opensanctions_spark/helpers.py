@@ -938,8 +938,11 @@ def make_sanction(
     sanction.set("program", program_name)
 
     if program_key is not None:
-        program = (programs or {}).get(program_key)
-        if program is not None:
+        registry = programs or {}
+        # membership, not .get() — a registry entry whose value is None
+        # is a known program with no URL, not a miss
+        if program_key in registry:
+            program = registry[program_key]
             sanction.set(
                 "programId", program_key,
                 original_value=source_program_key, origin=ORIGIN_METADATA,

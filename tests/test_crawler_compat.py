@@ -167,3 +167,119 @@ def test_batched_flush_bounds_driver_memory(spark):
         context.emit(e)
     assert len(context._batches) >= 1      # flushed mid-crawl
     assert context.statements_df().count() == 17
+
+
+# --------------------------------------------------------------------------
+# a realistic HTML crawler through the FULL helper surface
+# (``opensanctions_spark.helpers``): parse_html_table → apply_name /
+# apply_date / make_address+apply_address / make_sanction /
+# make_identification → assembly. The shape mirrors a typical reference
+# sanctions-list crawler (fetch page, iterate table rows, build entities
+# with helpers, emit).
+
+SANCTIONS_HTML = """
+<html><body>
+<table>
+  <tr><th>Name</th><th>Born</th><th>Passport</th><th>Street</th>
+      <th>City</th><th>Country</th><th>Listed</th><th>Program</th></tr>
+  <tr><td>EXAMPLE, Ada</td><td>02.01.1970</td><td>P100</td>
+      <td>Hauptstr. 1</td><td>Berlin</td><td>Germany</td>
+      <td>2021-05-01</td><td>SRC-A</td></tr>
+  <tr><td>Bob Sample</td><td>1980</td><td></td>
+      <td></td><td></td><td>fr</td><td>2019</td><td>SRC-B</td></tr>
+</table>
+</body></html>
+"""
+
+
+def _helper_entry_point(context: CrawlerContext) -> None:
+    from opensanctions_spark import helpers as h
+
+    doc = h.parse_html(SANCTIONS_HTML)
+    table = h.xpath_element(doc, ".//table")
+    for cells in h.parse_html_table(table):
+        row = h.cells_to_str(cells)
+        entity = context.make("Person")
+        entity.id = context.make_slug(row["name"])
+        names = h.split_comma_names(context, row["name"])
+        if len(names) == 1 and "," in names[0]:
+            last, first = [p.strip() for p in names[0].split(",", 1)]
+            h.apply_name(entity, first_name=first, last_name=last)
+        else:
+            h.apply_name(entity, full=names[0])
+        h.apply_date(entity, "birthDate", row["born"],
+                     dataset=context.dataset)
+
+        addr = h.make_address(
+            context, street=row["street"], city=row["city"],
+            country=row["country"],
+        )
+        h.apply_address(context, entity, addr)
+
+        if row["passport"]:
+            ident = h.make_identification(
+                context, entity, row["passport"], passport=True,
+            )
+            context.emit(ident)
+
+        pkey = h.lookup_sanction_program_key(context, row["program"])
+        sanction = h.make_sanction(
+            context, entity, program_key=pkey,
+            start_date=row["listed"],
+            programs={"OS-A1": None},
+        )
+        context.emit(sanction)
+        context.emit(entity)
+        h.within_max_age(context, row["listed"]) or context.log.info(
+            "stale listing", name=row["name"]
+        )
+
+
+def test_helper_crawler_end_to_end(spark, tmp_path):
+    # remaining top-level keys land in DatasetConfig.metadata verbatim
+    config = DatasetConfig.from_dict({
+        "name": "helperds",
+        "publisher": {"name": "Helper Authority", "country": "de"},
+        "url": "https://list.example",
+        "dates": {"formats": ["%d.%m.%Y"]},
+        "lookups": {"sanction.program": {"options": [
+            {"match": ["SRC-A"], "value": "OS-A1"},
+        ]}},
+    })
+    stmts, context = crawl(spark, config, _helper_entry_point,
+                           work_dir=str(tmp_path))
+    rows = stmts.collect()
+    by_key = {(r["entity_id"], r["prop"]): r for r in rows}
+
+    # names: the comma-form split into parts, full name composed+inferred
+    ada = "helperds-example-ada"
+    assert by_key[(ada, "firstName")]["value"] == "Ada"
+    assert by_key[(ada, "lastName")]["value"] == "EXAMPLE"
+    assert by_key[(ada, "name")]["value"] == "Ada EXAMPLE"
+    assert by_key[(ada, "name")]["origin"] == "inferred"
+    # dates: dataset format parsed, original kept
+    assert by_key[(ada, "birthDate")]["value"] == "1970-01-02"
+    assert by_key[(ada, "birthDate")]["original_value"] == "02.01.1970"
+    # address: composed line, holder back-refs, shared id derivation
+    assert by_key[(ada, "address")]["value"] == "Hauptstr. 1, Berlin, Germany"
+    addr_id = by_key[(ada, "addressEntity")]["value"]
+    assert addr_id.startswith("addr-")
+    assert by_key[(addr_id, "full")]["origin"] == "inferred"
+    # passport + back-ref
+    assert by_key[(ada, "passportNumber")]["value"] == "P100"
+    # sanction: program resolved through the lookup, metadata stamped
+    sid = by_key[(ada, "programId")]["entity_id"]
+    sanction_rows = [r for r in rows if r["schema"] == "Sanction"]
+    assert any(r["prop"] == "authority" and r["value"] == "Helper Authority"
+               for r in sanction_rows)
+    assert any(r["prop"] == "programId" and r["value"] == "OS-A1"
+               for r in sanction_rows)
+    assert sid == ada  # subject back-ref carries the subject id
+    # unresolved program key (SRC-B) warned, not emitted
+    assert any("SRC-B" in str(i) for i in context.issues)
+
+    # downstream assembly still works on the helper-built frame
+    from opensanctions_spark.operators.assembly import assemble_entities
+
+    entities = assemble_entities(stmts)
+    assert entities.filter(F.col("schema") == "Passport").count() == 1
