@@ -90,11 +90,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: may age past three rounds), then the next-oldest checked queries
 #: (r1's remaining set, then early-r2 sinks/functions) fill the 50.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-5 additions (4) ---------------------------------------------
+    # -- round-5 additions (6) ---------------------------------------------
     "f18_make_sanction",
     "f19_make_occupancy",
     "f20_make_address",
     "s11_name_extraction",
+    "s13_compaction_plan",
+    "t6_key_skew_profile",
     # -- r1-only driver rows, stale for 3 rounds (12) ----------------------
     "a2_entity_counts",
     "a3_fill_rate",
@@ -127,7 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_curate_corpus",
     "pipeline_curate_increment",
     "q1_pricing_summary",
-    # -- early-r2 sinks/functions fill (16): 4+12+18+16 = 50 ---------------
+    # -- early-r2 sinks/functions fill (14): 6+12+18+14 = 50 ---------------
     "q3_shipping_priority",
     "q8_market_share",
     "k3_simple_csv",
@@ -142,10 +144,10 @@ DRIVER_PRIORITY: list[str] = [
     "f3_f14_f15_text_guards",
     "f5_name_cleaning",
     "f6_number_parse",
-    "f7_identifier_checksums",
-    "f10_address_compose",
     # --- the driver's 50-row budget ends here; the tail below is ordering
     # insurance in case the budget grows --------------------------------------
+    "f7_identifier_checksums",
+    "f10_address_compose",
     "f11_crypto_wallets",
     "f13_occupancy_status",
     "s1_csv_scan",

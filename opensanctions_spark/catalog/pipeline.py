@@ -972,3 +972,86 @@ def k2_statements_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = F.col("entity_id").substr(F.lit(3), F.lit(30)).cast("long") % 4 == 0
     stmts = _customer_statements(spark, sf_dir).withColumn("external", ext)
     return statements_csv(stmts)
+
+
+@register(
+    "s13_compaction_plan",
+    oracle="""
+WITH manifest AS (
+  SELECT p_brand AS dataset,
+         'pack-' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS path,
+         CAST((p_partkey * 7919) % 8388608 + 1024 AS BIGINT) AS size_bytes
+  FROM part
+)
+SELECT dataset, path, size_bytes,
+       CAST(FLOOR(
+         CAST(COALESCE(SUM(size_bytes) OVER (
+           PARTITION BY dataset ORDER BY path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS DOUBLE) / 67108864.0
+       ) AS BIGINT) AS bucket
+FROM manifest
+""",
+)
+def s13_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive compaction planner (``operators/compaction.py``): a
+    synthetic per-dataset file manifest (pseudo-sizes off p_partkey,
+    zero-padded paths so lexicographic order is write order) planned
+    into 64 MB next-fit buckets — one window over the manifest,
+    partitioned by dataset. The 100 TB story: the window input is one
+    row per FILE (manifest-proportional, never data-proportional) and
+    each dataset's manifest plans independently."""
+    from opensanctions_spark.operators.compaction import compaction_plan
+
+    part = load(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    manifest = part.select(
+        F.col("p_brand").alias("dataset"),
+        F.concat(
+            F.lit("pack-"), F.lpad(pk.cast("string"), 9, "0")
+        ).alias("path"),
+        ((pk * 7919) % 8388608 + 1024).cast("long").alias("size_bytes"),
+    )
+    return compaction_plan(
+        manifest, target_bytes=64 * 1024 * 1024, dataset_col="dataset"
+    )
+
+
+@register(
+    "t6_key_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS distinct_keys
+  FROM counts
+),
+ranked AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM counts
+)
+SELECT r.key, r.cnt,
+       CAST(FLOOR(CAST(r.cnt AS DOUBLE) * 1000000 / t.total_rows) AS BIGINT)
+         AS share_ppm,
+       CAST(FLOOR(CAST(r.cnt AS DOUBLE) * 1000 * t.distinct_keys
+                  / t.total_rows) AS BIGINT) AS skew_permille,
+       CAST(r.rk AS BIGINT) AS rk
+FROM ranked r CROSS JOIN totals t
+WHERE r.rk <= 20
+""",
+)
+def t6_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile (``operators/profiling.py``) of the
+    lineitem supplier key: exact top-20 counts with integer-ppm share
+    and permille skew ratio vs the mean key load — the measurement that
+    parameterizes every salting/skew-cap decision in the engine. The
+    top-k compiles to TakeOrderedAndProject over the reduced per-key
+    table (plan-gated), not a global window sort."""
+    from opensanctions_spark.operators.profiling import key_skew_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", top_k=20)
