@@ -269,6 +269,26 @@ def _cmd_enrich(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    """Rewrite the latest successful version into ~target-size files as
+    a new version (SCALE.md §13 small-file compaction)."""
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session("osp-compact")
+    archive = StatementArchive(spark, args.archive)
+    new_version = archive.compact(
+        args.dataset,
+        target_bytes=args.target_mb * 1024 * 1024,
+        version=args.version,
+    )
+    if new_version is None:
+        print(f"{args.dataset}: already compact — no rewrite")
+    else:
+        print(f"{args.dataset}: compacted into version {new_version}")
+    return 0
+
+
 def _cmd_gc(args: argparse.Namespace) -> int:
     """Prune version directories that fell out of the archive's retention
     window (the manifest bounds the id list; gc reclaims the files)."""
@@ -661,6 +681,16 @@ def main(argv: list[str] | None = None) -> int:
     en_p.add_argument("--top-k", type=int, default=10, dest="top_k")
     en_p.add_argument("--expand-depth", type=int, default=2, dest="expand_depth")
     en_p.set_defaults(fn=_cmd_enrich)
+
+    cp_p = sub.add_parser(
+        "compact", help="rewrite a version's small files into ~target-size packs"
+    )
+    cp_p.add_argument("--archive", required=True, help="archive base dir")
+    cp_p.add_argument("--dataset", required=True)
+    cp_p.add_argument("--target-mb", type=int, default=128)
+    cp_p.add_argument("--version", default=None,
+                      help="version id (default: latest successful)")
+    cp_p.set_defaults(fn=_cmd_compact)
 
     gc_p = sub.add_parser(
         "gc", help="delete version dirs outside the retention window"

@@ -313,6 +313,52 @@ class StatementArchive:
             df = df.filter(~F.col("external"))
         return df
 
+    # -- small-file compaction (SCALE.md §13) ------------------------------
+    def compact(
+        self,
+        dataset: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        version: str | None = None,
+    ) -> str | None:
+        """Rewrite a version's statements into ~target-size files as a
+        NEW successful version (the source version stays immutable and
+        ages out via the retention window + ``gc``).
+
+        The bucket count comes from the next-fit planner
+        (``operators/compaction.py``) over the version's file manifest;
+        the rewrite is one round-robin shuffle into that many
+        partitions, so every byte moves once and the output layout is a
+        plain version directory the normal read path serves. Returns
+        the new version id, or None when the version is already compact
+        (bucket count == file count — a rewrite would only churn).
+        Bucketed versions are already file-count-bounded by
+        ``n_buckets`` and are refused."""
+        version = version or self.last_successful(dataset)
+        if version is None:
+            raise FileNotFoundError(f"no successful versions for {dataset}")
+        if self.is_bucketed(dataset, version) or os.path.isdir(
+            self._bucketed_path(dataset, version)
+        ):
+            raise ValueError(
+                f"version {version} is bucketed — file count is already "
+                f"bounded by n_buckets; compaction applies to plain versions"
+            )
+        from opensanctions_spark.operators.compaction import plan_for_dir
+
+        plan = plan_for_dir(
+            self.spark, self.version_path(dataset, version), target_bytes
+        )
+        counts = plan.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.countDistinct("bucket").alias("buckets"),
+        ).collect()[0]
+        if counts["files"] <= counts["buckets"]:
+            return None
+        df = self.read(dataset, version=version, external=True)
+        return self.write(
+            df.repartition(int(counts["buckets"])), dataset, success=True
+        )
+
     def read_collection(self, datasets: list[str], external: bool = False) -> DataFrame:
         """Collection scope = union of all leaf datasets' latest statements
         (D2, ``zavod/zavod/archive/__init__.py:299-303``)."""

@@ -82,3 +82,30 @@ def test_skew_profile_topk_is_distributed_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, (
         "top-k must be a distributed partial top-k, not a global window sort"
     )
+
+
+def test_archive_compact_version(spark, tmp_path):
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    archive = StatementArchive(spark, str(tmp_path / "arch"),
+                               bucket_statements=False)
+    stmts = spark.range(500).select(
+        F.concat(F.lit("e-"), F.col("id")).alias("entity_id"),
+        F.lit("Person").alias("schema"),
+        F.lit("name").alias("prop"),
+        F.col("id").cast("string").alias("value"),
+    ).repartition(24)  # 24 small files
+    v1 = archive.write(stmts, "ds1")
+    new_version = archive.compact("ds1", target_bytes=64 * 1024)
+    assert new_version is not None and new_version != v1
+    out = archive.read("ds1")  # serves the newest successful version
+    assert out.count() == 500
+    import os
+
+    files = [
+        f for f in os.listdir(archive.version_path("ds1", new_version))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) < 24
+    # an already-compact version is a no-op, not a churn rewrite
+    assert archive.compact("ds1", target_bytes=64 * 1024 * 1024) is None
