@@ -9,21 +9,28 @@ in the data. The Spark-native scale shape implemented here:
 1. explode each interval to the fixed-width epoch windows it touches
    (``sequence(start div W, end div W)`` — fan-out ≈ 1 when W ≫ the
    typical interval length),
-2. bucket by (key, window) in ONE shuffle and expand candidate pairs
-   inside each bucket with JVM array functions — per-bucket population is
-   bounded by the per-key event rate per window, independent of corpus
-   size,
+2. self-join the windowed table on (key, window) equality — the
+   candidate set is per-bucket-quadratic exactly like an in-bucket array
+   expansion, with per-bucket population bounded by the per-key event
+   rate per window, independent of corpus size,
 3. emit each overlapping pair only in its OWNERSHIP window — the window
    containing the later start, which both intervals' window lists contain
    iff they overlap — so output is exactly-once with zero dedup shuffle.
 
-Expression placement is deliberate: higher-order-function lambdas run
-INTERPRETED (outside whole-stage codegen), so only the selective overlap
-test lives in the in-bucket filter lambda (pruning the quadratic
-expansion before the explode); the ownership-window arithmetic runs as a
-plain post-explode predicate inside codegen — moving it into the lambda
-measured 1.7× slower at sf1. All window membership tests are pure long
-arithmetic (w·W ≤ gs < (w+1)·W), never a float division.
+The (key, window) EQUI-join was A/B'd against a collect_list(struct)
+bucket aggregate with in-array HOF pair expansion (the round-3/4 shape)
+at sf1: 1.20 s vs 1.81 s. The aggregate form's cost was pinned (round-5
+re-measure) to array-serializing every row through the shuffle; the
+join form shuffles plain rows, stays fully inside whole-stage codegen
+(no HOF lambdas — they run interpreted), and is strictly better under
+skew: SMJ/SHJ STREAMS the per-bucket quadratic expansion while the
+array form MATERIALIZES each bucket as one row (a hot bucket is an OOM
+row there, a slow-but-bounded stream here), and AQE's skew-join
+splitting applies to join partitions but never to an aggregate's array
+row. At test scale AQE broadcasts the smaller mirror instead — both
+shapes are the planner's choice, never a per-key theta join. All window
+membership tests are pure long arithmetic (w·W ≤ gs < (w+1)·W), never a
+float division.
 """
 
 from __future__ import annotations
@@ -80,45 +87,36 @@ def interval_overlap_pairs(
     window_us: int,
 ) -> DataFrame:
     """All overlapping interval pairs within each key: (key, left_id,
-    right_id) with left_id < right_id, each pair exactly once."""
-    buckets = interval_buckets(
-        interval_windows(df, key_col, id_col, start_col, end_col, window_us)
+    right_id) with left_id < right_id, each pair exactly once.
+
+    (key, w) equi-self-join over the windowed table; both sides are the
+    same subplan, so the shuffle is built once and reused. Strict id
+    inequality keeps duplicate caller-supplied ids from emitting a
+    left == right self-pair; the ownership-window predicate (the window
+    containing the later start) makes the output exactly-once with no
+    dedup shuffle."""
+    win = interval_windows(df, key_col, id_col, start_col, end_col, window_us)
+    left = win.select(
+        "key", "w", F.col("id").alias("left_id"),
+        F.col("start_us").alias("l_start"), F.col("end_us").alias("l_end"),
     )
-    pair = F.explode_outer(
-        F.flatten(
-            F.transform(
-                F.col("members"),
-                lambda x, i: F.transform(
-                    F.filter(
-                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                        # strict id inequality: duplicate ids within a key
-                        # (caller-supplied id column) sort adjacent and
-                        # would otherwise emit a left_id == right_id
-                        # self-pair, breaking the left < right contract
-                        lambda y: (x["id"] < y["id"])
-                        & (x["start_us"] <= y["end_us"])
-                        & (y["start_us"] <= x["end_us"]),
-                    ),
-                    lambda y: F.struct(
-                        x["id"].alias("left_id"),
-                        y["id"].alias("right_id"),
-                        F.greatest(x["start_us"], y["start_us"]).alias("gs"),
-                    ),
-                ),
-            )
-        )
+    right = win.select(
+        "key", "w", F.col("id").alias("right_id"),
+        F.col("start_us").alias("r_start"), F.col("end_us").alias("r_end"),
     )
-    # explode_outer + null filter: plain explode of a computed array
-    # triggers InferFiltersFromGenerate expression duplication (see
-    # operators/blocking.tokenize)
+    gs = F.greatest("l_start", "r_start")
     return (
-        buckets.select("key", "w", pair.alias("p"))
-        .filter(F.col("p").isNotNull())
+        left.join(right, ["key", "w"])
         .filter(
-            (F.col("p.gs") >= F.col("w") * F.lit(window_us))
-            & (F.col("p.gs") < (F.col("w") + F.lit(1)) * F.lit(window_us))
+            (F.col("left_id") < F.col("right_id"))
+            & (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end"))
         )
-        .select("key", "p.left_id", "p.right_id")
+        .filter(
+            (gs >= F.col("w") * F.lit(window_us))
+            & (gs < (F.col("w") + F.lit(1)) * F.lit(window_us))
+        )
+        .select("key", "left_id", "right_id")
     )
 
 
