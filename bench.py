@@ -140,46 +140,61 @@ def main() -> None:
         con = None  # a half-initialized control must not run at all
         print(f"# duckdb control unavailable: {exc}", file=sys.stderr)
 
-    # Each query runs twice and reports the MIN (the standard steady-state
-    # estimator, cf. hyperfine): one-shot numbers on a shared machine carry
-    # ±30% scheduler/GC noise that would otherwise be recorded as the
-    # engine's time. The DuckDB control runs back-to-back with its Spark
-    # query (same load regime) under the same min-of-2 discipline.
+    # Each query runs three times INTERLEAVED with its DuckDB control
+    # (spark, duck, spark, duck, ...) and reports the MIN — the same
+    # protocol as the sf1 tables in BENCH_VS_DUCKDB.md. Interleaving puts
+    # both engines under the same instantaneous machine load; min-of-3 is
+    # the standard steady-state estimator (cf. hyperfine) — one-shot
+    # numbers on a shared VM carry ±30% scheduler/GC noise that would
+    # otherwise be recorded as the engine's time. The per-query rep spread
+    # ((max-min)/min) is recorded so a reader can tell a plan change from
+    # measurement wobble.
+    REPS = 3
     timings: dict[str, float] = {}
     duck: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best, n = None, 0
-        for _ in range(2):
+        sql = ORACLES.get(name)
+        stimes: list[float] = []
+        dtimes: list[float] = []
+        n = 0
+        duck_ok = con is not None and sql is not None
+        for _ in range(REPS):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # full materialization without driver-side transfer of big results
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        sql = ORACLES.get(name)
-        if con is not None and sql is not None:
-            dbest = None
-            try:
-                for _ in range(2):
+            stimes.append(time.time() - t0)
+            if duck_ok:
+                try:
                     t0 = time.time()
                     con.execute(sql).fetchall()
-                    dt = time.time() - t0
-                    dbest = dt if dbest is None or dt < dbest else dbest
-                duck[name] = round(dbest, 3)
-                ratios[name] = round(best / dbest, 2) if dbest > 0 else 0.0
-            except Exception as exc:
-                print(f"# duckdb control {name} failed: {exc}", file=sys.stderr)
+                    dtimes.append(time.time() - t0)
+                except Exception as exc:
+                    duck_ok = False
+                    print(f"# duckdb control {name} failed: {exc}",
+                          file=sys.stderr)
+        best = min(stimes)
+        timings[name] = round(best, 3)
+        spread[name] = round((max(stimes) - best) / best, 2) if best else 0.0
+        if dtimes:
+            dbest = min(dtimes)
+            duck[name] = round(dbest, 3)
+            ratios[name] = round(best / dbest, 2) if dbest > 0 else 0.0
         extra = (
             f" | duck {duck[name]}s ratio {ratios[name]}x"
             if name in ratios
             else ""
         )
-        print(f"# {name}: {n} rows in {timings[name]}s{extra}", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s"
+            f" (spread {spread[name]}){extra}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
@@ -189,6 +204,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": 3,
+        "rep_spread": spread,
     }
     if duck:
         # ratio over the INTERSECTION only: if a control failed for some

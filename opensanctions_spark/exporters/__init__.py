@@ -29,7 +29,11 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from opensanctions_spark.model.registry import ENTITY_PROPS, RISK_TOPICS
+from opensanctions_spark.model.registry import (
+    ENTITY_PROPS,
+    RISK_TOPICS,
+    common_schema_rank_column,
+)
 
 MATCHABLE_SCHEMATA = ["Person", "Company", "Organization", "LegalEntity", "Vessel", "PublicBody"]
 
@@ -191,6 +195,78 @@ def simple_csv(entities: DataFrame, adjacency: DataFrame | None = None) -> DataF
     )
     return flat.join(addr, "id", "left").withColumn(
         "addresses", F.coalesce(F.col("addresses"), F.lit(""))
+    )
+
+
+def simple_csv_fused(
+    statements: DataFrame, address_lookup: DataFrame | None = None
+) -> DataFrame:
+    """One-shuffle K3 (q14-style conditional projection): the flat
+    target projection computed directly over raw STATEMENTS, every output
+    column a conditional aggregate sharing ONE groupBy(canonical_id).
+
+    ``simple_csv(assemble_entities(stmts), adjacency)`` costs three
+    exchanges: the assembly shuffle (which materializes the full
+    ``map<prop, array>`` even though the sink reads three props), the
+    address-collection groupBy, and the flat×addresses join. Here the
+    sink's projection is pushed THROUGH the aggregation — a rewrite
+    Catalyst cannot do across ``collect_set``/``map_from_entries`` — so
+    the plan is a single hash aggregate whose shuffle carries only the
+    columns the CSV prints.
+
+    ``address_lookup`` (columns ``ref``, ``addr``) resolves
+    ``addressEntity`` references to display addresses. It is one row per
+    REFERENCED Address entity — geo data, bounded by places rather than
+    by facts — so it broadcasts onto the statements before the shuffle
+    (map-side, no exchange). For an UNBOUNDED address book keep the
+    general ``simple_csv`` composition instead; this fast path's contract
+    is the dimension-like case.
+
+    Semantics match ``simple_csv`` exactly (reference:
+    ``zavod/zavod/exporters/simplecsv.py:12-115``); equivalence is
+    asserted in ``tests/test_exporters.py`` and by the ``k3_simple_csv``
+    DuckDB oracle.
+    """
+    if address_lookup is not None:
+        statements = (
+            statements.withColumn(
+                "__ref",
+                F.when(F.col("prop") == "addressEntity", F.col("value")),
+            )
+            .join(
+                F.broadcast(
+                    address_lookup.select(
+                        F.col("ref").alias("__ref"), F.col("addr").alias("__addr")
+                    )
+                ),
+                "__ref",
+                "left",
+            )
+            .drop("__ref")
+        )
+    else:
+        statements = statements.withColumn("__addr", F.lit(None).cast("string"))
+    rank = common_schema_rank_column(F.col("schema"))
+
+    def _joined(prop: str) -> Column:
+        # collect_set skips NULLs, so the WHEN filters row-conditionally
+        return F.array_join(
+            F.array_sort(
+                F.collect_set(F.when(F.col("prop") == prop, F.col("value")))
+            ),
+            ";",
+        )
+
+    return statements.groupBy(F.col("canonical_id").alias("id")).agg(
+        F.max_by("schema", rank).alias("entity_schema"),
+        _joined("name").alias("name"),
+        _joined("country").alias("countries"),
+        F.max(
+            (F.col("prop") == "topics") & F.col("value").isin(list(RISK_TOPICS))
+        ).alias("target"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.array_join(F.array_sort(F.collect_set("__addr")), ";").alias("addresses"),
     )
 
 

@@ -25,6 +25,7 @@ individual modules cited per function.
 from __future__ import annotations
 
 import hashlib
+import json
 import re
 from dataclasses import dataclass, field
 from datetime import date, datetime, timedelta
@@ -109,8 +110,9 @@ class DatesSpec:
 @dataclass
 class NamesSpec:
     """``zavod/zavod/meta/names.py``: title affixes + regularity
-    heuristics subset (the reviewed-cleaning flags live with the S11/S12
-    DataFrame flow, not here)."""
+    heuristics, including the dataset-opt-in suggestion flags
+    (``meta/names.py:92-104``) that drive prop re-categorisation in
+    ``check_names_regularity``."""
 
     prefixes_strip: list[str] = field(default_factory=list)
     suffixes_strip: list[str] = field(default_factory=list)
@@ -120,6 +122,62 @@ class NamesSpec:
     single_token_min_length: int = 0
     require_space: bool = False
     reject_leading_digit: bool = False
+    #: single-token Person name (after honorific stripping) → weakAlias
+    suggest_weak_alias_person_single_token: bool = False
+    #: short all-uppercase single-token Organization name → abbreviation
+    suggest_abbreviation_uppercase_org_single_token_shorter_than: int | None = None
+    #: short all-uppercase single-token non-Person LegalEntity → abbreviation
+    suggest_abbreviation_non_person_single_token_shorter_than: int | None = None
+    #: per-schema cleaning rules (``meta/names.py:62-77`` defaults merged
+    #: with dataset overrides); the flat fields above apply ON TOP of the
+    #: resolved schema rule (dataset-level additions)
+    schema_rules: dict[str, dict] = field(
+        default_factory=lambda: {
+            k: dict(v) for k, v in _DEFAULT_SCHEMA_RULES.items()
+        }
+    )
+
+    def get_rule(self, schema: "Any") -> dict | None:
+        """The rule of the MOST SPECIFIC schema the entity is_a
+        (``meta/names.py:128-140``); None when no rule matches."""
+        matches = [
+            name for name in self.schema_rules
+            if getattr(schema, "is_a", lambda _o: False)(name)
+        ]
+        if not matches:
+            return None
+        matches.sort(key=lambda n: _SCHEMA_RANK.get(n, 0), reverse=True)
+        merged = dict(_DEFAULT_SCHEMA_RULES.get(matches[0], {}))
+        merged.update(self.schema_rules[matches[0]])
+        return merged
+
+
+#: reference ``meta/names.py:62-77``: the baseline per-schema cleaning
+#: rules every dataset starts from. min_length/single_token_min_length
+#: default 2 in the reference's CleaningSpec.
+_DEFAULT_SCHEMA_RULES: dict[str, dict] = {
+    "Person": {
+        "reject_chars": ";\\/()[]<>{}:",
+        "require_space": True,
+        "min_length": 2,
+        "single_token_min_length": 2,
+    },
+    "LegalEntity": {
+        "reject_chars": "/;",
+        "min_length": 2,
+        "single_token_min_length": 2,
+    },
+    "Vessel": {
+        "reject_chars": "/;",
+        "min_length": 2,
+        "single_token_min_length": 2,
+    },
+}
+
+#: specificity for most-specific-rule resolution: descendants outrank
+#: ancestors (Person/Vessel are leaves under LegalEntity/Thing)
+_SCHEMA_RANK = {"LegalEntity": 1, "Organization": 2, "Company": 3,
+                "PublicBody": 3, "Person": 2, "Vessel": 2}
 
 
 def _spec(dataset: Any, key: str, cls: type) -> Any:
@@ -662,6 +720,43 @@ def _is_nullword(text: str) -> bool:
     return text.strip().lower() in _NULLWORDS
 
 
+#: honorific prefixes for the single-token-Person heuristic (the public
+#: rigour ``remove_person_prefixes`` behaviour, re-expressed)
+_PERSON_PREFIX_RE = re.compile(
+    r"^(?:(?:mr|mrs|ms|miss|mx|dr|prof|sir|dame|lady|lord|hon|rev|fr|gen"
+    r"|col|maj|capt|lt|sgt)\.?\s+)+",
+    re.IGNORECASE,
+)
+
+
+def _remove_person_prefixes(text: str) -> str:
+    return _PERSON_PREFIX_RE.sub("", text).strip()
+
+
+def _check_suggesting_heuristics(
+    entity: Entity, string: str, spec: NamesSpec
+) -> "Regularity | None":
+    """Dataset-opt-in re-categorisation heuristics
+    (``zavod/zavod/helpers/names.py:361-401``): each returns an
+    irregular verdict WITH a suggested destination prop."""
+    if spec.suggest_weak_alias_person_single_token and entity.schema.is_a("Person"):
+        if _is_single_token(_remove_person_prefixes(string)):
+            return Regularity(is_irregular=True, suggested_prop="weakAlias")
+    threshold = spec.suggest_abbreviation_uppercase_org_single_token_shorter_than
+    if threshold is not None and entity.schema.is_a("Organization"):
+        if _is_single_token(string) and len(string) < threshold and string.isupper():
+            return Regularity(is_irregular=True, suggested_prop="abbreviation")
+    threshold = spec.suggest_abbreviation_non_person_single_token_shorter_than
+    if (
+        threshold is not None
+        and entity.schema.is_a("LegalEntity")
+        and not entity.schema.is_a("Person")
+    ):
+        if _is_single_token(string) and len(string) < threshold and string.isupper():
+            return Regularity(is_irregular=True, suggested_prop="abbreviation")
+    return None
+
+
 @dataclass
 class Regularity:
     """names.py:343-346."""
@@ -684,22 +779,39 @@ def check_name_regularity(entity: Entity, string: str | None) -> Regularity:
     spec = names_spec(getattr(entity, "dataset", None)) if hasattr(
         entity, "dataset"
     ) else NamesSpec()
-    for char in spec.reject_chars:
+    suggestion = _check_suggesting_heuristics(entity, string, spec)
+    if suggestion is not None:
+        return suggestion
+    # effective rule: the most specific matching per-schema rule
+    # (meta/names.py:62-77 defaults, dataset-mergeable) with the flat
+    # dataset-level fields applied additively on top
+    rule = spec.get_rule(entity.schema) or {}
+    reject_chars = set(rule.get("reject_chars", "")) | set(spec.reject_chars)
+    reject_strings = list(rule.get("reject_strings", [])) + list(spec.reject_strings)
+    min_length = max(int(rule.get("min_length", 0)), spec.min_length)
+    single_min = max(
+        int(rule.get("single_token_min_length", 0)), spec.single_token_min_length
+    )
+    require_space = bool(rule.get("require_space", False)) or spec.require_space
+    reject_digit = (
+        bool(rule.get("reject_leading_digit", False)) or spec.reject_leading_digit
+    )
+    for char in reject_chars:
         if char in string:
             return Regularity(is_irregular=True)
     lowered = string.lower()
-    for phrase in spec.reject_strings:
+    for phrase in reject_strings:
         if phrase.lower() in lowered:
             return Regularity(is_irregular=True)
-    if _is_nullword(string):
+    if not rule.get("allow_nullwords", False) and _is_nullword(string):
         return Regularity(is_irregular=True)
-    if not _is_dense_script(string) and len(string) < spec.min_length:
+    if not _is_dense_script(string) and len(string) < min_length:
         return Regularity(is_irregular=True)
-    if _is_single_token(string) and len(string) < spec.single_token_min_length:
+    if _is_single_token(string) and len(string) < single_min:
         return Regularity(is_irregular=True)
-    if spec.require_space and _is_single_token(string):
+    if require_space and _is_single_token(string):
         return Regularity(is_irregular=True)
-    if spec.reject_leading_digit and string[0].isdigit():
+    if reject_digit and string[0].isdigit():
         return Regularity(is_irregular=True)
     if _contains_split_phrase(string):
         return Regularity(is_irregular=True)
@@ -709,6 +821,485 @@ def check_name_regularity(entity: Entity, string: str | None) -> Regularity:
 def is_name_irregular(entity: Entity, string: str | None) -> bool:
     """names.py:464-466."""
     return check_name_regularity(entity, string).is_irregular
+
+
+# --------------------------------------------------------------------------
+# reviewed names (zavod/zavod/helpers/names.py:469-830 +
+# zavod/zavod/extract/names/clean.py:19-200 + zavod/zavod/stateful/review.py)
+#
+# The reference posts irregular name strings to an analyst review table
+# (SQL) and only applies cleaned categorisations once accepted. Compat
+# rendering: the review store lives on the CrawlerContext and bridges to
+# the engine's S12 review DataFrame (sources/review.py REVIEW_SCHEMA) in
+# both directions, so decisions recorded DataFrame-side drive the same
+# apply_reviewed_names emit path crawlers call.
+
+
+@dataclass(frozen=True)
+class LangText:
+    """clean.py:19-25: a name string with an optional ISO 639-2 lang."""
+
+    text: str
+    lang: str | None = None
+
+
+#: the Names model's prop fields (clean.py:52-56)
+NAME_FIELDS = ("name", "alias", "weakAlias", "previousName", "abbreviation")
+
+
+def _to_lang_text(value: "str | LangText") -> LangText:
+    return LangText(text=value) if isinstance(value, str) else value
+
+
+class Names:
+    """Names of a single entity (clean.py:33-179): both the source's
+    original categorisation and a proposed/reviewed cleaned version.
+    Values keep the reference's loose typing — None, a plain string, or
+    a list of strings/LangTexts; empty strings are skipped on read."""
+
+    def __init__(self, **kwargs: Any) -> None:
+        for key in NAME_FIELDS:
+            setattr(self, key, kwargs.pop(key, None))
+        # tolerate unknown keys like the reference model (extra="ignore")
+        kwargs.clear()
+
+    def as_langtexts(self):
+        """Yield (prop, [LangText, ...]) for every non-empty prop
+        (clean.py:91-110); plain strings wrap with lang=None."""
+        for key in NAME_FIELDS:
+            value = getattr(self, key)
+            if value is None:
+                continue
+            if isinstance(value, (str, LangText)):
+                lt = _to_lang_text(value)
+                if lt.text.strip():
+                    yield key, [lt]
+            elif isinstance(value, (list, tuple)):
+                vals = [
+                    _to_lang_text(v)
+                    for v in value
+                    if _to_lang_text(v).text.strip()
+                ]
+                if vals:
+                    yield key, vals
+
+    def is_empty(self) -> bool:
+        for _prop, _names in self.as_langtexts():
+            return False
+        return True
+
+    def add(self, prop: str, value: str | None, *, lang: str | None = None) -> None:
+        """clean.py:112-138: append a value to a prop."""
+        if value is None:
+            return
+        item: str | LangText = (
+            LangText(text=value, lang=lang) if lang is not None else value
+        )
+        current = getattr(self, prop)
+        if current is None:
+            setattr(self, prop, item)
+        elif isinstance(current, list):
+            current.append(item)
+        else:
+            setattr(self, prop, [current, item])
+
+    def simplified(self) -> "Names":
+        """clean.py:139-166: unwrap single-item lists and lang-less
+        LangTexts to plain strings (the human-editable review shape)."""
+        data: dict[str, Any] = {}
+        for key in NAME_FIELDS:
+            value = getattr(self, key)
+            if isinstance(value, (str, LangText)):
+                value = [value]
+            if isinstance(value, (list, tuple)):
+                simp = [
+                    v.text if isinstance(v, LangText) and v.lang is None else v
+                    for v in value
+                ]
+                if len(simp) == 1 and isinstance(simp[0], str):
+                    data[key] = simp[0]
+                else:
+                    data[key] = list(simp)
+            else:
+                data[key] = value
+        return Names(**data)
+
+    def __eq__(self, other: object) -> bool:
+        """clean.py:168-179: order- and repetition-insensitive within a
+        prop; str ≡ LangText(lang=None)."""
+        assert isinstance(other, Names), type(other)
+        mine = {p: frozenset(v) for p, v in self.as_langtexts()}
+        theirs = {p: frozenset(v) for p, v in other.as_langtexts()}
+        return mine == theirs
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        parts = [f"{p}={vals!r}" for p, vals in self.as_langtexts()]
+        return f"Names({', '.join(parts)})"
+
+    def to_payload(self) -> dict[str, Any]:
+        """JSON-able dump for review-store persistence."""
+        out: dict[str, Any] = {}
+        for prop, vals in self.as_langtexts():
+            out[prop] = [
+                v.text if v.lang is None else {"text": v.text, "lang": v.lang}
+                for v in vals
+            ]
+        return out
+
+    @classmethod
+    def from_payload(cls, data: dict[str, Any]) -> "Names":
+        kwargs: dict[str, Any] = {}
+        for prop in NAME_FIELDS:
+            vals = data.get(prop)
+            if vals is None:
+                continue
+            if isinstance(vals, (str, dict)):
+                vals = [vals]
+            kwargs[prop] = [
+                LangText(text=v["text"], lang=v.get("lang"))
+                if isinstance(v, dict)
+                else v
+                for v in vals
+            ]
+        return cls(**kwargs)
+
+
+def check_names_regularity(
+    entity: Entity, names: Names
+) -> tuple[bool, Names]:
+    """Whether ANY name string in ``names`` is irregular, plus a copy
+    with heuristic-suggested re-categorisations applied
+    (names.py:469-491 — e.g. a single-token Person name moved from
+    "name" to "weakAlias")."""
+    is_irregular = False
+    moved: dict[str, list[LangText]] = {}
+    for key, values in names.as_langtexts():
+        for value in values:
+            regularity = check_name_regularity(entity, value.text)
+            if regularity.is_irregular:
+                is_irregular = True
+            dest = regularity.suggested_prop or key
+            moved.setdefault(dest, []).append(value)
+    return is_irregular, Names(**moved)
+
+
+def derive_original_values(original: Names, extracted: Names) -> dict[str, str]:
+    """Best-effort original_value per extracted name (names.py:494-529):
+    exact match → none needed; single original → use it; containing
+    original → use that."""
+    original_values: list[str] = []
+    for _prop, values in original.as_langtexts():
+        original_values.extend(v.text for v in values)
+    original_values.sort()  # deterministic regardless of input order
+    derived: dict[str, str] = {}
+    for _prop, extracted_values in extracted.as_langtexts():
+        for ev in extracted_values:
+            text = ev.text
+            if text in original_values:
+                continue
+            if len(original_values) == 1:
+                derived[text] = original_values[0]
+                continue
+            for ov in original_values:
+                if text in ov:
+                    derived[text] = ov
+                    break
+    return derived
+
+
+def apply_names(
+    entity: Entity,
+    *,
+    original: Names,
+    names: Names,
+    lang: str | None = None,
+    origin: str | None = None,
+) -> None:
+    """Apply ``names`` to the entity in their indicated props
+    (names.py:532-561), deriving original_value from ``original``."""
+    derived = derive_original_values(original, names)
+    for prop, values in names.as_langtexts():
+        for value in values:
+            entity.add(
+                prop,
+                value.text,
+                lang=value.lang or lang,
+                origin=origin,
+                original_value=derived.get(value.text),
+            )
+
+
+def review_key_parts(entity: Entity, original: Names) -> list[str]:
+    """Stable review key parts (names.py:564-575): schema + sorted
+    populated props + sorted (lang, text) values."""
+    key_parts = [entity.schema.name]
+    for prop, values in sorted(original.as_langtexts(), key=lambda x: x[0]):
+        key_parts.append(prop)
+        for value in sorted(values, key=lambda n: (n.lang or "", n.text)):
+            if value.lang is not None:
+                key_parts.append(value.lang)
+            key_parts.append(value.text)
+    return key_parts
+
+
+def review_key(parts: str | list[str]) -> str:
+    """40-char SHA1 review key (stateful/review.py:338-351);
+    capitalization-preserving by design."""
+    if isinstance(parts, str):
+        parts = [parts]
+    digest = hashlib.sha1()
+    for part in parts:
+        digest.update(part.strip().encode("utf-8"))
+    return digest.hexdigest()
+
+
+@dataclass
+class Review:
+    """One review row (stateful/review.py:44-190 subset): the extracted
+    payload an analyst accepts/edits, keyed by the source value."""
+
+    key: str
+    accepted: bool
+    extracted_data: Names
+    origin: str = "analyst"
+    source_value: str = ""
+    source_label: str = "names"
+
+    def save(self, context: CrawlerContext, new_revision: bool = False) -> None:
+        _review_store(context)[self.key] = self
+
+
+def _review_store(context: CrawlerContext) -> dict[str, Review]:
+    store = getattr(context, "_reviews", None)
+    if store is None:
+        store = {}
+        context._reviews = store
+    return store
+
+
+def get_review(context: CrawlerContext, key: str) -> Review | None:
+    """Fetch a review by key (``Review.by_key`` analogue)."""
+    return _review_store(context).get(key)
+
+
+def reviews_to_rows(context: CrawlerContext) -> list[tuple[str, str, str, str]]:
+    """Bridge OUT to the S12 review table
+    (``sources/review.py`` REVIEW_SCHEMA: extraction_id, status,
+    reviewed_value, reviewer): one row per stored review, the payload as
+    JSON in reviewed_value."""
+    return [
+        (
+            r.key,
+            "accepted" if r.accepted else "unreviewed",
+            json.dumps(r.extracted_data.to_payload(), sort_keys=True),
+            r.origin,
+        )
+        for r in _review_store(context).values()
+    ]
+
+
+def load_review_rows(context: CrawlerContext, rows: Iterable[Any]) -> None:
+    """Bridge IN from the S12 review table: accepted rows overwrite the
+    stored review's decision and (when the reviewer edited the payload)
+    its extracted names. Rows shaped like REVIEW_SCHEMA — tuples or Rows
+    with extraction_id/status/reviewed_value/reviewer fields."""
+    store = _review_store(context)
+    for row in rows:
+        get = row.__getitem__ if not hasattr(row, "extraction_id") else (
+            lambda k, row=row: getattr(row, k)
+        )
+        if hasattr(row, "extraction_id"):
+            key, status = row.extraction_id, row.status
+            value, reviewer = row.reviewed_value, row.reviewer
+        else:
+            key, status, value, reviewer = row[0], row[1], row[2], row[3]
+        review = store.get(key)
+        extracted = (
+            Names.from_payload(json.loads(value)) if value else
+            (review.extracted_data if review is not None else Names())
+        )
+        store[key] = Review(
+            key=key,
+            accepted=status == "accepted",
+            extracted_data=extracted,
+            origin=reviewer or (review.origin if review else "analyst"),
+            source_value=review.source_value if review else "",
+        )
+
+
+#: pluggable LLM name-cleaning seam — the compat analogue of
+#: ``zavod.extract.names.clean.clean_names`` (an S11 extractor). A real
+#: deployment registers a callable (context, entity_schema, Names) ->
+#: Names; None means "LLM not configured" and the reference's fallback
+#: warning path applies.
+_NAME_CLEANER: Any = None
+_NAME_CLEANER_VERSION = "llm"
+
+
+def register_name_cleaner(fn: Any, version: str = "llm") -> None:
+    global _NAME_CLEANER, _NAME_CLEANER_VERSION
+    _NAME_CLEANER = fn
+    _NAME_CLEANER_VERSION = version
+
+
+def _original_has_lang(original: Names) -> bool:
+    return any(
+        v.lang is not None for _p, vals in original.as_langtexts() for v in vals
+    )
+
+
+def _review_names(
+    context: CrawlerContext,
+    entity: Entity,
+    original: Names,
+    suggested: Names | None = None,
+    llm_cleaning: bool = False,
+    default_accepted: bool = False,
+) -> Review:
+    """Post names for review, optionally after LLM cleaning
+    (names.py:578-641). An existing review for the same key wins — the
+    key deliberately excludes ``suggested`` so heuristic/LLM changes
+    don't invalidate analyst decisions."""
+    if llm_cleaning:
+        if _NAME_CLEANER is None:
+            context.log.warning(
+                "LLM cleaning enabled but no name cleaner registered, "
+                "falling back to non-LLM review."
+            )
+            origin = "analyst"
+        else:
+            suggested = _NAME_CLEANER(context, entity.schema.name, original)
+            origin = _NAME_CLEANER_VERSION
+    else:
+        origin = "analyst"
+
+    key = review_key(review_key_parts(entity, original))
+
+    # human-readable source payload: populated props only, values sorted
+    populated: dict[str, list[Any]] = {}
+    for prop, vals in original.as_langtexts():
+        items: list[Any] = []
+        for v in sorted(vals, key=lambda v: (v.lang or "", v.text)):
+            items.append(v.text if v.lang is None else {"text": v.text, "lang": v.lang})
+        populated[prop] = items
+    source_value = json.dumps(
+        {"entity_schema": entity.schema.name, "original": populated}, indent=2
+    )
+
+    existing = get_review(context, key)
+    if existing is not None:
+        return existing
+    review = Review(
+        key=key,
+        accepted=default_accepted,
+        extracted_data=(suggested or original).simplified(),
+        origin=origin,
+        source_value=source_value,
+    )
+    review.save(context)
+    return review
+
+
+def review_names(
+    context: CrawlerContext,
+    entity: Entity,
+    *,
+    original: Names,
+    suggested: Names | None = None,
+    is_irregular: bool = False,
+    llm_cleaning: bool = False,
+    default_accepted: bool = False,
+) -> Review | None:
+    """Determine whether names need cleaning; if so post them for review
+    (names.py:653-726). Returns None when the original applies as-is."""
+    if original.is_empty():
+        return None
+    if llm_cleaning:
+        assert suggested is None, (
+            "Suggested names can't be supplied if LLM cleaning is enabled"
+        )
+        if _original_has_lang(original):
+            context.log.warning(
+                "Names with LangText language values and llm_cleaning=True "
+                "are not supported together.",
+                original=repr(original),
+            )
+    if suggested is None:
+        is_irregular_, suggested = check_names_regularity(entity, original)
+        is_irregular = is_irregular or is_irregular_
+    if not is_irregular and suggested == original:
+        return None
+    return _review_names(
+        context,
+        entity,
+        original=original,
+        suggested=suggested,
+        llm_cleaning=llm_cleaning,
+        default_accepted=default_accepted,
+    )
+
+
+def apply_reviewed_names(
+    context: CrawlerContext,
+    entity: Entity,
+    *,
+    original: Names,
+    suggested: Names | None = None,
+    is_irregular: bool = False,
+    lang: str | None = None,
+    llm_cleaning: bool = False,
+    default_accepted: bool = False,
+) -> None:
+    """Review-gated name application (names.py:729-790): until a review
+    is accepted the ORIGINAL categorisation applies; once accepted the
+    reviewed names apply with the review's origin stamped."""
+    review = review_names(
+        context,
+        entity,
+        original=original,
+        suggested=suggested,
+        is_irregular=is_irregular,
+        llm_cleaning=llm_cleaning,
+        default_accepted=default_accepted,
+    )
+    if review is None or not review.accepted:
+        apply_names(entity, original=original, names=original, lang=lang)
+        return
+    apply_names(
+        entity,
+        original=original,
+        names=review.extracted_data,
+        lang=lang,
+        origin=review.origin,
+    )
+
+
+def apply_reviewed_name_string(
+    context: CrawlerContext,
+    entity: Entity,
+    *,
+    string: str | None,
+    original_prop: str = "name",
+    lang: str | None = None,
+    llm_cleaning: bool = False,
+) -> None:
+    """Single-string convenience form (names.py:793-830); validates
+    ``original_prop`` against the Names fields so a typo cannot
+    silently drop the name."""
+    if original_prop not in NAME_FIELDS:
+        raise ValueError(
+            f"Invalid original_prop {original_prop!r}. "
+            f"Expected one of: {', '.join(sorted(NAME_FIELDS))}"
+        )
+    if string is None or not string.strip():
+        return
+    apply_reviewed_names(
+        context,
+        entity,
+        original=Names(**{original_prop: string}),
+        lang=lang,
+        llm_cleaning=llm_cleaning,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -974,6 +1565,18 @@ def make_sanction(
 # positions (zavod/zavod/helpers/positions.py + stateful/positions.py)
 
 
+#: pluggable LLM translation seam (``zavod/zavod/shed/trans.py``
+#: ``translate_position_name`` analogue): (context, text, lang) ->
+#: (translated_text, translated_lang, origin) or None to keep the
+#: original. None = translation service not configured.
+_POSITION_TRANSLATOR: Any = None
+
+
+def register_position_translator(fn: Any) -> None:
+    global _POSITION_TRANSLATOR
+    _POSITION_TRANSLATOR = fn
+
+
 def make_position(
     context: CrawlerContext,
     name: str,
@@ -990,10 +1593,19 @@ def make_position(
     source_url: str | None = None,
     lang: str | None = None,
     id_hash_prefix: str | None = None,
+    translate_name: bool = False,
 ) -> Entity:
     """Position entity factory (positions.py:21-129) — id parity with
     the column ``make_position_id`` (hash over
-    'position'|name|country|inception|dissolution|subnational)."""
+    'position'|name|country|inception|dissolution|subnational).
+
+    ``translate_name`` (positions.py:37,90-114): when True and the
+    resolved source language is non-English, the name is translated via
+    the registered translator (``register_position_translator`` — the
+    compat seam for the reference's LLM translation) and stored as the
+    ``name`` with the untranslated string as original_value. The id is
+    ALWAYS derived from the untranslated name, so it stays stable and
+    independent of the (LLM-produced) translation."""
     position = context.make("Position")
     countries = [str(c) for c in _ensure_list(country)]
     inceptions = [str(d) for d in _ensure_list(inception_date)]
@@ -1009,7 +1621,22 @@ def make_position(
             parts.append(subnational_area)
         joined = "|".join(parts)
         position.id = "osp-" + hashlib.md5(joined.encode("utf-8")).hexdigest()
-    position.add("name", name, lang=lang)
+    source_lang = lang or context.lang
+    translated = None
+    if translate_name and source_lang is not None and source_lang != "eng":
+        if _POSITION_TRANSLATOR is None:
+            context.log.warning(
+                "translate_name requested but no position translator "
+                "registered; keeping the untranslated name.",
+                name=name,
+            )
+        else:
+            translated = _POSITION_TRANSLATOR(context, name, source_lang)
+    if translated is not None:
+        text, tlang, origin = translated
+        position.add("name", text, lang=tlang, original_value=name, origin=origin)
+    else:
+        position.add("name", name, lang=lang)
     position.add("summary", summary, lang=lang)
     position.add("description", description, lang=lang)
     position.add("country", countries)

@@ -70,19 +70,32 @@ def register_codec(kind: str, decode_fn) -> None:
     _CODECS[kind] = decode_fn
 
 
-def decode_media(media: DataFrame, codecs: dict | None = None) -> DataFrame:
+def decode_media(
+    media: DataFrame, codecs: dict | None = None, keep: tuple = ()
+) -> DataFrame:
     """Codec boundary: decode content → raw buffer, Arrow-batched.
 
     The decoder per ``kind`` comes from the registry (``register_codec``;
     per-call override via ``codecs``). kind='raw' is the pre-registered
-    deterministic fake (identity). Real codecs (PIL / soundfile / pyav)
-    are not installed in this container — an unregistered kind raises
-    inside the task, naming the injection point, which is the
-    clearly-marked stub required here.
+    deterministic fake (identity); ``opensanctions_spark.codecs`` ships
+    REAL stdlib container codecs (WAV via ``wave``, binary PPM by hand)
+    that prove the seam end-to-end without any media library. Heavier
+    codecs (PIL / soundfile / pyav) are not installed in this container —
+    an unregistered kind raises inside the task, naming the injection
+    point, which is the clearly-marked stub required here.
+
+    ``keep`` names metadata columns to carry through alongside the
+    decoded buffer (real pipelines keep sample_rate/width/... next to
+    the pixels) — passthrough inside the same Arrow batch, no join.
     """
     table = dict(_CODECS)
     if codecs:
         table.update(codecs)
+    kept = [f for f in media.schema.fields if f.name in set(keep)]
+    out_schema = DECODED_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in kept
+    )
+    kept_names = [f.name for f in kept]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -95,19 +108,20 @@ def decode_media(media: DataFrame, codecs: dict | None = None) -> DataFrame:
                     "libraries are not available in this environment — "
                     "wire one with register_codec(kind, fn)"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "buf": [
-                        table[k](bytes(c), f)
-                        for k, c, f in zip(
-                            pdf["kind"], pdf["content"], pdf["fmt"]
-                        )
-                    ],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "buf": [
+                    table[k](bytes(c), f)
+                    for k, c, f in zip(
+                        pdf["kind"], pdf["content"], pdf["fmt"]
+                    )
+                ],
+            }
+            for name in kept_names:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+    return media.mapInPandas(run, schema=out_schema)
 
 
 def extract_byte_features(media: DataFrame) -> DataFrame:

@@ -16,7 +16,11 @@ Two pieces:
   (one row per file — millions of rows at the extreme, never data-
   proportional), partitioned by dataset so each dataset plans
   independently and the window never concentrates more than one
-  dataset's manifest on an executor. Files keep their path order, so
+  dataset's manifest on an executor. Without a dataset column the plan
+  is a two-pass distributed prefix sum (range-partition on path →
+  per-partition running totals + broadcast partition offsets) — never a
+  single-partition global window, so a million-file flat manifest still
+  plans in parallel. Files keep their path order, so
   compaction preserves the archive's write-time locality (versions stay
   adjacent) and the plan is byte-for-byte reproducible — the property
   the DuckDB oracle checks.
@@ -54,19 +58,76 @@ def compaction_plan(
         raise ValueError("target_bytes must be positive")
     if dataset_col is not None:
         win = Window.partitionBy(dataset_col).orderBy(path_col)
+        cum_before = F.coalesce(
+            F.sum(F.col(size_col)).over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+        bucket = F.floor(cum_before / F.lit(target_bytes)).cast("long")
+        return files.select(
+            F.col(dataset_col),
+            F.col(path_col),
+            F.col(size_col).cast("long").alias(size_col),
+            bucket.alias("bucket"),
+        )
+    return _global_plan(files, target_bytes, path_col, size_col)
+
+
+def _global_plan(
+    files: DataFrame, target_bytes: int, path_col: str, size_col: str
+) -> DataFrame:
+    """Global (no dataset column) next-fit plan as a two-pass distributed
+    prefix sum — never a single-partition window.
+
+    Pass 1: range-partition the manifest on path (contiguous path ranges
+    per partition, global order preserved across partitions) and collect
+    one row per PARTITION (the partition byte totals — bounded by the
+    shuffle-partition count, never by the manifest size). Pass 2: turn
+    the totals into per-partition starting offsets driver-side, broadcast
+    them back, and add each row's within-partition running total. The
+    resulting ``cum_before`` is byte-identical to the single global
+    window the old implementation used, but every stage is parallel.
+
+    Determinism note: ``spark_partition_id()`` is stable here because
+    range-partition boundaries are a pure function of the input sample
+    (Spark seeds the sampler by partition index), so the two jobs that
+    re-evaluate the ranged scan see identical ids.
+    """
+    ranged = files.repartitionByRange(
+        files.sparkSession.sparkContext.defaultParallelism, F.col(path_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(size_col)).cast("long").alias("__ptotal"))
+        .collect()
+    )  # one row per partition — bounded by parallelism, not manifest size
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += row["__ptotal"]
+    spark = files.sparkSession
+    if not offsets:
+        offset_df = spark.createDataFrame([], "__pid INT, __offset LONG")
     else:
-        win = Window.orderBy(path_col)
-    cum_before = F.coalesce(
+        offset_df = spark.createDataFrame(offsets, "__pid INT, __offset LONG")
+    local_win = Window.partitionBy("__pid").orderBy(path_col)
+    local_before = F.coalesce(
         F.sum(F.col(size_col)).over(
-            win.rowsBetween(Window.unboundedPreceding, -1)
+            local_win.rowsBetween(Window.unboundedPreceding, -1)
         ),
         F.lit(0).cast("long"),
     )
+    cum_before = F.col("__offset") + local_before
     bucket = F.floor(cum_before / F.lit(target_bytes)).cast("long")
-    cols = [F.col(path_col), F.col(size_col).cast("long").alias(size_col)]
-    if dataset_col is not None:
-        cols.insert(0, F.col(dataset_col))
-    return files.select(*cols, bucket.alias("bucket"))
+    return (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .select(
+            F.col(path_col),
+            F.col(size_col).cast("long").alias(size_col),
+            bucket.alias("bucket"),
+        )
+    )
 
 
 def plan_for_dir(

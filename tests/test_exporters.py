@@ -194,3 +194,47 @@ def test_write_catalog_rolls_up_dataset_indexes(spark, sf_dir, tmp_path):
     n = entities.count()
     assert catalog["entity_count"] == 2 * n  # ds3 contributes nothing
     assert catalog["datasets"][2] == {"name": "ds3"}
+
+
+def test_simple_csv_fused_matches_composition(spark, sf_dir):
+    """The one-shuffle fused K3 must be row-identical to the general
+    simple_csv(assemble_entities(...), adjacency) composition."""
+    from opensanctions_spark.catalog.exporters import _export_statements
+    from opensanctions_spark.exporters import simple_csv, simple_csv_fused
+    from opensanctions_spark.operators.assembly import assemble_entities
+
+    cust_stmts, addr_stmts = _export_statements(spark, sf_dir)
+    addr_lookup = addr_stmts.filter(F.col("prop") == "full").select(
+        F.col("canonical_id").alias("ref"), F.col("value").alias("addr")
+    )
+    fused = simple_csv_fused(cust_stmts, addr_lookup)
+
+    # general composition: assemble, flat-project, join the adjacency
+    entities = assemble_entities(cust_stmts)
+    flat = simple_csv(entities, None).drop("addresses")
+    refs = cust_stmts.filter(F.col("prop") == "addressEntity").select(
+        F.col("canonical_id").alias("id"), F.col("value").alias("ref")
+    )
+    addresses = (
+        refs.join(addr_lookup, "ref")
+        .groupBy("id")
+        .agg(F.array_join(F.array_sort(F.collect_set("addr")), ";").alias("addresses"))
+    )
+    general = flat.join(addresses, "id", "left").withColumn(
+        "addresses", F.coalesce(F.col("addresses"), F.lit(""))
+    )
+
+    cols = sorted(fused.columns)
+    assert cols == sorted(general.columns)
+    a = sorted(map(tuple, fused.select(*cols).collect()))
+    b = sorted(map(tuple, general.select(*cols).collect()))
+    assert a == b
+
+
+def test_simple_csv_fused_no_addresses(spark, sf_dir):
+    from opensanctions_spark.catalog.exporters import _export_statements
+    from opensanctions_spark.exporters import simple_csv_fused
+
+    cust_stmts, _ = _export_statements(spark, sf_dir)
+    rows = simple_csv_fused(cust_stmts, None).collect()
+    assert rows and all(r["addresses"] == "" for r in rows)

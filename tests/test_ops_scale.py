@@ -39,6 +39,37 @@ def test_compaction_plan_partitions_by_dataset(spark):
     assert rows[("ds2", "a")] == 0
 
 
+def test_compaction_global_plan_matches_serial_next_fit(spark):
+    # 500 files spread over many input partitions: the two-pass prefix sum
+    # must be byte-identical to a serial cumsum over path order
+    import random
+
+    rng = random.Random(13)
+    rows = [(f"p{i:05d}", rng.randint(1, 120)) for i in range(500)]
+    manifest = spark.createDataFrame(
+        rows, "path STRING, size_bytes LONG"
+    ).repartition(16)
+    got = {r["path"]: r["bucket"] for r in
+           compaction_plan(manifest, 1000).collect()}
+    cum, want = 0, {}
+    for path, size in sorted(rows):
+        want[path] = cum // 1000
+        cum += size
+    assert got == want
+
+
+def test_compaction_global_plan_has_no_single_partition_exchange(spark):
+    manifest = spark.createDataFrame(
+        [(f"p{i:04d}", 50) for i in range(200)],
+        "path STRING, size_bytes LONG",
+    ).repartition(8)
+    plan_df = compaction_plan(manifest, 1000)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        "global compaction plan must never funnel the manifest through one task"
+    )
+
+
 def test_apply_compaction_round_trip(spark, tmp_path):
     src = str(tmp_path / "packs")
     for i in range(6):

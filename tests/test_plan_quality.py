@@ -649,3 +649,14 @@ def test_f20_null_id_drop_is_generator_not_filter(spark, sf_dir):
         "Filter found below the inline generator — the NULL-id drop "
         "must be the conditional array, not a pushable predicate"
     )
+
+
+def test_k3_simple_csv_is_single_shuffle(spark, sf_dir):
+    """VERDICT r5 #1: the fused K3 sink must be ONE hash exchange — the
+    address book broadcasts (map-side), every CSV column a conditional
+    aggregate in the same groupBy. The RoundRobin harness repartition in
+    catalog.load does not count (it is not a hash exchange)."""
+    plan = _executed_plan(QUERIES["k3_simple_csv"](spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"fused K3 must be a single shuffle, saw {n}"
+    assert "BroadcastHashJoin" in plan, "address book must broadcast"
