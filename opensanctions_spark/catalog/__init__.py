@@ -83,80 +83,78 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()``. Lifetime coverage after round 4 is 186/186 — every
-#: catalog query has at least one green driver row. Round-5 rotation
-#: (VERDICT r4 tasks 1-3, 7-8): the round-5 additions go FIRST, then the
-#: 12 queries whose only driver rows date back to round 1 (no green row
-#: may age past three rounds), then the next-oldest checked queries
-#: (r1's remaining set, then early-r2 sinks/functions) fill the 50.
+#: ``queries()``. Lifetime coverage: 192/192 queries have at least one
+#: green driver row across rounds 1-5. Round-6 rotation (VERDICT r5
+#: task 5): the round-6 additions go FIRST, then every query whose LAST
+#: driver row dates to round 1 (19 — computed from the CORRECTNESS_r0N
+#: files, stalest first), then the round-2-last set fills the 50; its
+#: remainder queues directly below the budget line for round 7.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-5 additions (6) ---------------------------------------------
-    "f18_make_sanction",
-    "f19_make_occupancy",
-    "f20_make_address",
-    "s11_name_extraction",
-    "s13_compaction_plan",
-    "t6_key_skew_profile",
-    # -- r1-only driver rows, stale for 3 rounds (12) ----------------------
-    "a2_entity_counts",
-    "a3_fill_rate",
-    "a5_last_change",
-    "a7_issue_counts",
-    "a12_assertions",
-    "j3_adjacency_region_revenue",
-    "j8_same_id_equijoin",
-    "j10_dangling_anti_join",
-    "j12_semi_join_gate",
-    "j13_lookup_join",
-    "t2_t3_facet_topk",
-    "f12_t5_active_status",
-    # -- next-oldest fill: the rest of r1's set (18) -----------------------
-    "a1_entity_assembly",
-    "s9_p2_statement_filters",
-    "p1_target_filter",
-    "j1_timestamp_join",
-    "d0_d1_version_delta",
-    "j6_canonical_map",
-    "j6_incremental_resolver",
-    "k11_sql_load_prep",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "j2_canonical_rekey",
-    "d2_d3_union_dedupe",
-    "a8_t4_prefix_date_dedup",
-    "f8_deterministic_ids",
-    "scd2_entity_history",
-    "pipeline_curate_corpus",
-    "pipeline_curate_increment",
-    "q1_pricing_summary",
-    # -- early-r2 sinks/functions fill (14): 6+12+18+14 = 50 ---------------
-    "q3_shipping_priority",
-    "q8_market_share",
-    "k3_simple_csv",
-    "k2_statements_csv",
-    "k4_nested_json",
-    "k5_senzing",
-    "k6_names_txt",
-    "k7_statistics",
-    "k9_securities",
-    "k10_maritime",
-    "f1_f2_date_parse",
-    "f3_f14_f15_text_guards",
-    "f5_name_cleaning",
-    "f6_number_parse",
-    # --- the driver's 50-row budget ends here; the tail below is ordering
-    # insurance in case the budget grows --------------------------------------
+    # -- round-6 additions (2) ---------------------------------------------
+    "mm_decode_wav_real",
+    "s12_reviewed_names_emit",
+    # -- last driver row in ROUND 1, stale for 4 rounds (19) ----------------
+    "q18_large_orders",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "w1_running_total",
+    "rollup_revenue",
+    "approx_distinct_users",
+    "approx_quantile_contract",
+    "funnel_view_click_purchase",
+    "w2_rolling_sum",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "events_json_extract",
+    "events_variant_extract",
+    "pivot_status_counts",
+    "w3_rank_family",
+    "sketch_merge_distinct",
+    # -- last driver row in ROUND 2 (29 of 38 fit the budget) ---------------
     "f7_identifier_checksums",
     "f10_address_compose",
     "f11_crypto_wallets",
     "f13_occupancy_status",
+    "p7_person_cutoff",
     "s1_csv_scan",
+    "s2_xml_scan",
     "s3_json_scan",
+    "s4_html_dom",
+    "s5_html_table",
+    "s6_excel_scan",
+    "s7_pdf_tables",
     "s8_cache_ttl",
+    "s10_archive_backfill",
+    "s11_llm_extraction",
+    "s12_review_workflow",
+    "audit_source_columns",
+    "a4_program_facets",
+    "a9_name_reduction",
+    "a10_edge_cleanup",
     "j4_recursive_expansion",
-    "j7_interval_overlap",
     "j9_match_rules",
+    "j11_self_reference",
     "d4_change_detection",
+    "j7_edge_dedupe_merge",
+    "j5_t1_blocking_topk",
+    "dedup_exact",
+    "text_token_count",
+    "text_langid",
+    # --- the driver's 50-row budget ends here; the round-2 remainder below
+    # rotates into round 7 (and covers a budget increase) -------------------
+    "text_quality",
+    "text_fingerprint",
+    "sample_train_split",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_bucketed",
+    "mm_byte_features",
 ]
 
 

@@ -867,3 +867,56 @@ def s11_name_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted, dataset="names", entity_col="entity_id"
     )
     return stmts.select("entity_id", "prop", "value")
+
+
+@register(
+    "s12_reviewed_names_emit",
+    oracle="""
+WITH originals AS (
+  SELECT 'c-' || c_custkey AS entity_id, 'name' AS prop, c_name AS value,
+         c_custkey AS k
+  FROM customer
+),
+decisions AS (
+  SELECT 'c-' || c_custkey AS entity_id,
+         CASE WHEN c_custkey % 5 = 0 THEN 'accepted' ELSE 'rejected' END AS status
+  FROM customer WHERE c_custkey % 5 IN (0, 1)
+)
+SELECT o.entity_id,
+       CASE WHEN d.status = 'accepted' THEN 'alias' ELSE o.prop END AS prop,
+       CASE WHEN d.status = 'accepted' THEN upper(o.value) ELSE o.value END AS value,
+       CASE WHEN d.status = 'accepted' THEN 'analyst' END AS origin
+FROM originals o LEFT JOIN decisions d USING (entity_id)
+""",
+)
+def s12_reviewed_names_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reviewed-names emit (the round-6 reviewed-names surface,
+    ``zavod/zavod/helpers/names.py:729-790`` bulk form): the review
+    table's accepted rows carry a ``{prop: [values]}`` JSON payload —
+    the exact shape the driver-side bridge writes
+    (``helpers.reviews_to_rows``) — which REPLACES the entity's original
+    name rows with the reviewed categorisation (here: name → alias,
+    uppercased by the reviewer) and stamps the reviewer as origin;
+    rejected and unposted entities keep their original rows. Plan:
+    broadcast anti-join + map-only payload explode — the
+    fact-proportional originals never shuffle."""
+    from opensanctions_spark.sources.review import apply_reviewed_names
+
+    cust = load(spark, sf_dir, "customer")
+    originals = cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+        F.lit("name").alias("prop"),
+        F.col("c_name").alias("value"),
+    )
+    review = cust.filter(F.col("c_custkey") % 5 < 2).select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("extraction_id"),
+        F.when(F.col("c_custkey") % 5 == 0, "accepted")
+        .otherwise("rejected")
+        .alias("status"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.to_json(F.struct(F.array(F.upper(F.col("c_name"))).alias("alias"))),
+        ).alias("reviewed_value"),
+        F.lit("analyst").alias("reviewer"),
+    )
+    return apply_reviewed_names(originals, review)

@@ -372,3 +372,80 @@ def test_make_position_translate_name_no_translator_warns():
         i["level"] == "warning" and "translator" in i["message"]
         for i in ctx.issues
     )
+
+
+# --------------------------------------------------------------------------
+# DataFrame-side bulk form (sources/review.py apply_reviewed_names)
+
+
+def test_apply_reviewed_names_df_semantics(spark):
+    """Accepted reviews REPLACE the entity's original rows with the JSON
+    payload's categorisation (reviewer as origin); rejected / unposted
+    keep the originals — and the payload shape round-trips from the
+    driver-side bridge (reviews_to_rows)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from opensanctions_spark.sources.review import apply_reviewed_names
+
+    originals = spark.createDataFrame(
+        [("e1", "name", "Jim Doe; James Doe"), ("e2", "name", "Keep Me"),
+         ("e3", "name", "Also Kept"), ("e1", "alias", "JD")],
+        "entity_id STRING, prop STRING, value STRING",
+    )
+    # e1 accepted with an edited two-prop payload, e2 rejected, e3 unposted
+    payload = json.dumps({"name": ["James Doe"], "alias": ["Jim Doe"]})
+    review = spark.createDataFrame(
+        [("e1", "accepted", payload, "analyst"),
+         ("e2", "rejected", None, "analyst")],
+        "extraction_id STRING, status STRING, reviewed_value STRING, reviewer STRING",
+    )
+    got = sorted(map(tuple, apply_reviewed_names(originals, review).collect()))
+    assert got == sorted([
+        ("e1", "name", "James Doe", "analyst"),
+        ("e1", "alias", "Jim Doe", "analyst"),
+        ("e2", "name", "Keep Me", None),
+        ("e3", "name", "Also Kept", None),
+    ])
+
+
+def test_apply_reviewed_names_df_bridges_driver_payload(spark):
+    """The JSON the driver-side store exports is exactly what the bulk
+    form consumes: write a review with helpers, apply it DataFrame-side."""
+    from opensanctions_spark.sources.review import (
+        REVIEW_SCHEMA,
+        apply_reviewed_names,
+    )
+
+    ctx = _context()
+    e = _person(ctx)
+    raw = "Jim Doe; James Doe"
+    h.apply_reviewed_names(ctx, e, original=h.Names(name=raw))
+    (key, _status, payload, reviewer) = h.reviews_to_rows(ctx)[0]
+    review = spark.createDataFrame(
+        [(key, "accepted", payload, reviewer)], REVIEW_SCHEMA
+    )
+    originals = spark.createDataFrame(
+        [(key, "name", raw)], "entity_id STRING, prop STRING, value STRING"
+    )
+    got = sorted(map(tuple, apply_reviewed_names(originals, review).collect()))
+    assert got == [(key, "name", raw, "analyst")]
+
+
+def test_apply_reviewed_names_df_never_shuffles_originals(spark):
+    """Scale gate: the review table broadcasts (bounded by analyst
+    throughput); the fact-proportional originals see no hash exchange."""
+    from opensanctions_spark.sources.review import apply_reviewed_names
+
+    originals = spark.createDataFrame(
+        [(f"e{i}", "name", f"N {i}") for i in range(500)],
+        "entity_id STRING, prop STRING, value STRING",
+    ).repartition(8)
+    review = spark.createDataFrame(
+        [("e7", "accepted", json.dumps({"alias": ["X Y"]}), "analyst")],
+        "extraction_id STRING, status STRING, reviewed_value STRING, reviewer STRING",
+    )
+    df = apply_reviewed_names(originals, review)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -660,3 +660,10 @@ def test_k3_simple_csv_is_single_shuffle(spark, sf_dir):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"fused K3 must be a single shuffle, saw {n}"
     assert "BroadcastHashJoin" in plan, "address book must broadcast"
+
+
+def test_mm_decode_wav_real_has_no_exchange(spark, sf_dir):
+    """Encode → decode → featurize must be map-only: the two mapInPandas
+    stages fuse over the scan partitioning with zero shuffles."""
+    plan = _executed_plan(QUERIES["mm_decode_wav_real"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
