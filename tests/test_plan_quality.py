@@ -446,6 +446,13 @@ def test_j7_interval_overlap_is_windowed_equijoin(spark, sf_dir):
         assert op not in plan, f"{op} in windowed range join"
     # no array aggregation anywhere — the old shape's cost center
     assert "collect_list" not in plan
+    # round-6: the fact-proportional windowed table must never broadcast
+    # — the hinted shuffle join builds the exchange once and reuses it
+    # (sf1 A/B: AQE broadcast 1.33 s vs shuffle_hash 0.81 s)
+    assert "BroadcastHashJoin" not in plan, (
+        "windowed self-join must not broadcast the fact table"
+    )
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_bm25_vocabulary_join_is_not_hard_broadcast(spark, sf_dir):
