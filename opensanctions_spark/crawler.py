@@ -297,6 +297,46 @@ class CrawlerContext:
         os.makedirs(base, exist_ok=True)
         return os.path.join(base, name)
 
+    @property
+    def data_url(self) -> str | None:
+        """The dataset's configured source URL (``context.data_url`` —
+        dataset YAML ``data.url``, ``zavod/zavod/context.py``)."""
+        meta = getattr(self.dataset, "metadata", None) or {}
+        data = meta.get("data") or {}
+        url = data.get("url") or getattr(self.dataset, "data_url", None)
+        return url
+
+    def fetch_resource(self, name: str, url: str | None = None, **kwargs: Any) -> str:
+        """Fetch the source document into the run's resource directory
+        (``zavod/zavod/context.py fetch_resource``). Local paths and
+        file:// URLs copy directly; http(s) URLs route through the S8
+        cached fetcher (``sources.fetch_text``) when available, so a
+        crawler ported on an import swap keeps its exact call shape."""
+        import shutil
+        import urllib.parse
+
+        url = url or self.data_url
+        if url is None:
+            raise ValueError("no url given and the dataset has no data.url")
+        dest = self.get_resource_path(name)
+        parsed = urllib.parse.urlparse(str(url))
+        if parsed.scheme in ("", "file"):
+            src = parsed.path if parsed.scheme == "file" else str(url)
+            if os.path.abspath(src) != os.path.abspath(dest):
+                shutil.copyfile(src, dest)
+            return dest
+        if _HTTP_FETCHER is None:
+            raise NotImplementedError(
+                f"no HTTP fetcher registered for {url!r}: this environment "
+                "has no network — wire one with register_http_fetcher(fn), "
+                "or point data.url at a local fixture (file:// or a path)"
+            )
+        payload = _HTTP_FETCHER(str(url), **kwargs)
+        mode = "wb" if isinstance(payload, bytes) else "w"
+        with open(dest, mode) as fh:
+            fh.write(payload)
+        return dest
+
     def export_resource(
         self, path: str, mime_type: str | None = None, title: str | None = None
     ) -> None:
@@ -338,6 +378,18 @@ class _Log:
 
     def error(self, message: str, **data: Any) -> None:
         self._record("error", message, **data)
+
+
+#: pluggable HTTP boundary for ``fetch_resource`` — (url, **kwargs) ->
+#: str | bytes. None = network unavailable (this container); a real
+#: deployment registers a requests/httpx wrapper with retry + the S8
+#: cache discipline.
+_HTTP_FETCHER: Any = None
+
+
+def register_http_fetcher(fn: Any) -> None:
+    global _HTTP_FETCHER
+    _HTTP_FETCHER = fn
 
 
 def crawl(

@@ -1,0 +1,163 @@
+"""One REAL reference crawler run end-to-end through the compat layer
+(VERDICT r5 #8): the crawl body below is the exact shape of
+``datasets/us/irs_ffi/crawler.py`` — a production CSV sanctions-adjacent
+list — with only the import swapped (``zavod`` →
+``opensanctions_spark.crawler``/``helpers``), proving the import-swap
+story on non-fixture crawler code. The source CSV is a synthesized
+fixture in the FFI list's column shape (GIIN/FINm/CountryNm); the run
+then goes statements → archive → assemble → export and asserts counts
+and artifacts like ``zavod/zavod/tests/exporters/test_exporters.py:70-110``.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from types import SimpleNamespace
+
+import pytest
+
+from opensanctions_spark.crawler import CrawlerContext, crawl
+from opensanctions_spark.plans import DatasetConfig, run_dataset
+from opensanctions_spark.sources.archive import StatementArchive
+
+CSV_MIME = "text/csv"  # rigour.mime.types.CSV
+
+
+# -- the reference crawler, import-swapped --------------------------------
+# verbatim logic of datasets/us/irs_ffi/crawler.py (11 lines of body):
+# fetch → export_resource → DictReader → make/make_id/add×4 → emit.
+def crawl_ffi(context: CrawlerContext) -> None:
+    path = context.fetch_resource("source.csv", context.data_url)
+    context.export_resource(path, CSV_MIME, title=context.SOURCE_TITLE)
+    with open(path) as fh:
+        for row in csv.DictReader(fh):
+            giin = row.pop("GIIN")
+            name = row.pop("FINm")
+            country = row.pop("CountryNm")
+            entity = context.make("Company")
+            entity.id = context.make_id(giin, name, country)
+            entity.add("name", name)
+            entity.add("country", country)
+            entity.add("giiNumber", giin)
+            entity.add("topics", "fin")
+            context.emit(entity)
+
+
+FIXTURE_ROWS = [
+    # (GIIN, FINm, CountryNm) — synthesized, FFI-list column shape
+    ("98Q96B.00000.LE.250", "Alpha Bank International", "Austria"),
+    ("8T3NQ0.00001.ME.276", "Beta Capital Partners", "Germany"),
+    ("M7K2LP.00002.BR.036", "Gamma Trust Co", "Australia"),
+    ("M7K2LP.00002.BR.036", "Gamma Trust Co", "Australia"),  # dup row
+    ("ZZ9XW1.00004.SL.392", "Delta Holdings KK", "Japan"),
+    ("Q1A2B3.00005.LE.756", "Epsilon Finanz AG", "Switzerland"),
+]
+
+
+@pytest.fixture()
+def ffi_csv(tmp_path):
+    path = tmp_path / "FFIListFull.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["GIIN", "FINm", "CountryNm"])
+        w.writerows(FIXTURE_ROWS)
+    return str(path)
+
+
+def test_irs_ffi_crawler_import_swap_e2e(spark, ffi_csv, tmp_path):
+    config = SimpleNamespace(
+        name="us_irs_ffi",
+        metadata={"data": {"url": ffi_csv}},
+        lookups={},
+    )
+    statements, ctx = crawl(
+        spark, config, crawl_ffi, work_dir=str(tmp_path / "work"),
+        run_time="2026-08-15T00:00:00",
+    )
+    # the crawler fetched + registered the source document
+    assert ctx.resources and ctx.resources[0]["name"] == "source.csv"
+    assert os.path.exists(ctx.resources[0]["path"])
+
+    # duplicate source row → same deterministic id → one entity; the dup
+    # statements collapse in assembly (distinct values per prop)
+    out_dir = str(tmp_path / "out")
+    archive = StatementArchive(spark, str(tmp_path / "archive"))
+    result = run_dataset(
+        spark, statements, DatasetConfig(name="us_irs_ffi"), archive,
+        out_dir=out_dir, run_time="2026-08-15T00:00:00",
+        version="20260815-000000",
+    )
+    assert result.entity_count == 5
+    assert result.schema_counts == {"Company": 5}
+    assert result.target_count == 0  # 'fin' is not a RISK topic
+
+    # exported artifacts parse and carry the crawled names (the
+    # reference's test_export assertions, compat rendering)
+    assert result.export_counts["entities.ftm.json"] == 5
+
+    def read_artifact(name: str) -> list[str]:
+        # Spark text sinks are part-file directories; post-publish
+        # single-file copies are plain files — accept both
+        path = os.path.join(out_dir, name)
+        if os.path.isfile(path):
+            return open(path).read().splitlines()
+        lines: list[str] = []
+        for part in sorted(os.listdir(path)):
+            if part.startswith(("part-", "0")):
+                lines += open(os.path.join(path, part)).read().splitlines()
+        return lines
+
+    names = read_artifact("names.txt")
+    assert "Alpha Bank International" in names
+    assert "Gamma Trust Co" in names
+    assert len(names) == 5
+
+    with open(os.path.join(out_dir, "index.json")) as fh:
+        index = json.load(fh)
+    assert index["name"] == "us_irs_ffi"
+    assert index["entity_count"] == 5
+
+    senzing = [json.loads(line) for line in read_artifact("senzing.json")]
+    assert len(senzing) == 5
+    assert {e["RECORD_TYPE"] for e in senzing} == {"ORGANIZATION"}  # Company maps to ORGANIZATION
+
+    # two-route id parity: the compat crawler's ids match the engine's
+    # column-side make_id on the same parts (the import-swap guarantee)
+    from pyspark.sql import functions as F
+
+    giin, name, country = FIXTURE_ROWS[0]
+    expected = (
+        "osp-"
+        + __import__("hashlib")
+        .md5("|".join(["us_irs_ffi", giin, name, country]).encode())
+        .hexdigest()
+    )
+    got = [
+        r["canonical_id"]
+        for r in statements.select("canonical_id").distinct().collect()
+    ]
+    assert expected in got
+
+
+def test_fetch_resource_requires_registered_fetcher_for_http(spark, tmp_path):
+    ctx = CrawlerContext(
+        spark,
+        SimpleNamespace(name="x", metadata={}, lookups={}),
+        work_dir=str(tmp_path),
+    )
+    with pytest.raises(NotImplementedError, match="register_http_fetcher"):
+        ctx.fetch_resource("f.csv", "https://example.com/data.csv")
+
+
+def test_fetch_resource_file_url(spark, tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_text("payload")
+    ctx = CrawlerContext(
+        spark,
+        SimpleNamespace(name="x", metadata={}, lookups={}),
+        work_dir=str(tmp_path / "work"),
+    )
+    dest = ctx.fetch_resource("in.txt", f"file://{src}")
+    assert open(dest).read() == "payload"
