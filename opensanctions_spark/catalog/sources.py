@@ -880,7 +880,7 @@ WITH originals AS (
 decisions AS (
   SELECT 'c-' || c_custkey AS entity_id,
          CASE WHEN c_custkey % 5 = 0 THEN 'accepted' ELSE 'rejected' END AS status
-  FROM customer WHERE c_custkey % 5 IN (0, 1)
+  FROM customer WHERE c_custkey % 5 IN (0, 1) AND c_custkey <= 4000
 )
 SELECT o.entity_id,
        CASE WHEN d.status = 'accepted' THEN 'alias' ELSE o.prop END AS prop,
@@ -899,7 +899,11 @@ def s12_reviewed_names_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     uppercased by the reviewer) and stamps the reviewer as origin;
     rejected and unposted entities keep their original rows. Plan:
     broadcast anti-join + map-only payload explode — the
-    fact-proportional originals never shuffle."""
+    fact-proportional originals never shuffle. The fixture review table
+    carries a FIXED id cap (custkey ≤ 4000) on top of the mod-5 split:
+    a real review table is bounded by analyst throughput, and the
+    exhibit must keep the broadcast defensible at every SF rather than
+    broadcast a table that scales with the corpus."""
     from opensanctions_spark.sources.review import apply_reviewed_names
 
     cust = load(spark, sf_dir, "customer")
@@ -908,7 +912,9 @@ def s12_reviewed_names_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("name").alias("prop"),
         F.col("c_name").alias("value"),
     )
-    review = cust.filter(F.col("c_custkey") % 5 < 2).select(
+    review = cust.filter(
+        (F.col("c_custkey") % 5 < 2) & (F.col("c_custkey") <= 4000)
+    ).select(
         F.concat(F.lit("c-"), F.col("c_custkey")).alias("extraction_id"),
         F.when(F.col("c_custkey") % 5 == 0, "accepted")
         .otherwise("rejected")

@@ -125,8 +125,6 @@ def test_irs_ffi_crawler_import_swap_e2e(spark, ffi_csv, tmp_path):
 
     # two-route id parity: the compat crawler's ids match the engine's
     # column-side make_id on the same parts (the import-swap guarantee)
-    from pyspark.sql import functions as F
-
     giin, name, country = FIXTURE_ROWS[0]
     expected = (
         "osp-"
