@@ -295,3 +295,68 @@ def mm_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("buf").cast("long").alias("n_bytes"),
         F.md5("buf").alias("digest"),
     )
+
+
+@register(
+    "mm_decode_ppm_real",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(36 AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 36) ||
+           repeat(chr(0), GREATEST(0, 36 - len(text)))) AS digest
+FROM documents
+""",
+)
+def mm_decode_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image twin of ``mm_decode_wav_real``: each document's first 36
+    bytes (zero-padded) become the RGB raster of a genuine binary PPM
+    (P6, 4×3) — a real image container written during ingestion, its
+    dimensions parsed back OUT of the header into the typed metadata,
+    then decoded through the ``register_codec`` seam and digested. The
+    oracle replays truncation + NUL padding character-wise (the
+    ``mm_resize`` trick) and pins the header-parsed width/height, so
+    encode → binary column → decode round-trip exactness is what the
+    hash checks. Map-only like the WAV exhibit: the two mapInPandas
+    stages fuse over the scan partitioning."""
+    from opensanctions_spark.codecs import decode_ppm, encode_ppm, ppm_info
+    from opensanctions_spark.multimodal import MEDIA_SCHEMA, decode_media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    W, H = 4, 3
+    n = W * H * 3
+
+    def ingest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rasters = [
+                t.encode("utf-8")[:n].ljust(n, b"\x00") for t in pdf["text"]
+            ]
+            ppms = [encode_ppm(r, W, H) for r in rasters]
+            infos = [ppm_info(p) for p in ppms]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "ppm",
+                    "fmt": "rgb24",
+                    "content": ppms,
+                    "width": [i[0] for i in infos],
+                    "height": [i[1] for i in infos],
+                    "sample_rate": pd.array([None] * len(ppms), dtype="Int32"),
+                    "n_frames": 1,
+                }
+            )
+
+    media = docs.mapInPandas(ingest, schema=MEDIA_SCHEMA)
+    decoded = decode_media(
+        media, codecs={"ppm": decode_ppm}, keep=("width", "height")
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("buf").cast("long").alias("n_bytes"),
+        F.md5("buf").alias("digest"),
+    )
