@@ -337,6 +337,32 @@ class CrawlerContext:
             fh.write(payload)
         return dest
 
+    def fetch_json(self, url: str, params: dict | None = None, **kwargs: Any):
+        """GET + JSON-parse through the pluggable HTTP boundary
+        (``zavod/zavod/context.py fetch_json``). file:// and local paths
+        parse directly (fixtures); http(s) requires a registered fetcher."""
+        import json as _json
+        import urllib.parse
+
+        parsed = urllib.parse.urlparse(str(url))
+        if parsed.scheme in ("", "file"):
+            # fixture path: params don't apply to a static document
+            src = parsed.path if parsed.scheme == "file" else str(url)
+            with open(src) as fh:
+                return _json.load(fh)
+        if params:
+            sep = "&" if "?" in url else "?"
+            url = url + sep + urllib.parse.urlencode(params)
+        if _HTTP_FETCHER is None:
+            raise NotImplementedError(
+                f"no HTTP fetcher registered for {url!r}: wire one with "
+                "register_http_fetcher(fn)"
+            )
+        payload = _HTTP_FETCHER(str(url), **kwargs)
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8")
+        return _json.loads(payload)
+
     def export_resource(
         self, path: str, mime_type: str | None = None, title: str | None = None
     ) -> None:

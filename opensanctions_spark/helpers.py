@@ -1153,6 +1153,30 @@ def register_name_cleaner(fn: Any, version: str = "llm") -> None:
     _NAME_CLEANER_VERSION = version
 
 
+@dataclass
+class SourceNames:
+    """Name strings + schema supplied to the LLM cleaner
+    (clean.py:202-206)."""
+
+    entity_schema: str
+    original: Names
+
+
+def clean_names(context: CrawlerContext, raw_names: SourceNames) -> Names:
+    """LLM name cleaning/categorisation (clean.py:242-267): routes the
+    deduped raw strings through the registered cleaner — the compat
+    analogue of the reference's ``run_typed_text_prompt`` call (the
+    DataFrame-side twin is ``sources/names_extract.py``, which carries
+    the same dedup-preserving-order and raw-UTF-8 input contract)."""
+    if _NAME_CLEANER is None:
+        raise NotImplementedError(
+            "no name cleaner registered: wire an LLM with "
+            "register_name_cleaner(fn) — see sources/names_extract.py for "
+            "the DataFrame-side S11 pipeline"
+        )
+    return _NAME_CLEANER(context, raw_names.entity_schema, raw_names.original)
+
+
 def _original_has_lang(original: Names) -> bool:
     return any(
         v.lang is not None for _p, vals in original.as_langtexts() for v in vals
@@ -2348,3 +2372,38 @@ def make_pdf_page_images(path: str) -> list[tuple[int, bytes, str]]:
 
     with open(path, "rb") as fh:
         return pdf_page_images(fh.read())
+
+
+# --------------------------------------------------------------------------
+# wikidata (zavod/zavod/helpers/wikidata.py)
+
+_QID_RE = re.compile(r"^Q[1-9]\d*$")
+_WD_API = "https://www.wikidata.org/w/api.php"
+
+
+def deref_wikidata_id(
+    context: CrawlerContext, qid: str | None, cache_days: int = 60
+) -> str | None:
+    """Resolve a Wikidata QID through redirects (wikidata.py:8-47):
+    invalid/None → None; a redirect → its target; fetch failure or no
+    HTTP boundary configured → the original QID (the reference's
+    RequestException fallback). The fetch rides the context's pluggable
+    HTTP seam; the column-side twin is ``functions/wikidata.py``
+    ``deref_qids`` (catalog ``wikidata_deref``)."""
+    if qid is None or not _QID_RE.match(qid):
+        return None
+    params = {"format": "json", "ids": qid, "action": "wbgetentities"}
+    try:
+        res = context.fetch_json(_WD_API, params=params, cache_days=cache_days)
+    except NotImplementedError as exc:
+        context.log.warning(f"Failed to dereference Wikidata ID {qid}: {exc}")
+        return qid
+    except Exception as exc:  # RequestException parity
+        context.log.warning(f"Failed to dereference Wikidata ID {qid}: {exc}")
+        return qid
+    entity = (res or {}).get("entities", {}).get(qid, {})
+    target = entity.get("redirects", {}).get("to")
+    if target is not None:
+        context.log.info(f"Wikidata ID {qid} is a redirect to {target}")
+        return str(target)
+    return qid

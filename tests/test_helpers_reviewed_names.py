@@ -449,3 +449,62 @@ def test_apply_reviewed_names_df_never_shuffles_originals(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# clean_names + deref_wikidata_id (the last two zavod.helpers exports)
+
+
+def test_clean_names_routes_through_registered_cleaner():
+    seen = []
+
+    def cleaner(context, schema, names):
+        seen.append((schema, names))
+        return h.Names(name="Cleaned")
+
+    h.register_name_cleaner(cleaner)
+    try:
+        ctx = _context()
+        out = h.clean_names(
+            ctx, h.SourceNames(entity_schema="Person", original=h.Names(name="Raw"))
+        )
+        assert out == h.Names(name="Cleaned")
+        assert seen[0][0] == "Person"
+    finally:
+        h.register_name_cleaner(None)
+    with pytest.raises(NotImplementedError, match="register_name_cleaner"):
+        h.clean_names(
+            _context(),
+            h.SourceNames(entity_schema="Person", original=h.Names(name="X")),
+        )
+
+
+def test_deref_wikidata_id(tmp_path):
+    import json as _json
+
+    from opensanctions_spark.crawler import register_http_fetcher
+
+    ctx = _context()
+    assert h.deref_wikidata_id(ctx, None) is None
+    assert h.deref_wikidata_id(ctx, "not-a-qid") is None
+    # no HTTP boundary → graceful fallback to the original QID + warning
+    assert h.deref_wikidata_id(ctx, "Q42") == "Q42"
+    assert any("Q42" in i["message"] for i in ctx.issues)
+
+    def fetcher(url, **kwargs):
+        assert "ids=Q42" in url
+        return _json.dumps(
+            {"entities": {"Q42": {"redirects": {"to": "Q1000"}}}}
+        )
+
+    register_http_fetcher(fetcher)
+    try:
+        assert h.deref_wikidata_id(_context(), "Q42") == "Q1000"
+
+        def no_redirect(url, **kwargs):
+            return _json.dumps({"entities": {"Q7": {}}})
+
+        register_http_fetcher(no_redirect)
+        assert h.deref_wikidata_id(_context(), "Q7") == "Q7"
+    finally:
+        register_http_fetcher(None)
