@@ -17,3 +17,28 @@ use ``path:line`` into the read-only reference checkout.
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["Context", "Entity", "settings", "helpers"]
+
+
+def __getattr__(name: str):
+    """Lazy top-level compat exports mirroring the reference package
+    (``zavod/zavod/__init__.py``: Context, Entity, settings) — lazy so
+    importing a submodule (e.g. ``opensanctions_spark.model``) never
+    drags the driver-side crawler layer in, and no import cycles form.
+    ``from opensanctions_spark import Context, helpers as h`` is the
+    reference's ``from zavod import Context, helpers as h`` on a swap.
+    """
+    if name == "Context":
+        from opensanctions_spark.crawler import CrawlerContext
+
+        return CrawlerContext
+    if name == "Entity":
+        from opensanctions_spark.crawler import Entity
+
+        return Entity
+    if name == "settings":
+        import importlib
+
+        return importlib.import_module("opensanctions_spark.settings")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,19 @@
+"""Compat ``zavod.settings`` subset: the runtime constants crawlers read
+(``zavod/zavod/settings.py``). RUN_TIME is the engine's deterministic
+run timestamp (model.melt.RUN_TIME parsed); service keys default None —
+register the corresponding seam (HTTP fetcher / name cleaner /
+translator) instead of setting a key."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from opensanctions_spark.model.melt import RUN_TIME as _RUN_TIME_STR
+
+RUN_TIME: datetime = datetime.fromisoformat(_RUN_TIME_STR[:19])
+RUN_TIME_ISO: str = _RUN_TIME_STR
+
+#: third-party service keys — intentionally None: this engine routes
+#: external services through registered seams, not env keys
+OPENAI_API_KEY: str | None = None
+ZYTE_API_KEY: str | None = None

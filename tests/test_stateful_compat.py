@@ -1,0 +1,238 @@
+"""Compat ``zavod.stateful`` surface: occupancy-status decision order
+and position categorisation pinned to
+``zavod/zavod/tests/stateful/test_positions.py:18-235`` /
+``test_review.py``, plus the generic review-extraction workflow."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from types import SimpleNamespace
+
+import pytest
+
+from opensanctions_spark import helpers as h
+from opensanctions_spark.crawler import CrawlerContext
+from opensanctions_spark.stateful.positions import (
+    OccupancyStatus,
+    PositionCategorisation,
+    categorise,
+    categorise_many,
+    load_categorisations,
+    occupancy_status,
+)
+from opensanctions_spark.stateful.review import (
+    JSONSourceValue,
+    TextSourceValue,
+    assert_all_accepted,
+    review_extraction,
+)
+
+NOW = datetime(2021, 1, 1)
+
+
+def _context(metadata=None):
+    config = SimpleNamespace(name="testds", metadata=metadata or {}, lookups={})
+    return CrawlerContext(None, config)
+
+
+def _make_occ(ctx, start=None, end=None, period_start=None, period_end=None):
+    occ = ctx.make("Occupancy")
+    occ.id = "occ"
+    occ.add("startDate", start)
+    occ.add("endDate", end)
+    occ.add("periodStart", period_start)
+    occ.add("periodEnd", period_end)
+    return occ
+
+
+def _status(ctx, implies, start, end, birth=None, death=None,
+            position_topics=(), dissolution_date=None, period_end=None,
+            categorisation=None):
+    person = ctx.make("Person")
+    person.id = "thabo"
+    pos = h.make_position(
+        ctx, "A position", country="ls", topics=list(position_topics),
+        dissolution_date=[dissolution_date] if dissolution_date else None,
+    )
+    return occupancy_status(
+        ctx,
+        person=person,
+        position=pos,
+        occupancy=_make_occ(ctx, start=start, end=end, period_end=period_end),
+        no_end_implies_current=implies,
+        current_time=NOW,
+        birth_date=birth,
+        death_date=death,
+        categorisation=categorisation,
+    )
+
+
+def test_occupancy_status_reference_cases():
+    """The exact case table of the reference's test_occupancy_status."""
+    ctx = _context()
+    s = lambda *a, **k: _status(ctx, *a, **k)  # noqa: E731
+
+    assert s(True, "2020-01-01", None) == OccupancyStatus.CURRENT
+    assert s(True, None, None) == OccupancyStatus.CURRENT
+    assert s(False, None, None) is None
+    assert s(True, "1950-01-01", "2021-01-02") == OccupancyStatus.CURRENT
+    assert s(True, "1950-01-01", "2020-12-31") == OccupancyStatus.ENDED
+    assert s(False, "1950-01-01", "2016-01-01") is None
+    assert s(False, "1950-01-01", "2016-01-01",
+             position_topics=["gov.national"]) is OccupancyStatus.ENDED
+    assert s(False, "1950-01-01", "2001-01-01",
+             position_topics=["gov.national"]) is None
+    # dissolution within / beyond after-office
+    assert s(False, "1981-01-01", None,
+             dissolution_date="2017-01-01") is OccupancyStatus.ENDED
+    assert s(False, "2001-01-01", None, dissolution_date="2015-01-01") is None
+    assert s(True, "2001-01-01", None, dissolution_date="2015-01-01") is None
+    # categorisation topics override the position's
+    assert _status(
+        ctx, True, "1950-01-01", "2016-12-31",
+        categorisation=PositionCategorisation(["gov.national"], True),
+    ) is OccupancyStatus.ENDED
+    # MAX_OFFICE (365-day years: the cutoff lands at 1981-01-11)
+    assert s(False, "1981-01-01", None) is None
+    assert s(True, "1981-01-01", None) is None
+    assert s(False, "1981-01-15", None) == OccupancyStatus.UNKNOWN
+    assert s(True, "1981-01-15", None) == OccupancyStatus.CURRENT
+    # prefix-date end semantics
+    assert s(True, "2020-01-01", "2021") == OccupancyStatus.CURRENT
+    assert s(True, "2020-01-01", "2021-01") == OccupancyStatus.CURRENT
+    assert s(True, "2020-01-01", "2021-01-01") == OccupancyStatus.CURRENT
+    assert s(False, "2010-01-01", "2016") == OccupancyStatus.ENDED
+    # death caps / disqualifies
+    assert s(True, "2020-01-01", None, None, "2016-01-01") is None
+    assert s(True, "1950-01-01", "2021-01-02", None, "2016-01-01") is None
+    assert s(True, "1950-01-01", "2020-12-31", None, "2016-01-01") is None
+    assert s(True, "2014-01-01", None, None, "2016") == OccupancyStatus.ENDED
+    assert s(True, "2014-01-01", None, None, "2015") is None
+    assert s(True, "2018-01-01", None, None, "2019-06-01") == OccupancyStatus.ENDED
+    assert s(False, "2018-01-01", None, None, "2019-06-01") == OccupancyStatus.ENDED
+    assert s(True, "1950-01-01", "2021-01-02", None,
+             "2019-06-01") == OccupancyStatus.ENDED
+    assert s(False, "1950-01-01", "2015-01-01", None, "2019-06-01") is None
+    # birth beyond MAX_AGE
+    assert s(True, "2020-01-01", None, "1910-01-01") is None
+    assert s(True, "1950-01-01", "2021-01-02", "1910-01-01") is None
+    # period_end semantics
+    assert s(True, "2018-01-01", None,
+             period_end="2020-06-01") == OccupancyStatus.ENDED
+    assert s(True, "1950-01-01", None, period_end="2015-01-01") is None
+    assert s(False, "2018-01-01", None,
+             period_end="2025-01-01") == OccupancyStatus.UNKNOWN
+    assert s(True, "2018-01-01", None,
+             period_end="2025-01-01") == OccupancyStatus.CURRENT
+    # individual end_date beats period_end
+    assert s(True, "2018-01-01", "2020-12-31",
+             period_end="2025-01-01") == OccupancyStatus.ENDED
+    assert s(True, "2018-01-01", "2021-01-02",
+             period_end="2025-01-01") == OccupancyStatus.CURRENT
+
+
+def test_occupancy_status_coverage_distrust():
+    """A future end date beyond the dataset's coverage window degrades
+    CURRENT → UNKNOWN with a warning (positions.py:232-247)."""
+    ctx = _context(metadata={"coverage": {"end": "2019-01-01"}})
+    out = _status(ctx, True, "2015-01-01", "2021-06-01")
+    assert out == OccupancyStatus.UNKNOWN
+    assert any("coverage" in i["message"] for i in ctx.issues)
+
+
+def test_categorise_flow():
+    """test_positions.py:197-235: enrol-with-defaults, reviewed wins,
+    metadata updates keep the decision."""
+    ctx = _context()
+    pos = h.make_position(ctx, "A position", country="ls",
+                          subnational_area="Maseru")
+    cat = categorise(ctx, pos, default_is_pep=None)
+    assert cat.is_pep is None
+    # second call returns the STORED decision even with a new default
+    cat = categorise(ctx, pos, default_is_pep=True)
+    assert cat.is_pep is None
+
+    # a reviewed decision loaded from the external table wins
+    pos2 = h.make_position(ctx, "Other position", country="de")
+    load_categorisations(ctx, [(pos2.id, ["gov.igo"], True)])
+    cat2 = categorise(ctx, pos2, default_is_pep=True)
+    assert cat2.is_pep is True and cat2.topics == ["gov.igo"]
+
+    # bulk fetch
+    cats = categorise_many(ctx, [pos.id, pos2.id, "missing"])
+    assert len(cats) == 2
+
+    # metadata change updates the row but keeps the decision
+    pos2b = h.make_position(ctx, "Other position renamed", country="de")
+    pos2b.id = pos2.id
+    cat2b = categorise(ctx, pos2b, default_is_pep=False)
+    assert cat2b.is_pep is True
+    assert any("position metadata" in i["message"].lower() for i in ctx.issues)
+
+
+def test_review_extraction_lifecycle():
+    ctx = _context()
+    sv = TextSourceValue(["k1"], "names", "Jim Doe; James Doe")
+    r = review_extraction(ctx, sv, h.Names(name="Jim Doe; James Doe"),
+                          origin="analyst")
+    assert not r.accepted
+
+    # unaccepted reviews refresh to the newest extraction
+    r2 = review_extraction(ctx, sv, h.Names(name="Jim Doe"), origin="analyst")
+    assert r2 is r and r2.extracted_data == h.Names(name="Jim Doe")
+
+    # accepted: the analyst's edit stands across re-crawls
+    r2.accepted = True
+    r2.extracted_data = h.Names(alias="Jimmy")
+    r3 = review_extraction(ctx, sv, h.Names(name="Jim Doe"), origin="analyst")
+    assert r3.accepted and r3.extracted_data == h.Names(alias="Jimmy")
+
+    # both source value AND extraction changed → reset as if new
+    sv2 = TextSourceValue(["k1"], "names", "Someone Else")
+    r4 = review_extraction(ctx, sv2, h.Names(name="Someone Else"),
+                           origin="analyst")
+    assert not r4.accepted and r4.extracted_data == h.Names(name="Someone Else")
+
+    # crawler_version bump also resets
+    r4.accepted = True
+    r5 = review_extraction(ctx, sv2, h.Names(name="Someone Else"),
+                           origin="analyst", crawler_version=2)
+    assert not r5.accepted
+
+
+def test_assert_all_accepted():
+    ctx = _context()
+    sv = JSONSourceValue("k", "payload", {"a": [1]})
+    r = review_extraction(ctx, sv, {"a": [1]}, origin="lookups")
+    with pytest.raises(AssertionError, match="1 unaccepted"):
+        assert_all_accepted(ctx)
+    # warn-only mode
+    assert_all_accepted(ctx, raise_on_unaccepted=False)
+    assert any("unaccepted" in i["message"] for i in ctx.issues)
+    r.accepted = True
+    assert_all_accepted(ctx)  # no raise
+
+
+def test_reference_import_paths():
+    """Every import line the reference crawlers actually use resolves on
+    a zavod → opensanctions_spark swap (the top-12 import shapes from a
+    grep over datasets/*/*/crawler.py)."""
+    from opensanctions_spark import Context, Entity, settings  # noqa: F401
+    from opensanctions_spark import helpers as h  # noqa: F401
+    from opensanctions_spark.entity import Entity as E2  # noqa: F401
+    from opensanctions_spark.stateful.positions import (  # noqa: F401
+        OccupancyStatus as _O,
+        PositionCategorisation as _P,
+        categorise as _c,
+    )
+    from opensanctions_spark.stateful.review import (  # noqa: F401
+        HtmlSourceValue,
+        JSONSourceValue as _J,
+        TextSourceValue as _T,
+        assert_all_accepted as _a,
+        review_extraction as _r,
+    )
+    from opensanctions_spark.util import Element, ElementOrTree, LangText  # noqa: F401
+
+    assert Context.__name__ == "CrawlerContext"
+    assert settings.RUN_TIME.year >= 2026
