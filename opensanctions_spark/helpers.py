@@ -1659,14 +1659,29 @@ def make_position(
     source_lang = lang or context.lang
     translated = None
     if translate_name and source_lang is not None and source_lang != "eng":
-        if _POSITION_TRANSLATOR is None:
+        translator = _POSITION_TRANSLATOR
+        if translator is None:
+            # fall back to the shed.trans engine when its LLM runner is
+            # wired (the reference's translate_position_name path)
+            from opensanctions_spark.shed import trans as _trans
+
+            if _trans._TEXT_PROMPT_RUNNER is not None:
+                def translator(ctx, text, lg):
+                    result = _trans.translate_position_name(
+                        ctx, LangText(text, lg)
+                    )
+                    preferred = result.get_preferred_language()
+                    if preferred is None:
+                        return None
+                    return (preferred.text, preferred.lang, result.origin)
+        if translator is None:
             context.log.warning(
                 "translate_name requested but no position translator "
                 "registered; keeping the untranslated name.",
                 name=name,
             )
         else:
-            translated = _POSITION_TRANSLATOR(context, name, source_lang)
+            translated = translator(context, name, source_lang)
     if translated is not None:
         text, tlang, origin = translated
         position.add("name", text, lang=tlang, original_value=name, origin=origin)

@@ -236,3 +236,94 @@ def test_reference_import_paths():
 
     assert Context.__name__ == "CrawlerContext"
     assert settings.RUN_TIME.year >= 2026
+
+
+# --------------------------------------------------------------------------
+# shed.trans (zavod/zavod/shed/trans.py)
+
+
+def test_apply_translit_full_name_and_position_translation():
+    import json as _json
+
+    from opensanctions_spark.shed import trans
+
+    def runner(context, prompt, text, model):
+        if "position label" in prompt:
+            return _json.dumps({"eng": "Minister of Finance"})
+        return _json.dumps({"eng": "Sergei Ivanov"})
+
+    trans.register_text_prompt_runner(runner)
+    try:
+        ctx = _context()
+        e = ctx.make("Person")
+        e.id = "p1"
+        trans.apply_translit_full_name(
+            ctx, e, h.LangText("Сергей Иванов", "rus")
+        )
+        names = [(s[1], s[2], s[3]) for s in e._stmts if s[0] == "name"]
+        assert names == [("Sergei Ivanov", "eng", "llm")]
+
+        # as alias
+        e2 = ctx.make("Person")
+        e2.id = "p2"
+        trans.apply_translit_full_name(
+            ctx, e2, h.LangText("Сергей Иванов", "rus"), alias=True
+        )
+        assert [s[1] for s in e2._stmts if s[0] == "alias"] == ["Sergei Ivanov"]
+        assert [s for s in e2._stmts if s[0] == "name"] == []
+
+        result = trans.translate_position_name(
+            ctx, h.LangText("Ministre des Finances", "fra")
+        )
+        assert result.get_preferred_language() == h.LangText(
+            "Minister of Finance", "eng"
+        )
+    finally:
+        trans.register_text_prompt_runner(None)
+
+
+def test_translation_failure_routing():
+    from opensanctions_spark.shed import trans
+
+    ctx = _context()
+    # unconfigured → empty result + logged error
+    r = trans.run_translation_prompt(ctx, prompt="p", text="t")
+    assert r.texts == [] and any(
+        i["level"] == "error" for i in ctx.issues
+    )
+    # invalid JSON → empty + error
+    trans.register_text_prompt_runner(lambda c, p, t, m: "not json")
+    try:
+        ctx2 = _context()
+        assert trans.run_translation_prompt(ctx2, prompt="p", text="t").texts == []
+        # unexpected keys → empty + warning
+        trans.register_text_prompt_runner(lambda c, p, t, m: '{"deu": "x"}')
+        ctx3 = _context()
+        r3 = trans.run_translation_prompt(ctx3, prompt="p", text="t",
+                                          output_langs=["eng"])
+        assert r3.texts == []
+        assert any(i["level"] == "warning" for i in ctx3.issues)
+    finally:
+        trans.register_text_prompt_runner(None)
+
+
+def test_make_position_translate_rides_trans_runner():
+    """With only the shed.trans LLM runner registered (no dedicated
+    position translator), make_position(translate_name=True) still
+    translates — the reference's zavod.shed.trans path."""
+    import json as _json
+
+    from opensanctions_spark.shed import trans
+
+    trans.register_text_prompt_runner(
+        lambda c, p, t, m: _json.dumps({"eng": "Minister of Finance"})
+    )
+    try:
+        ctx = _context(metadata={"lang": "fra"})
+        pos = h.make_position(ctx, "Ministre des Finances", translate_name=True)
+        names = [s for s in pos._stmts if s[0] == "name"]
+        assert names == [(
+            "name", "Minister of Finance", "eng", "llm", "Ministre des Finances",
+        )]
+    finally:
+        trans.register_text_prompt_runner(None)
