@@ -327,3 +327,77 @@ def test_make_position_translate_rides_trans_runner():
         )]
     finally:
         trans.register_text_prompt_runner(None)
+
+
+# --------------------------------------------------------------------------
+# extract.zyte_api seam (zavod/zavod/extract/zyte_api.py)
+
+
+def test_zyte_fetch_html_validates_unblock(tmp_path):
+    from opensanctions_spark.extract import zyte_api
+
+    html_ok = "<html><body><table id='data'><tr><td>x</td></tr></table></body></html>"
+    html_blocked = "<html><body>Access denied</body></html>"
+    bodies = [html_blocked, html_ok]  # first attempt blocked, retry succeeds
+
+    zyte_api.register_unblock_fetcher(lambda req: bodies.pop(0))
+    try:
+        ctx = _context()
+        doc = zyte_api.fetch_html(
+            ctx, "https://example.com/x", unblock_validator=".//table",
+            backoff_factor=0,
+        )
+        assert doc.findall(".//td")
+        assert any("retrying" in i["message"].lower() for i in ctx.issues)
+
+        # never unblocks → UnblockFailedException after retries
+        zyte_api.register_unblock_fetcher(lambda req: html_blocked)
+        with pytest.raises(zyte_api.UnblockFailedException):
+            zyte_api.fetch_html(
+                _context(), "https://example.com/y",
+                unblock_validator=".//table", retries=1, backoff_factor=0,
+            )
+    finally:
+        zyte_api.register_unblock_fetcher(None)
+
+
+def test_zyte_fetch_html_absolute_links():
+    from opensanctions_spark.extract import zyte_api
+
+    html = "<html><body><p id='ok'><a href='/next'>n</a></p></body></html>"
+    zyte_api.register_unblock_fetcher(lambda req: html)
+    try:
+        doc = zyte_api.fetch_html(
+            _context(), "https://example.com/list/page1",
+            unblock_validator=".//p", absolute_links=True, backoff_factor=0,
+        )
+        links = [a.get("href") for a in doc.iter("a")]
+        assert links == ["https://example.com/next"]
+    finally:
+        zyte_api.register_unblock_fetcher(None)
+
+
+def test_zyte_fetch_json_and_resource(tmp_path):
+    import json as _json
+
+    from opensanctions_spark.extract import zyte_api
+
+    zyte_api.register_unblock_fetcher(lambda req: _json.dumps({"a": 1}))
+    try:
+        ctx = CrawlerContext(
+            None,
+            SimpleNamespace(name="x", metadata={}, lookups={}),
+            work_dir=str(tmp_path),
+        )
+        assert zyte_api.fetch_json(ctx, "https://e.com/d.json") == {"a": 1}
+        path = zyte_api.fetch_resource(ctx, "d.json", "https://e.com/d.json")
+        assert _json.load(open(path)) == {"a": 1}
+    finally:
+        zyte_api.register_unblock_fetcher(None)
+
+
+def test_zyte_unregistered_raises():
+    from opensanctions_spark.extract import zyte_api
+
+    with pytest.raises(NotImplementedError, match="register_unblock_fetcher"):
+        zyte_api.fetch_text(_context(), "https://example.com")
