@@ -18,7 +18,7 @@ use ``path:line`` into the read-only reference checkout.
 
 __version__ = "0.1.0"
 
-__all__ = ["Context", "Entity", "settings", "helpers"]
+__all__ = ["Context", "Dataset", "Entity", "settings", "helpers"]
 
 
 def __getattr__(name: str):
@@ -41,4 +41,8 @@ def __getattr__(name: str):
         import importlib
 
         return importlib.import_module("opensanctions_spark.settings")
+    if name == "Dataset":
+        from opensanctions_spark.meta import Dataset
+
+        return Dataset
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -337,6 +337,19 @@ class CrawlerContext:
             fh.write(payload)
         return dest
 
+    def parse_resource_xml(self, path: str):
+        """Parse a fetched XML resource into an ElementTree with
+        namespaces stripped (``zavod/zavod/context.py:480-491`` — the
+        reference returns an lxml tree; compat is stdlib ElementTree,
+        the same DOM surface the helpers operate on)."""
+        from xml.etree import ElementTree
+
+        from opensanctions_spark.helpers import remove_namespace
+
+        tree = ElementTree.parse(path)
+        remove_namespace(tree.getroot())
+        return tree
+
     def fetch_json(self, url: str, params: dict | None = None, **kwargs: Any):
         """GET + JSON-parse through the pluggable HTTP boundary
         (``zavod/zavod/context.py fetch_json``). file:// and local paths

@@ -269,3 +269,15 @@ def occupancy_status(
     if no_end_implies_current:
         return OccupancyStatus.CURRENT
     return OccupancyStatus.UNKNOWN
+
+
+_QID_RE = __import__("re").compile(r"^Q[1-9]\d*$")
+
+
+def categorised_position_qids(context: CrawlerContext):
+    """Yield reviewed Wikidata position QIDs with their PEP verdicts
+    (positions.py:131-143) — seeds/excludes positions before expensive
+    source-side discovery."""
+    for pid, row in _position_store(context).items():
+        if row.is_pep is not None and _QID_RE.match(pid):
+            yield pid, row.is_pep
