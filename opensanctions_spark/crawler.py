@@ -225,17 +225,22 @@ class CrawlerContext:
 
     # -- emit ---------------------------------------------------------------
 
-    def emit(self, entity: Entity, external: bool = False) -> None:
+    def emit(
+        self, entity: Entity, external: bool = False, origin: str | None = None
+    ) -> None:
         """Append the entity's statements to the run
         (``zavod/zavod/context.py:622-666``); entities without an id are
-        a crawler bug — fail loudly like the reference's assert."""
+        a crawler bug — fail loudly like the reference's assert.
+        ``origin`` sets the origin for statements where none has been
+        provided (context.py:631)."""
         if entity.id is None:
             raise ValueError(f"entity of schema {entity.schema.name} has no id")
-        for prop, value, lang, origin, original_value in entity.statements:
+        for prop, value, lang, stmt_origin, original_value in entity.statements:
             self._buffer.append(
                 (
                     entity.id, entity.schema.name, prop, value,
-                    lang, origin, original_value, external,
+                    lang, stmt_origin if stmt_origin is not None else origin,
+                    original_value, external,
                 )
             )
         self._n_emitted += 1

@@ -74,6 +74,14 @@ class LookupOption:
     def prop(self) -> str | None:
         return self.result.get("prop")
 
+    def __getattr__(self, name: str) -> Any:
+        # datapatch Result semantics: any result key reads as an
+        # attribute (res.schema, res.names, ...), absent keys as None
+        result = self.__dict__.get("result")
+        if result is None or name.startswith("__"):
+            raise AttributeError(name)
+        return result.get(name)
+
 
 @dataclass
 class Lookup:

@@ -452,8 +452,7 @@ def test_full_import_census_resolves():
         if not line or line.endswith("("):
             continue  # multi-line forms: covered by explicit imports
         if line in known_unresolved or "zavod.shed." in line and any(
-            m in line for m in ("bods", "firds", "fsf", "un_sc",
-                                "wikidata", "internal_data", "tokyo_mou")
+            m in line for m in ("wikidata", "internal_data", "tokyo_mou")
         ):
             continue
         try:
@@ -524,3 +523,257 @@ def test_un_sc_parse_and_name_semantics(tmp_path):
 
     ents = list(un_sc.get_legal_entities(ctx, "unsc", doc))
     assert len(ents) == 1 and ents[0][1].schema.name == "LegalEntity"
+
+
+# --------------------------------------------------------------------------
+# shed.firds (zavod/zavod/shed/firds.py)
+
+
+def test_firds_parse_zip_and_latest_set(tmp_path, spark):
+    import zipfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from opensanctions_spark.shed import firds
+
+    NS = "urn:iso:std:iso:20022:tech:xsd:auth.017.001.02"
+    xml = f"""<?xml version="1.0"?>
+<Doc xmlns="{NS}">
+  <RefData>
+    <FinInstrmGnlAttrbts>
+      <Id>US0378331005</Id>
+      <FullNm>Apple Inc</FullNm>
+      <ShrtNm>AAPL</ShrtNm>
+      <ClssfctnTp>ESVUFR</ClssfctnTp>
+      <NtnlCcy>USD</NtnlCcy>
+    </FinInstrmGnlAttrbts>
+    <TradgVnRltdAttrbts>
+      <AdmssnApprvlDtByIssr>1980-12-12</AdmssnApprvlDtByIssr>
+    </TradgVnRltdAttrbts>
+    <Issr>HWUPKR0MPOU8FGXBT394</Issr>
+  </RefData>
+  <RefData>
+    <FinInstrmGnlAttrbts>
+      <Id>EZNOTVALID99</Id>
+      <FullNm>OTC Thing</FullNm>
+    </FinInstrmGnlAttrbts>
+  </RefData>
+</Doc>"""
+    zpath = tmp_path / "FULINS_E_20240101_01of01.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("FULINS_E_20240101_01of01.xml", xml)
+
+    ctx = CrawlerContext(
+        spark, SimpleNamespace(name="eu_esma_firds", metadata={}, lookups={}),
+        work_dir=str(tmp_path / "work"),
+    )
+    firds.parse_xml_file(ctx, str(zpath))
+    stmts = ctx.statements_df(run_time="2026-08-15T00:00:00")
+    rows = {(r["entity_id"], r["prop"]): (r["value"], r["origin"])
+            for r in stmts.collect()}
+    # the valid ISIN emits a security with its issuer linked by LEI
+    assert rows[("isin-US0378331005", "name")][0] == "Apple Inc"
+    assert rows[("isin-US0378331005", "issuer")][0] == "lei-HWUPKR0MPOU8FGXBT394"
+    assert rows[("lei-HWUPKR0MPOU8FGXBT394", "leiCode")][0] == "HWUPKR0MPOU8FGXBT394"
+    # origin stamped from the dump file name (emit origin kwarg)
+    assert rows[("isin-US0378331005", "name")][1] == "FULINS_E_20240101_01of01.xml"
+    # the invalid ISIN row was skipped entirely
+    assert not any(e.startswith("isin-EZ") for e, _p in rows)
+
+    latest = firds.latest_full_set(ctx, [
+        ("a", "https://x/FULINS_E_20240101_01of02.zip"),
+        ("b", "https://x/FULINS_E_20240101_02of02.zip"),
+        ("c", "https://x/FULINS_E_20231201_01of01.zip"),
+        ("bad", "https://x/nodate.zip"),
+    ])
+    assert [n for n, _u in latest] == ["a", "b"]
+    assert any("does not match" in i["message"] for i in ctx.issues)
+
+
+# --------------------------------------------------------------------------
+# shed.bods (zavod/zavod/shed/bods.py)
+
+
+def test_bods_statement_parsing(tmp_path, spark):
+    import io
+    import json as _json
+
+    from opensanctions_spark.shed import bods
+
+    lines = [
+        {
+            "statementType": "personStatement",
+            "statementID": "p-1",
+            "personType": "knownPerson",
+            "isComponent": False,
+            "names": [{"fullName": "Jane Owner"}],
+            "nationalities": [{"code": "dk", "name": "Denmark"}],
+            "birthDate": "1970-01",
+            "identifiers": [
+                {"schemeName": "OpenOwnership Register",
+                 "uri": "https://register.example/p-1"},
+                {"schemeName": "Some Unknown Scheme", "id": "x"},
+            ],
+            "addresses": [{"address": "1 Main St", "country": "dk"}],
+        },
+        {
+            "statementType": "personStatement",
+            "statementID": "p-2",
+            "personType": "anonymousPerson",
+            "isComponent": False,
+        },
+        {
+            "statementType": "entityStatement",
+            "statementID": "e-1",
+            "isComponent": False,
+            "name": "Acme ApS",
+            "alternateNames": ["Acme"],
+            "foundingDate": "1999-05-01",
+            "incorporatedInJurisdiction": {"code": "dk", "name": "Denmark"},
+            "identifiers": [
+                {"schemeName": "Global Legal Entity Identifier Index",
+                 "uri": "https://lei.example/HWUPKR0MPOU8FGXBT394"},
+            ],
+        },
+        {
+            "statementType": "ownershipOrControlStatement",
+            "statementID": "o-1",
+            "isComponent": False,
+            "statementDate": "2020-01-01",
+            "interestedParty": {"describedByPersonStatement": "p-1"},
+            "subject": {"describedByEntityStatement": "e-1"},
+            "interests": [{"type": "shareholding", "details": "60%",
+                           "startDate": "2019-01-01"}],
+        },
+    ]
+    fh = io.BytesIO("\n".join(_json.dumps(x) for x in lines).encode() + b"\n")
+    ctx = CrawlerContext(
+        spark, SimpleNamespace(name="oo_bods", metadata={}, lookups={}),
+        work_dir=str(tmp_path),
+    )
+    bods.parse_bods_fh(ctx, fh)
+    stmts = ctx.statements_df(run_time="2026-08-15T00:00:00")
+    rows = {}
+    for r in stmts.collect():
+        rows.setdefault((r["entity_id"], r["prop"]), []).append(r["value"])
+
+    assert rows[("oo_bods-p-1", "name")] == ["Jane Owner"]
+    assert rows[("oo_bods-p-1", "nationality")] == ["Denmark"]
+    assert rows[("oo_bods-p-1", "sourceUrl")] == ["https://register.example/p-1"]
+    assert sorted(rows[("oo_bods-p-1", "country")]) == ["dk"]
+    # anonymous person skipped entirely
+    assert not any(e == "oo_bods-p-2" for e, _p in rows)
+    # entity: jurisdiction with original_value, LEI tail extracted
+    assert rows[("oo_bods-e-1", "jurisdiction")] == ["dk"]
+    assert rows[("oo_bods-e-1", "leiCode")] == ["HWUPKR0MPOU8FGXBT394"]
+    # ownership edge: the reference keeps the RAW statement ids as
+    # owner/asset references (bods.py:118-122) — resolution happens at
+    # integration time, not parse time
+    assert rows[("oo_bods-o-1", "owner")] == ["p-1"]
+    assert rows[("oo_bods-o-1", "asset")] == ["e-1"]
+    assert rows[("oo_bods-o-1", "role")] == ["shareholding"]
+    # unknown scheme warned, not added
+    assert any("Unknown scheme" in i["message"] for i in ctx.issues)
+
+
+# --------------------------------------------------------------------------
+# shed.fsf (zavod/zavod/shed/fsf.py)
+
+
+def _fsf_context(spark, tmp_path):
+    from opensanctions_spark.functions.lookups import Lookup, LookupOption
+
+    lookups = {
+        "subject_type": Lookup("subject_type", [
+            LookupOption(match=["person"], result={"value": "Person"}),
+            LookupOption(match=["enterprise"], result={"value": "Organization"}),
+        ]),
+        "identification_type": Lookup("identification_type", [
+            LookupOption(match=["passport"],
+                         result={"schema": "Identification"}),
+            LookupOption(match=["regnumber"],
+                         result={"prop": "registrationNumber"}),
+        ]),
+        "contact_info": Lookup("contact_info", [
+            LookupOption(match=["PHONE"], result={"prop": "phone"}),
+        ]),
+        "sanction.program": Lookup("sanction.program", []),
+    }
+    config = SimpleNamespace(name="eu_fsf", metadata={}, lookups=lookups)
+    return CrawlerContext(spark, config, work_dir=str(tmp_path))
+
+
+FSF_XML = """<?xml version="1.0"?>
+<export>
+<sanctionEntity euReferenceNumber="EU.1234.56" designationDate="2014-07-31"
+                unitedNationId="QDi.999">
+  <subjectType code="person"/>
+  <remark>Some remark</remark>
+  <regulation programme="UKR" numberTitle="269/2014 (OJ L78)"
+              entryIntoForceDate="2014-03-17" publicationDate="2014-03-21">
+    <publicationUrl>https://eur-lex.example/reg269</publicationUrl>
+  </regulation>
+  <nameAlias wholeName="Sergei Ivanov" firstName="Sergei" lastName="Ivanov"
+             strong="true" nameLanguage="en" title="(a) Mr, (b) Gen"
+             function="(a) Minister, (b) Advisor" gender="male"/>
+  <nameAlias wholeName="Serguei Ivanoff" strong="false"
+             nameLanguage="fr">
+    <remark>Low quality a.k.a.</remark>
+  </nameAlias>
+  <identification identificationTypeCode="passport" number="D12345"
+                  latinNumber="D12345" issuedBy="FSB" issueDate="2010-01-01"
+                  countryIso2Code="RU" logicalId="77"
+                  identificationTypeDescription="Diplomatic passport"/>
+  <identification identificationTypeCode="mystery" number="X"/>
+  <address street="1 Red Square" city="Moscow" countryIso2Code="RU"
+           countryDescription="Russia">
+    <contactInfo key="PHONE" value="+7 1, +7 2"/>
+    <contactInfo key="FAX" value="+7 3"/>
+  </address>
+  <birthdate year="1960" month="2" day="0" countryIso2Code="RU"
+             countryDescription="Russia" city="Leningrad"/>
+  <citizenship countryIso2Code="RU" countryDescription="Russia"/>
+</sanctionEntity>
+</export>"""
+
+
+def test_fsf_parse_entry(tmp_path, spark):
+    from xml.etree import ElementTree
+
+    from opensanctions_spark.shed import fsf
+
+    ctx = _fsf_context(spark, tmp_path)
+    root = ElementTree.fromstring(FSF_XML)
+    for entry in root.findall("./sanctionEntity"):
+        fsf.parse_entry(ctx, entry)
+
+    stmts = ctx.statements_df(run_time="2026-08-15T00:00:00")
+    rows = {}
+    for r in stmts.collect():
+        rows.setdefault((r["entity_id"], r["prop"]), []).append(r["value"])
+
+    eid = "eu-fsf-eu-1234-56"
+    # strong name applied with parts; weak one routed to weakAlias via
+    # the reviewed-names flow (unaccepted → original categorisation)
+    assert rows[(eid, "name")] == ["Sergei Ivanov"]
+    assert rows[(eid, "weakAlias")] == ["Serguei Ivanoff"]
+    assert rows[(eid, "firstName")] == ["Sergei"]
+    assert sorted(rows[(eid, "title")]) == ["Gen", "Mr"]
+    assert sorted(rows[(eid, "position")]) == ["Advisor", "Minister"]
+    assert rows[(eid, "topics")] == ["sanction"]
+    # sanction: earliest of designation/entry-into-force, program routed
+    sanction_ids = [e for (e, p) in rows if p == "unscId"]
+    assert len(sanction_ids) == 1
+    sid = sanction_ids[0]
+    assert rows[(sid, "startDate")] == ["2014-03-17"]
+    assert rows[(sid, "unscId")] == ["QDi.999"]
+    assert rows[(sid, "sourceUrl")] == ["https://eur-lex.example/reg269"]
+    # identification emitted for the schema-mapped type only
+    id_ids = [e for (e, p) in rows if p == "number"]
+    assert len(set(id_ids)) == 1
+    assert any("Unknown identification type" in i["message"] for i in ctx.issues)
+    # address + contact info (known key only), birth prefix date
+    assert rows[(eid, "phone")] == ["+7 1", "+7 2"]
+    assert any("Unknown contact info" in i["message"] for i in ctx.issues)
+    assert "1960-02" in rows[(eid, "birthDate")]
+    assert rows[(eid, "nationality")] == ["ru"]
