@@ -342,6 +342,39 @@ class CrawlerContext:
             fh.write(payload)
         return dest
 
+    def fetch_html(self, url: str, **kwargs: Any):
+        """GET/POST + lenient HTML parse through the pluggable HTTP
+        boundary (``zavod/zavod/context.py fetch_html``): the registered
+        fetcher receives the url plus the request kwargs (data, headers,
+        method, cache_days, ...) and returns the body; the body parses
+        through the compat DOM."""
+        from opensanctions_spark.helpers import parse_html
+
+        parsed_scheme = str(url).split(":", 1)[0]
+        if parsed_scheme in ("file",) or os.path.exists(str(url)):
+            src = str(url)[7:] if str(url).startswith("file://") else str(url)
+            with open(src) as fh:
+                return parse_html(fh.read())
+        if _HTTP_FETCHER is None:
+            raise NotImplementedError(
+                f"no HTTP fetcher registered for {url!r}: wire one with "
+                "register_http_fetcher(fn)"
+            )
+        body = _HTTP_FETCHER(str(url), **kwargs)
+        if isinstance(body, bytes):
+            body = body.decode("utf-8", "replace")
+        return parse_html(body)
+
+    def clear_url(self, url: str, **kwargs: Any) -> None:
+        """Evict a cached fetch (``context.clear_url``). Cache discipline
+        belongs to the registered fetcher: when it exposes a ``clear``
+        attribute that is called, otherwise this is a logged no-op."""
+        clear = getattr(_HTTP_FETCHER, "clear", None)
+        if clear is not None:
+            clear(str(url), **kwargs)
+        else:
+            self.log.info("clear_url: no cache-evicting fetcher", url=url)
+
     def parse_resource_xml(self, path: str):
         """Parse a fetched XML resource into an ElementTree with
         namespaces stripped (``zavod/zavod/context.py:480-491`` — the
@@ -411,6 +444,9 @@ class _Log:
 
     def _record(self, level: str, message: str, **data: Any) -> None:
         self.issues.append({"level": level, "message": message, "data": data})
+
+    def debug(self, message: str, **data: Any) -> None:
+        self._record("debug", message, **data)
 
     def info(self, message: str, **data: Any) -> None:
         self._record("info", message, **data)

@@ -443,16 +443,17 @@ def test_full_import_census_resolves():
         "from zavod.archive import dataset_data_path",
         "from zavod.store import get_store",
         "from zavod.integration import get_dataset_linker",
-        # per-source-family parsing libraries (BODS/FIRDS/FSF/UN-SC/
-        # wikidata client) — tracked as remaining compat surface
+        # remaining: the wikidata igo/position curation modules (long
+        # curated QID tables + client-heavy logic; the client seam and
+        # the human/country traversals are ported)
     }
     failures = []
     for line in sorted(set(out.splitlines())):
         line = line.strip()
         if not line or line.endswith("("):
             continue  # multi-line forms: covered by explicit imports
-        if line in known_unresolved or "zavod.shed." in line and any(
-            m in line for m in ("wikidata", "internal_data", "tokyo_mou")
+        if line in known_unresolved or "zavod.shed.wikidata" in line and (
+            "igo" in line or "position" in line
         ):
             continue
         try:
@@ -777,3 +778,182 @@ def test_fsf_parse_entry(tmp_path, spark):
     assert any("Unknown contact info" in i["message"] for i in ctx.issues)
     assert "1960-02" in rows[(eid, "birthDate")]
     assert rows[(eid, "nationality")] == ["ru"]
+
+
+# --------------------------------------------------------------------------
+# shed.bs_tokyo_mou_psc + shed.internal_data
+
+
+PSC_SEARCH_HTML = """<html><body>
+<table>
+<tr class="even"><td><input type="hidden" value="UID-1"/></td></tr>
+</table>
+<ul class="navigate"><li>Found 1 records on 1 pages</li></ul>
+</body></html>"""
+
+PSC_SHIP_HTML = """<html><body>
+<h2>Inspection data</h2>
+<table><tr><th>Date</th><th>Port</th></tr>
+<tr><td>2024-03-05</td><td>Busan</td></tr></table>
+<h2>Ship data</h2>
+<table><tr><th>Ship name</th><th>IMO number</th><th>Type</th><th>Callsign</th>
+<th>MMSI</th><th>Tonnage</th><th>Deadweight</th><th>Flag</th>
+<th>Name of ship master</th><th>ClassificationSociety</th></tr>
+<tr><td>MV Test</td><td>9999999</td><td>Bulk carrier</td><td>ABCD</td>
+<td>123456789</td><td>30000</td><td>52000</td><td>Panama</td>
+<td>John Master</td><td>Test Class Society</td></tr></table>
+<h2>Company details</h2>
+<table><tr><th>Name</th><th>IMO number</th><th>Registered</th>
+<th>Residence</th><th>Email</th><th>Phone</th><th>Fax</th></tr>
+<tr><td>Test Shipping Co</td><td>555</td><td>Panama</td><td>Greece</td>
+<td>a@b.c</td><td>+30 1</td><td>+30 2</td></tr></table>
+</body></html>"""
+
+
+def test_tokyo_mou_psc_crawl(tmp_path, spark):
+    from opensanctions_spark.crawler import register_http_fetcher
+    from opensanctions_spark.shed import bs_tokyo_mou_psc as psc
+
+    def fetcher(url, **kwargs):
+        if "inspection" in url:
+            return PSC_SEARCH_HTML
+        return PSC_SHIP_HTML
+
+    register_http_fetcher(fetcher)
+    try:
+        ctx = CrawlerContext(
+            spark, SimpleNamespace(name="tokyo_mou", metadata={}, lookups={}),
+            work_dir=str(tmp_path),
+        )
+        psc.crawl_psc_records(
+            ctx,
+            headers={},
+            search_data={"Flag": ""},
+            getinspection_url="https://psc.example/getinspection",
+            getships_url="https://psc.example/getships",
+        )
+        stmts = ctx.statements_df(run_time="2026-08-15T00:00:00")
+        rows = {}
+        for r in stmts.collect():
+            rows.setdefault((r["schema"], r["prop"]), []).append(r["value"])
+        assert rows[("Vessel", "name")] == ["MV Test"]
+        assert rows[("Vessel", "imoNumber")] == ["9999999"]
+        assert rows[("Person", "name")] == ["John Master"]
+        assert rows[("Organization", "name")] == ["Test Class Society"]
+        assert rows[("Company", "name")] == ["Test Shipping Co"]
+        # three UnknownLink edges: master, class society, company
+        assert sorted(rows[("UnknownLink", "role")]) == [
+            "Classification society", "Company", "Master",
+        ]
+        assert set(rows[("UnknownLink", "date")]) == {"2024-03-05"}
+    finally:
+        register_http_fetcher(None)
+
+
+def test_internal_data_store_seam(tmp_path):
+    from opensanctions_spark.shed import internal_data
+    from opensanctions_spark.sources.objectstore import FileSystemBackend
+
+    with pytest.raises(NotImplementedError, match="register_internal_data_store"):
+        internal_data.fetch_internal_data("k", tmp_path / "x")
+
+    root = tmp_path / "bucket"
+    (root / "src").mkdir(parents=True)
+    (root / "src" / "data.csv").write_text("a,b\n1,2\n")
+    internal_data.register_internal_data_store(FileSystemBackend(str(root)))
+    try:
+        dest = tmp_path / "out" / "data.csv"
+        internal_data.fetch_internal_data("src/data.csv", dest)
+        assert dest.read_text() == "a,b\n1,2\n"
+        with pytest.raises(FileNotFoundError):
+            internal_data.fetch_internal_data("missing.csv", tmp_path / "y")
+        assert list(internal_data.list_internal_data("src")) == ["src/data.csv"]
+    finally:
+        internal_data.register_internal_data_store(None)
+
+
+# --------------------------------------------------------------------------
+# shed.wikidata (client seam + country/human traversals)
+
+
+class _FakeWdClient:
+    def __init__(self, items):
+        self.items = {i.id: i for i in items}
+
+    def fetch_item(self, qid):
+        return self.items.get(qid)
+
+
+def _wd_world():
+    from opensanctions_spark.shed.wikidata.model import WdClaim, WdItem, WdText
+
+    germany = WdItem("Q183", {"Q6256"}, [WdClaim("P297", value="DE")],
+                     WdText("Germany", "eng"))
+    berlin = WdItem("Q64", {"Q515"}, [WdClaim("P17", qid="Q183")],
+                    WdText("Berlin"))
+    prussia = WdItem("Q38872", {"Q3024240"}, [], WdText("Prussia"))
+    person = WdItem(
+        "Q999001", {"Q5"},
+        [
+            WdClaim("P569", value="1970-05-01"),
+            WdClaim("P27", qid="Q183"),
+        ],
+        WdText("Jane Example (politician)", "eng"),
+    )
+    return _FakeWdClient([germany, berlin, prussia, person])
+
+
+def test_wikidata_country_traversal():
+    from opensanctions_spark.shed.wikidata import country
+
+    country.item_countries.cache_clear()
+    country.is_historical_country.cache_clear()
+    client = _wd_world()
+    # a city resolves to its P17 country's ISO code (P297 base case)
+    codes = {t.text for t in country.item_countries(client, "Q64")}
+    assert codes == {"de"}
+    # historical polity detected by type
+    assert country.is_historical_country(client, "Q38872")
+    assert not country.is_historical_country(client, "Q183")
+    # skip places yield nothing
+    assert country.item_countries(client, "Q7785") == set()
+
+
+def test_wikidata_basic_human():
+    from opensanctions_spark.shed.wikidata import country
+    from opensanctions_spark.shed.wikidata.human import wikidata_basic_human
+    from opensanctions_spark.shed.wikidata.model import WdClaim, WdItem, WdText
+
+    country.item_countries.cache_clear()
+    country.is_historical_country.cache_clear()
+    client = _wd_world()
+    ctx = _context()
+    person = client.fetch_item("Q999001")
+    e = wikidata_basic_human(ctx, client, person, strict=True)
+    assert e is not None and e.id == "Q999001"
+    # disambiguator stripped from the label
+    assert e.get("name") == ["Jane Example"]
+    assert e.get("citizenship") == ["de"]
+    assert e.get("birthDate") == ["1970-05-01"]
+
+    # non-human types are rejected
+    cat = WdItem("Q5582", {"Q146"}, [], WdText("A Cat"))
+    assert wikidata_basic_human(ctx, client, cat) is None
+    # strict mode drops the deceased
+    dead = WdItem("Q999002", {"Q5"},
+                  [WdClaim("P570", value="2001-01-01")], WdText("Gone"))
+    assert wikidata_basic_human(ctx, client, dead, strict=True) is None
+    assert wikidata_basic_human(ctx, client, dead, strict=False) is not None
+
+
+def test_wikidata_client_seam():
+    from opensanctions_spark.shed.wikidata import client as wd_client
+
+    with pytest.raises(NotImplementedError, match="register_wikidata_client"):
+        wd_client.create_wikidata_client(_context())
+    wd_client.register_wikidata_client_factory(lambda ctx: _wd_world())
+    try:
+        c = wd_client.create_wikidata_client(_context())
+        assert c.fetch_item("Q183") is not None
+    finally:
+        wd_client.register_wikidata_client_factory(None)
