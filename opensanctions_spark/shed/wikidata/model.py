@@ -33,15 +33,34 @@ def clean_wikidata_name(name: str) -> str:
 
 
 @dataclass
+class WdRef:
+    """One reference block: property id → snaks (WdClaim-shaped)."""
+
+    snaks: dict
+
+    def get(self, prop: str) -> list:
+        return list(self.snaks.get(prop, []))
+
+
+@dataclass
 class WdClaim:
     """One statement: property id, target qid or text value, ended flag
-    (the reference reads end-time qualifiers; fixture clients set it)."""
+    (the reference reads end-time qualifiers; fixture clients set it),
+    plus qualifiers (property → claims) and references."""
 
     property: str
     qid: str | None = None
     value: str | None = None
     lang: str | None = None
     ended: bool = False
+    qualifiers: dict = None  # type: ignore[assignment]
+    references: list = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.qualifiers is None:
+            self.qualifiers = {}
+        if self.references is None:
+            self.references = []
 
     @property
     def text(self) -> WdText:
@@ -49,6 +68,9 @@ class WdClaim:
 
     def is_ended(self) -> bool:
         return self.ended
+
+    def get_qualifier(self, prop: str) -> list:
+        return list(self.qualifiers.get(prop, []))
 
 
 @dataclass

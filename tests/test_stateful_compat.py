@@ -443,18 +443,13 @@ def test_full_import_census_resolves():
         "from zavod.archive import dataset_data_path",
         "from zavod.store import get_store",
         "from zavod.integration import get_dataset_linker",
-        # remaining: the wikidata igo/position curation modules (long
-        # curated QID tables + client-heavy logic; the client seam and
-        # the human/country traversals are ported)
     }
     failures = []
     for line in sorted(set(out.splitlines())):
         line = line.strip()
         if not line or line.endswith("("):
             continue  # multi-line forms: covered by explicit imports
-        if line in known_unresolved or "zavod.shed.wikidata" in line and (
-            "igo" in line or "position" in line
-        ):
+        if line in known_unresolved:
             continue
         try:
             exec(line.replace("zavod", "opensanctions_spark"), {})
@@ -957,3 +952,143 @@ def test_wikidata_client_seam():
         assert c.fetch_item("Q183") is not None
     finally:
         wd_client.register_wikidata_client_factory(None)
+
+
+# --------------------------------------------------------------------------
+# shed.wikidata.position (position gate, topics, occupancies)
+
+
+class _QueryResult:
+    def __init__(self, rows):
+        self.results = [_QueryRow(r) for r in rows]
+
+
+class _QueryRow:
+    def __init__(self, d):
+        self.d = d
+
+    def plain(self, key):
+        return self.d.get(key)
+
+
+class _FakeWdClient2(_FakeWdClient):
+    def __init__(self, items, query_rows=()):
+        super().__init__(items)
+        self.query_rows = list(query_rows)
+
+    def query(self, q, cache_days=None):
+        return _QueryResult(self.query_rows)
+
+
+def _position_world():
+    from opensanctions_spark.shed.wikidata.model import WdClaim, WdItem, WdText
+
+    germany = WdItem("Q183", {"Q6256"}, [WdClaim("P297", value="DE")],
+                     WdText("Germany", "eng"))
+    minister = WdItem(
+        "Q990001", {"Q4164871", "Q83307"},
+        [WdClaim("P1001", qid="Q183")],
+        WdText("Federal Minister of Things", "eng"),
+    )
+    medal = WdItem(
+        "Q990002", {"Q4164871", "Q618779"}, [WdClaim("P17", qid="Q183")],
+        WdText("Order of Merit", "eng"),
+    )
+    nato_sg = WdItem(
+        "Q990003", {"Q4164871"},
+        [WdClaim("P361", qid="Q7184")],
+        WdText("Secretary General of NATO", "eng"),
+    )
+    abolished = WdItem(
+        "Q990004", {"Q4164871", "Q83307"},
+        [WdClaim("P1001", qid="Q183"), WdClaim("P576", value="1932-01-01")],
+        WdText("Reich Minister of Things", "eng"),
+    )
+    return _FakeWdClient2([germany, minister, medal, nato_sg, abolished])
+
+
+def test_wikidata_position_gate_and_topics():
+    from opensanctions_spark.shed.wikidata import country
+    from opensanctions_spark.shed.wikidata.position import wikidata_position
+    from opensanctions_spark.stateful.positions import load_categorisations
+
+    country.item_countries.cache_clear()
+    country.is_historical_country.cache_clear()
+    client = _position_world()
+    ctx = _context()
+
+    minister = wikidata_position(ctx, client, client.fetch_item("Q990001"))
+    assert minister is not None
+    assert minister.get("country") == ["de"]
+    assert minister.get("topics") == ["gov.executive"]  # role.pep stripped
+    assert minister.get("name") == ["Federal Minister of Things"]
+
+    # award-ancestry positions are silently excluded
+    assert wikidata_position(ctx, client, client.fetch_item("Q990002")) is None
+
+    # positions abolished before the cutoff drop...
+    assert wikidata_position(ctx, client, client.fetch_item("Q990004")) is None
+    # ...unless a reviewer rescued them
+    ctx2 = _context()
+    load_categorisations(ctx2, [("Q990004", ["gov.executive"], True)])
+    rescued = wikidata_position(ctx2, client, client.fetch_item("Q990004"))
+    assert rescued is not None
+
+    # intl-org positions: pseudo-country, review as undecided → None
+    # until accepted (is_pep None is not truthy)
+    ctx3 = _context()
+    nato = wikidata_position(ctx3, client, client.fetch_item("Q990003"))
+    assert nato is None  # undecided, not emitted yet
+    load_categorisations(ctx3, [("Q990003", ["gov.igo"], True)])
+    nato = wikidata_position(ctx3, client, client.fetch_item("Q990003"))
+    assert nato is not None and nato.get("country") == ["zz"]
+    assert nato.get("topics") == ["gov.igo"]
+
+
+def test_wikidata_position_holders_and_occupancy():
+    from opensanctions_spark.shed.wikidata.model import (
+        WdClaim,
+        WdItem,
+        WdRef,
+        WdText,
+    )
+    from opensanctions_spark.shed.wikidata.position import (
+        position_holders,
+        wikidata_occupancy,
+        wikidata_position,
+    )
+
+    client = _position_world()
+    client.query_rows = [
+        {"person": "Q111", "modifiedAt": "2026-01-01T00:00:00Z"},
+        {"person": None, "modifiedAt": None},
+    ]
+    item = client.fetch_item("Q990001")
+    item.claims.append(WdClaim("P1308", qid="Q222"))
+    holders = position_holders(client, item)
+    assert set(holders) == {"Q111", "Q222"}
+    assert holders["Q111"].year == 2026 and holders["Q222"] is None
+
+    ctx = _context()
+    position = wikidata_position(ctx, client, item)
+    person = ctx.make("Person")
+    person.id = "Q111"
+    person.add("name", "Helga Holder")
+    p39 = WdClaim(
+        "P39", qid="Q990001",
+        qualifiers={
+            "P580": [WdClaim("P580", value="2011-03-01"),
+                     WdClaim("P580", value="2010-01-01")],
+            "P582": [WdClaim("P582", value="2024-06-30")],
+            "P768": [WdClaim("P768", value="Berlin-Mitte")],
+        },
+        references=[WdRef({"P854": [WdClaim("P854", value="https://gov.example/x")]})],
+    )
+    occ = wikidata_occupancy(ctx, person, position, p39)
+    assert occ is not None
+    assert occ.get("startDate") == ["2010-01-01"]  # earliest start wins
+    assert occ.get("endDate") == ["2024-06-30"]
+    assert occ.get("sourceUrl") == ["https://gov.example/x"]
+    assert occ.get("constituency") == ["Berlin-Mitte"]
+    # holder inherits the position's real country as inferred
+    assert "de" in person.get("country")
