@@ -90,10 +90,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: files, stalest first), then the round-2-last set fills the 50; its
 #: remainder queues directly below the budget line for round 7.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-6 additions (3) ---------------------------------------------
+    # -- round-6 additions (4) ---------------------------------------------
     "mm_decode_wav_real",
     "mm_decode_ppm_real",
     "s12_reviewed_names_emit",
+    "s14_un_sc_parse",
     # -- last driver row in ROUND 1, stale for 4 rounds (19) ----------------
     "q18_large_orders",
     "q5_local_supplier_volume",
@@ -142,9 +143,9 @@ DRIVER_PRIORITY: list[str] = [
     "j7_edge_dedupe_merge",
     "j5_t1_blocking_topk",
     "dedup_exact",
-    "text_token_count",
     # --- the driver's 50-row budget ends here; the round-2 remainder below
     # rotates into round 7 (and covers a budget increase) -------------------
+    "text_token_count",
     "text_langid",
     "text_quality",
     "text_fingerprint",

@@ -926,3 +926,61 @@ def s12_reviewed_names_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("analyst").alias("reviewer"),
     )
     return apply_reviewed_names(originals, review)
+
+
+@register(
+    "s14_un_sc_parse",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey % 2 = 0
+)
+SELECT 'unsc-' || CAST(1000 + k AS VARCHAR) AS entity_id, 'firstName' AS prop,
+       nm AS value
+FROM base
+UNION ALL
+SELECT 'unsc-' || CAST(1000 + k AS VARCHAR), 'lastName', 'UNIT' FROM base
+UNION ALL
+SELECT 'unsc-' || CAST(1000 + k AS VARCHAR), 'name', nm || ' UNIT' FROM base
+UNION ALL
+SELECT 'unsc-' || CAST(1000 + k AS VARCHAR), 'topics', 'sanction' FROM base
+""",
+)
+def s14_un_sc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN Security Council consolidated-list parse
+    (``zavod/zavod/shed/un_sc.py`` via the round-6 compat port): a
+    UN-shaped XML document synthesized from the nation DIMENSION (25
+    rows at every SF — the driver-side parse loop is bounded by
+    construction, like the S4/S5 HTML exhibits), parsed with the shed's
+    regime-prefix filter (QD entries = even keys kept, KP = odd keys
+    filtered out) and the UN first/last-name-only semantics, emitted
+    through the compat context and compared as statements. Proves the
+    crawler-boundary parse family against the same DuckDB gate as the
+    engine operators."""
+    from types import SimpleNamespace
+    from xml.etree import ElementTree
+
+    from opensanctions_spark.crawler import CrawlerContext
+    from opensanctions_spark.shed import un_sc
+
+    nation = load(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name").collect()  # 25: dimension
+    parts = ["<CONSOLIDATED_LIST><INDIVIDUALS>"]
+    for r in sorted(rows, key=lambda x: x["n_nationkey"]):
+        regime = "QDi" if r["n_nationkey"] % 2 == 0 else "KPi"
+        parts.append(
+            f"<INDIVIDUAL><DATAID>{1000 + r['n_nationkey']}</DATAID>"
+            f"<REFERENCE_NUMBER>{regime}.{r['n_nationkey']:03d}</REFERENCE_NUMBER>"
+            f"<FIRST_NAME>{r['n_name']}</FIRST_NAME>"
+            f"<SECOND_NAME>UNIT</SECOND_NAME></INDIVIDUAL>"
+        )
+    parts.append("</INDIVIDUALS></CONSOLIDATED_LIST>")
+    doc = ElementTree.fromstring("".join(parts))
+
+    ctx = CrawlerContext(
+        spark, SimpleNamespace(name="unsc", metadata={}, lookups={})
+    )
+    for _node, entity in un_sc.get_persons(
+        ctx, "unsc", doc, [un_sc.Regime.DAESH_AL_QAIDA]
+    ):
+        ctx.emit(entity)
+    return ctx.statements_df().select("entity_id", "prop", "value")
