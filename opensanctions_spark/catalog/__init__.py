@@ -38,8 +38,37 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return wrap
 
 
+def _relation_cache(spark: SparkSession) -> dict:
+    """Per-session relation cache, stored on the session object so its
+    lifetime is exactly the session's (a stopped/rebuilt session starts
+    empty)."""
+    cache = getattr(spark, "_osp_relation_cache", None)
+    if cache is None:
+        cache = {}
+        spark._osp_relation_cache = cache
+    return cache
+
+
+def invalidate_relations(spark: SparkSession) -> None:
+    """Drop the per-session relation cache (call after overwriting a table
+    path that was previously loaded in this session)."""
+    getattr(spark, "_osp_relation_cache", {}).clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (TESTDATA.md).
+
+    The resolved relation is cached per (session, dir, table): re-reading
+    parquet footers + re-listing the directory costs ~80 ms per
+    ``spark.read.parquet`` call on this harness, which dominates small-SF
+    query wall time. Metastore-backed Spark does exactly this cache for
+    catalog tables (``spark.sql.filesourceTableRelationCacheSize``,
+    default 1000 relations); path-based reads bypass it, so this restores
+    the production behavior. The cache holds plan metadata only (schema +
+    file list), never data — its size is catalog-sized at any data scale.
+    Writers that overwrite a previously-loaded path must call
+    :func:`invalidate_relations` (the static test tables never change
+    within a session).
 
     The test parquets are single-row-group files, so the scan itself is one
     task. For the compute-heavy-per-row tables (documents: regex/shingling;
@@ -50,9 +79,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         return load_events(spark, sf_dir)
+    cache = _relation_cache(spark)
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    cache[key] = df
     return df
 
 
@@ -69,6 +104,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    cache = _relation_cache(spark)
+    key = (sf_dir, "events")
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the NTZ→TIMESTAMP cast below reads the session timezone; pin it so
     # a vanilla driver session in a non-UTC environment can't shift values
@@ -79,6 +120,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

@@ -91,6 +91,10 @@ class Entity:
     def __init__(self, schema: Schema) -> None:
         self.schema = schema
         self.id: str | None = None
+        #: source datasets this entity's statements came from — populated by
+        #: the store view (``zavod`` Entity.datasets parity; empty for
+        #: crawl-time entities, which belong to the emitting dataset)
+        self.datasets: set[str] = set()
         #: (prop, value, lang, origin, original_value)
         self._stmts: list[tuple[str, str, str | None, str | None, str | None]] = []
 

@@ -28,6 +28,13 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default (true):
+        # A/B'd in round 7 — false coalesces post-shuffle partitions by
+        # bytes alone, which starves compute-heavy-per-byte stages (the J5
+        # blocking pair scorer went 1.4 s → 5.8 s at sf0.1 when its ~MB-
+        # sized shuffle coalesced to one task). Spark's default exists for
+        # exactly this case; at 100 TB the byte-based and parallelism-based
+        # targets coincide anyway.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # collect_set/collect_list aggregations (entity assembly, the
         # engine's core A1 shape) run as ObjectHashAggregate; the default

@@ -6,9 +6,18 @@ translator) instead of setting a key."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
+from pathlib import Path
 
 from opensanctions_spark.model.melt import RUN_TIME as _RUN_TIME_STR
+
+#: working-data root (``zavod/zavod/settings.py`` DATA_PATH: env override,
+#: ``data/`` under the CWD otherwise) — the base for
+#: ``opensanctions_spark.archive.dataset_data_path``
+DATA_PATH: Path = Path(
+    os.environ.get("OSP_DATA_PATH", os.path.join(os.getcwd(), "data"))
+).resolve()
 
 RUN_TIME: datetime = datetime.fromisoformat(_RUN_TIME_STR[:19])
 RUN_TIME_ISO: str = _RUN_TIME_STR

@@ -437,12 +437,6 @@ def test_full_import_census_resolves():
     known_unresolved = {
         # removed from the reference itself (stale crawler)
         "from zavod import init_context",
-        # engine-side analogues exist under different homes
-        # (sources/archive.py, operators/resolve.py, plans/run.py);
-        # these drive ANALYZER datasets, not source crawlers
-        "from zavod.archive import dataset_data_path",
-        "from zavod.store import get_store",
-        "from zavod.integration import get_dataset_linker",
     }
     failures = []
     for line in sorted(set(out.splitlines())):
