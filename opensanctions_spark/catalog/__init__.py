@@ -125,68 +125,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()``. Lifetime coverage: 192/192 queries have at least one
-#: green driver row across rounds 1-5. Round-6 rotation (VERDICT r5
-#: task 5): the round-6 additions go FIRST, then every query whose LAST
-#: driver row dates to round 1 (19 — computed from the CORRECTNESS_r0N
-#: files, stalest first), then the round-2-last set fills the 50; its
-#: remainder queues directly below the budget line for round 7.
+#: ``queries()``. Lifetime coverage: every catalog query has at least one
+#: green driver row across rounds 1-6 (196/196). Round-7 rotation
+#: (VERDICT r6 task 5): the round-7 addition goes FIRST, then the 12
+#: round-2-last queries that missed the round-6 budget, then the
+#: round-3-last set (49, stalest cohort — 37 fit the 50 budget); the
+#: remainder queues below the line for round 8, ahead of the
+#: round-4-last cohort.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-6 additions (4) ---------------------------------------------
-    "mm_decode_wav_real",
-    "mm_decode_ppm_real",
-    "s12_reviewed_names_emit",
-    "s14_un_sc_parse",
-    # -- last driver row in ROUND 1, stale for 4 rounds (19) ----------------
-    "q18_large_orders",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "w1_running_total",
-    "rollup_revenue",
-    "approx_distinct_users",
-    "approx_quantile_contract",
-    "funnel_view_click_purchase",
-    "w2_rolling_sum",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q16_supplier_variety",
-    "events_json_extract",
-    "events_variant_extract",
-    "pivot_status_counts",
-    "w3_rank_family",
-    "sketch_merge_distinct",
-    # -- last driver row in ROUND 2 (29 of 38 fit the budget) ---------------
-    "f7_identifier_checksums",
-    "f10_address_compose",
-    "f11_crypto_wallets",
-    "f13_occupancy_status",
-    "p7_person_cutoff",
-    "s1_csv_scan",
-    "s2_xml_scan",
-    "s3_json_scan",
-    "s4_html_dom",
-    "s5_html_table",
-    "s6_excel_scan",
-    "s7_pdf_tables",
-    "s8_cache_ttl",
-    "s10_archive_backfill",
-    "s11_llm_extraction",
-    "s12_review_workflow",
-    "audit_source_columns",
-    "a4_program_facets",
-    "a9_name_reduction",
-    "a10_edge_cleanup",
-    "j4_recursive_expansion",
-    "j9_match_rules",
-    "j11_self_reference",
-    "d4_change_detection",
-    "j7_edge_dedupe_merge",
-    "j5_t1_blocking_topk",
-    "dedup_exact",
-    # --- the driver's 50-row budget ends here; the round-2 remainder below
-    # rotates into round 7 (and covers a budget increase) -------------------
+    # -- round-7 addition (1) ----------------------------------------------
+    "s14_fsf_parse",
+    # -- last driver row in ROUND 2 (the 12 below the r6 budget line) -------
     "text_token_count",
     "text_langid",
     "text_quality",
@@ -199,6 +148,58 @@ DRIVER_PRIORITY: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_bucketed",
     "mm_byte_features",
+    # -- last driver row in ROUND 3 (37 of 49 fit the budget) ---------------
+    "rollup_time_hierarchy",
+    "sample_stratified",
+    "dedup_fuzzy_levenshtein",
+    "j7_interval_overlap",
+    "mixture_cap_per_source",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_windowed_agg",
+    "text_mojibake_scan",
+    "text_pii_redact",
+    "text_pii_scan",
+    "pack_sequences",
+    "text_gopher_rules",
+    "dedup_source_priority",
+    "docs_length_histogram",
+    "docs_length_quantiles",
+    "mm_frame_sample",
+    "mm_resize",
+    "ann_ivf_nprobe2",
+    "asof_last_view_before_click",
+    "dedup_embedding_fast",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "s6_xls_scan",
+    "s7_pdf_distributed",
+    "wikidata_deref",
+    "mixture_temperature",
+    "pipeline_quality_filter",
+    "q17_small_quantity_revenue",
+    "ann_centroid_step",
+    "contamination_overlap",
+    "dedup_chunk_exact",
+    "q11_important_parts",
+    "text_top_bigrams",
+    "dedup_url_canonical",
+    # --- the driver's 50-row budget ends here; the round-3 remainder below
+    # rotates into round 8 (and covers a budget increase) -------------------
+    "graph_degree_centrality",
+    "q9_product_profit",
+    "text_repetition",
+    "dedup_minhash_capped",
+    "ann_recall_meta",
+    "dedup_semantic_semdedup",
+    "text_tfidf_topk",
+    "ann_cosine_fast",
+    "dedup_near_cluster",
+    "q7_volume_shipping",
+    "pipeline_xref_resolve",
+    "a2_facets_grouping_sets",
 ]
 
 

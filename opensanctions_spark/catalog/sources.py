@@ -984,3 +984,70 @@ def s14_un_sc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         ctx.emit(entity)
     return ctx.statements_df().select("entity_id", "prop", "value")
+
+
+@register(
+    "s14_fsf_parse",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey % 2 = 0
+)
+SELECT 'eu-fsf-eu-' || CAST(1000 + k AS VARCHAR) || '-0' AS entity_id,
+       'name' AS prop, nm || ' UNIT' AS value
+FROM base
+UNION ALL
+SELECT 'eu-fsf-eu-' || CAST(1000 + k AS VARCHAR) || '-0', 'firstName', nm
+FROM base
+UNION ALL
+SELECT 'eu-fsf-eu-' || CAST(1000 + k AS VARCHAR) || '-0', 'lastName', 'UNIT'
+FROM base
+UNION ALL
+SELECT 'eu-fsf-eu-' || CAST(1000 + k AS VARCHAR) || '-0', 'topics', 'sanction'
+FROM base
+""",
+)
+def s14_fsf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EU Financial Sanctions Files parse (``zavod/zavod/shed/fsf.py`` via
+    the round-6 compat port — the family the verbatim ``datasets/eu/fsf``
+    crawler drives in tests/test_crawler_import_swap.py): an FSF-shaped
+    XML export synthesized from the nation DIMENSION (25 rows at every SF
+    — driver-side parse bounded by construction), with even keys as
+    ``person`` subject types (parsed: strong name alias → name/first/last
+    + the sanction topic) and odd keys under an unmapped subject type
+    (skipped with a warning — the reference's unknown-subject guard,
+    fsf.py:116-127). Statements compared against the closed form."""
+    from types import SimpleNamespace
+    from xml.etree import ElementTree
+
+    from opensanctions_spark.crawler import CrawlerContext
+    from opensanctions_spark.functions.lookups import Lookup, LookupOption
+    from opensanctions_spark.shed import fsf
+
+    nation = load(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name").collect()  # 25: dimension
+    parts = ["<export>"]
+    for r in sorted(rows, key=lambda x: x["n_nationkey"]):
+        k = r["n_nationkey"]
+        code = "person" if k % 2 == 0 else "vessel"  # vessel: unmapped
+        parts.append(
+            f'<sanctionEntity euReferenceNumber="EU.{1000 + k}.0">'
+            f'<subjectType code="{code}"/>'
+            f'<nameAlias wholeName="{r["n_name"]} UNIT"'
+            f' firstName="{r["n_name"]}" lastName="UNIT" strong="true"'
+            f' nameLanguage="en"/>'
+            f"</sanctionEntity>"
+        )
+    parts.append("</export>")
+    doc = ElementTree.fromstring("".join(parts))
+
+    lookups = {
+        "subject_type": Lookup("subject_type", [
+            LookupOption(match=["person"], result={"value": "Person"}),
+        ]),
+    }
+    ctx = CrawlerContext(
+        spark, SimpleNamespace(name="eu_fsf", metadata={}, lookups=lookups)
+    )
+    for entry in doc.findall("./sanctionEntity"):
+        fsf.parse_entry(ctx, entry)
+    return ctx.statements_df().select("entity_id", "prop", "value")

@@ -139,6 +139,150 @@ def test_irs_ffi_crawler_import_swap_e2e(spark, ffi_csv, tmp_path):
     assert expected in got
 
 
+# -- the eu/fsf reference crawler, import-swapped ---------------------------
+# VERBATIM body of datasets/eu/fsf/crawler.py (the round-6 shed family's
+# first non-fixture consumer): fetch → export_resource → parse_resource_xml
+# → remove_namespace → parse_entry per sanctionEntity → assert_all_accepted.
+# Only the import homes are swapped (zavod → opensanctions_spark).
+from opensanctions_spark import helpers as h  # noqa: E402
+from opensanctions_spark.shed.fsf import parse_entry  # noqa: E402
+from opensanctions_spark.stateful.review import assert_all_accepted  # noqa: E402
+
+
+def crawl_fsf(context: CrawlerContext) -> None:
+    path = context.fetch_resource("source.xml", context.data_url)
+    context.export_resource(path, "text/xml", title=context.SOURCE_TITLE)
+    doc = context.parse_resource_xml(path)
+    doc_ = h.remove_namespace(doc)
+    for entry in doc_.findall(".//sanctionEntity"):
+        parse_entry(context, entry)
+
+    assert_all_accepted(context, raise_on_unaccepted=False)
+
+
+FSF_EXPORT_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<export xmlns="http://eu.europa.eu/fpi/fsd/export" generationDate="2026-08-15">
+<sanctionEntity euReferenceNumber="EU.100.1" designationDate="2014-07-31">
+  <subjectType code="person"/>
+  <regulation programme="UKR" numberTitle="269/2014 (OJ L78)"
+              entryIntoForceDate="2014-03-17" publicationDate="2014-03-21">
+    <publicationUrl>https://eur-lex.example/reg269</publicationUrl>
+  </regulation>
+  <nameAlias wholeName="Anna Test" firstName="Anna" lastName="Test"
+             strong="true" nameLanguage="en" gender="female"/>
+  <nameAlias wholeName="Anna Test a.k.a. Ann T" strong="true"
+             nameLanguage="en"/>
+  <nameAlias wholeName="Annie T" strong="false" nameLanguage="en"/>
+  <birthdate year="1970" month="1" day="5" countryIso2Code="RU"
+             countryDescription="Russia"/>
+  <citizenship countryIso2Code="RU" countryDescription="Russia"/>
+</sanctionEntity>
+<sanctionEntity euReferenceNumber="EU.200.2" designationDate="2022-02-25">
+  <subjectType code="enterprise"/>
+  <regulation programme="RUS" numberTitle="2022/336 (OJ L58)"
+              entryIntoForceDate="2022-02-28" publicationDate="2022-03-01">
+    <publicationUrl>https://eur-lex.example/reg336</publicationUrl>
+  </regulation>
+  <nameAlias wholeName="Test Corp" strong="true" nameLanguage="en"/>
+</sanctionEntity>
+<sanctionEntity euReferenceNumber="EU.300.3">
+  <subjectType code="vessel"/>
+  <nameAlias wholeName="MV Ghost" strong="true"/>
+</sanctionEntity>
+</export>"""
+
+
+@pytest.fixture()
+def fsf_xml(tmp_path):
+    path = tmp_path / "source_fsf.xml"
+    path.write_text(FSF_EXPORT_XML)
+    return str(path)
+
+
+def _fsf_lookups():
+    from opensanctions_spark.functions.lookups import Lookup, LookupOption
+
+    return {
+        "subject_type": Lookup("subject_type", [
+            LookupOption(match=["person"], result={"value": "Person"}),
+            LookupOption(match=["enterprise"],
+                         result={"value": "Organization"}),
+        ]),
+        "identification_type": Lookup("identification_type", []),
+        "contact_info": Lookup("contact_info", []),
+        "sanction.program": Lookup("sanction.program", [
+            LookupOption(match=["UKR"], result={"value": "EU-UKR"}),
+            LookupOption(match=["RUS"], result={"value": "EU-RUS"}),
+        ]),
+    }
+
+
+def test_eu_fsf_crawler_import_swap_e2e(spark, fsf_xml, tmp_path):
+    """Runs the VERBATIM datasets/eu/fsf/crawler.py body over an FSF-shaped
+    namespaced XML export, then the full dataset plan — the second real
+    reference crawler through the compat layer (VERDICT r6 task 2)."""
+    config = SimpleNamespace(
+        name="eu_fsf",
+        metadata={"data": {"url": fsf_xml}},
+        lookups=_fsf_lookups(),
+    )
+    statements, ctx = crawl(
+        spark, config, crawl_fsf, work_dir=str(tmp_path / "work"),
+        run_time="2026-08-15T00:00:00",
+    )
+    # source doc fetched + registered (export_resource)
+    assert ctx.resources and ctx.resources[0]["name"] == "source.xml"
+    assert os.path.exists(ctx.resources[0]["path"])
+    # the unknown subject type (vessel) was skipped with a warning
+    assert any("Unknown subject type" in i["message"] for i in ctx.issues)
+    # assert_all_accepted(raise_on_unaccepted=False): the weak-name review
+    # is posted but unaccepted → the warning path, not an abort
+    assert any("unaccepted" in i["message"] for i in ctx.issues)
+
+    rows = {}
+    for r in statements.collect():
+        rows.setdefault((r["entity_id"], r["prop"]), []).append(r["value"])
+    person = "eu-fsf-eu-100-1"
+    org = "eu-fsf-eu-200-2"
+    # the a.k.a. string is IRREGULAR → review posted, unaccepted → the
+    # ORIGINAL categorisation applies (both strong names stay on "name")
+    assert sorted(rows[(person, "name")]) == [
+        "Anna Test", "Anna Test a.k.a. Ann T",
+    ]
+    assert rows[(person, "weakAlias")] == ["Annie T"]
+    assert rows[(person, "firstName")] == ["Anna"]
+    assert rows[(person, "gender")] == ["female"]
+    assert "1970-01-05" in rows[(person, "birthDate")]
+    assert rows[(person, "nationality")] == ["ru"]
+    assert rows[(org, "name")] == ["Test Corp"]
+    # the vessel entry emitted nothing
+    assert not any(e.startswith("eu-fsf-eu-300") for (e, _p) in rows)
+    # sanctions: one per regulation, start = earliest of designation/EIF
+    sanction_starts = {
+        e: v for (e, p), v in rows.items() if p == "startDate"
+    }
+    assert len(sanction_starts) == 2
+    assert sorted(sum(sanction_starts.values(), [])) == [
+        "2014-03-17", "2022-02-25",
+    ]
+
+    # full dataset plan over the crawl output
+    out_dir = str(tmp_path / "out")
+    archive = StatementArchive(spark, str(tmp_path / "archive"))
+    result = run_dataset(
+        spark, statements, DatasetConfig(name="eu_fsf"), archive,
+        out_dir=out_dir, run_time="2026-08-15T00:00:00",
+        version="20260815-000000",
+    )
+    assert result.schema_counts.get("Person") == 1
+    assert result.schema_counts.get("Organization") == 1
+    assert result.schema_counts.get("Sanction") == 2
+    assert result.target_count == 2  # 'sanction' IS a risk topic
+    with open(os.path.join(out_dir, "index.json")) as fh:
+        index = json.load(fh)
+    assert index["name"] == "eu_fsf"
+
+
 def test_fetch_resource_requires_registered_fetcher_for_http(spark, tmp_path):
     ctx = CrawlerContext(
         spark,
