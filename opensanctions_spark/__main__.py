@@ -362,6 +362,35 @@ def _cmd_dedupe_judge(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedupe(args: argparse.Namespace) -> int:
+    """`zavod dedupe` (``zavod/zavod/cli/dedupe.py:72-84``): the
+    interactive review loop over the best UNSURE candidates — render
+    both entities' cards, read p/n/u/q from stdin, bulk-apply the
+    session's judgements and persist the updated decisions."""
+    import sys as _sys
+
+    from opensanctions_spark.plans.dedupe_ui import dedupe_review_loop
+    from opensanctions_spark.session import get_session
+
+    spark = get_session("osp-dedupe")
+    spark.sparkContext.setLogLevel("ERROR")
+    decisions = spark.read.parquet(args.decisions)
+    entities = (
+        spark.read.parquet(args.entities) if args.entities else None
+    )
+    updated, judgements = dedupe_review_loop(
+        decisions, entities, _sys.stdin, _sys.stdout, limit=args.limit
+    )
+    if os.path.abspath(args.out) == os.path.abspath(args.decisions):
+        updated = updated.localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "decisions": args.out,
+        "judged": len(judgements),
+    }))
+    return 0
+
+
 def _cmd_xref_prune(args: argparse.Namespace) -> int:
     """`zavod xref-prune` analogue: drop undecided candidate edges from
     the persisted decisions, keep judgements only."""
@@ -705,6 +734,17 @@ def main(argv: list[str] | None = None) -> int:
     dn_p.add_argument("--decisions", required=True, help="decisions parquet")
     dn_p.add_argument("--limit", type=int, default=10)
     dn_p.set_defaults(fn=_cmd_dedupe_next)
+
+    d_p = sub.add_parser(
+        "dedupe", help="interactively decide xref candidates (zavod dedupe)"
+    )
+    d_p.add_argument("--decisions", required=True, help="decisions parquet")
+    d_p.add_argument("--out", required=True, help="updated decisions parquet")
+    d_p.add_argument(
+        "--entities", help="assembled entities parquet for review cards"
+    )
+    d_p.add_argument("--limit", type=int, default=25, help="page size")
+    d_p.set_defaults(fn=_cmd_dedupe)
 
     dj_p = sub.add_parser(
         "dedupe-judge", help="record one judgement on a candidate pair"

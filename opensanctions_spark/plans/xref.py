@@ -190,3 +190,50 @@ def apply_judgement(
         "left_anti",
     )
     return updated.unionByName(missing)
+
+
+def apply_judgements(
+    decisions: DataFrame,
+    judgements: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Bulk form of :func:`apply_judgement` — one broadcast join for a
+    whole review session's worth of human decisions instead of one plan
+    layer per pair (an interactive session of N judgements would
+    otherwise build an N-deep lineage). The judgement table is bounded by
+    analyst throughput, so the broadcast is defensible at any corpus
+    scale (same argument as the S12 review tables)."""
+    if not judgements:
+        return decisions
+    rows = []
+    seen: set[tuple[str, str]] = set()
+    # last judgement per pair wins (the reference TUI lets you re-judge)
+    for left_id, right_id, judgement in judgements:
+        judgement = judgement.upper()
+        if judgement not in ("POSITIVE", "NEGATIVE", "UNSURE"):
+            raise ValueError(f"bad judgement: {judgement}")
+        lo, hi = sorted([left_id, right_id])
+        rows.append((lo, hi, 1.0, judgement))
+    dedup: dict[tuple[str, str], tuple] = {}
+    for r in rows:
+        dedup[(r[0], r[1])] = r
+    spark = decisions.sparkSession
+    jt = spark.createDataFrame(
+        list(dedup.values()),
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    j = F.broadcast(
+        jt.select(
+            "left_id", "right_id", F.col("judgement").alias("_j"),
+        )
+    )
+    updated = (
+        decisions.join(j, ["left_id", "right_id"], "left")
+        .withColumn("judgement", F.coalesce(F.col("_j"), F.col("judgement")))
+        .drop("_j")
+    )
+    missing = jt.join(
+        decisions.select("left_id", "right_id"),
+        ["left_id", "right_id"],
+        "left_anti",
+    )
+    return updated.unionByName(missing)

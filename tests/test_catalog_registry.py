@@ -30,3 +30,26 @@ def test_driver_records_the_priority_head():
 def test_no_duplicate_priority_entries():
     dupes = {n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1}
     assert not dupes, f"duplicate DRIVER_PRIORITY entries: {dupes}"
+
+
+def test_relation_cache_and_invalidation(spark, tmp_path):
+    """catalog.load caches resolved relations per (session, dir, table);
+    overwriting a loaded path requires invalidate_relations (the
+    documented writer contract)."""
+    from opensanctions_spark.catalog import invalidate_relations, load
+
+    p = str(tmp_path)
+    spark.createDataFrame([(1,)], "n_nationkey long").write.parquet(
+        f"{p}/nation.parquet"
+    )
+    df1 = load(spark, p, "nation")
+    assert df1.count() == 1
+    # cached: same plan object back, no re-listing
+    assert load(spark, p, "nation") is df1
+    spark.createDataFrame([(1,), (2,)], "n_nationkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{p}/nation.parquet")
+    invalidate_relations(spark)
+    df2 = load(spark, p, "nation")
+    assert df2 is not df1
+    assert df2.count() == 2

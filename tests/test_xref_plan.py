@@ -154,3 +154,107 @@ def test_cli_dedupe_review_loop(spark, tmp_path, subjects, capsys):
         & (F.col("right_id") == top["right_id"])
     ).collect()
     assert [r["judgement"] for r in pair] == ["POSITIVE"]
+
+
+def test_apply_judgements_bulk(spark):
+    """Bulk session write (plans/xref.apply_judgements): overwrite known
+    pairs, append unknown ones, last re-judgement wins — one broadcast
+    join regardless of session length."""
+    from opensanctions_spark.plans.xref import apply_judgements
+
+    decisions = spark.createDataFrame(
+        [("a", "b", 0.9, "UNSURE"), ("a", "c", 0.7, "UNSURE"),
+         ("b", "d", 0.6, "NEGATIVE")],
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    out = apply_judgements(decisions, [
+        ("b", "a", "positive"),        # reversed ids normalize
+        ("a", "c", "negative"),
+        ("a", "c", "positive"),        # re-judged: last wins
+        ("x", "y", "negative"),        # unknown: appended at score 1.0
+    ])
+    rows = {(r["left_id"], r["right_id"]): (r["judgement"], r["score"])
+            for r in out.collect()}
+    assert rows[("a", "b")] == ("POSITIVE", 0.9)
+    assert rows[("a", "c")] == ("POSITIVE", 0.7)
+    assert rows[("b", "d")] == ("NEGATIVE", 0.6)
+    assert rows[("x", "y")] == ("NEGATIVE", 1.0)
+    # empty session is the identity
+    assert apply_judgements(decisions, []) is decisions
+    with pytest.raises(ValueError):
+        apply_judgements(decisions, [("a", "b", "maybe")])
+
+
+def test_interactive_dedupe_review_loop(spark):
+    """The zavod-dedupe TUI analogue (plans/dedupe_ui.dedupe_review_loop,
+    reference zavod/zavod/cli/dedupe.py:72-84): pops UNSURE pairs
+    best-first, renders entity cards, applies p/n, skips on u, stops on
+    q."""
+    import io
+
+    from opensanctions_spark.plans.dedupe_ui import dedupe_review_loop
+
+    decisions = spark.createDataFrame(
+        [("a1", "a2", 0.95, "UNSURE"), ("a1", "a4", 0.60, "UNSURE"),
+         ("b1", "b2", 0.55, "UNSURE"), ("c1", "c2", 0.40, "UNSURE"),
+         ("a2", "a3", 0.90, "POSITIVE")],  # already judged: not queued
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    entities = spark.createDataFrame(
+        [("a1", "Company", {"name": ["Acme Holding"], "country": ["de"]}),
+         ("a2", "Company", {"name": ["ACME Holding Group"]})],
+        "canonical_id STRING, schema STRING, "
+        "properties MAP<STRING, ARRAY<STRING>>",
+    )
+    # p → a1/a2 POSITIVE; u → skip a1/a4; n → b1/b2 NEGATIVE; q → stop
+    in_stream = io.StringIO("p\nu\nn\nq\n")
+    out_stream = io.StringIO()
+    updated, judgements = dedupe_review_loop(
+        decisions, entities, in_stream, out_stream, limit=10
+    )
+    assert judgements == [
+        ("a1", "a2", "POSITIVE"), ("b1", "b2", "NEGATIVE"),
+    ]
+    rows = {(r["left_id"], r["right_id"]): r["judgement"]
+            for r in updated.collect()}
+    assert rows[("a1", "a2")] == "POSITIVE"
+    assert rows[("b1", "b2")] == "NEGATIVE"
+    assert rows[("a1", "a4")] == "UNSURE"   # skipped
+    assert rows[("c1", "c2")] == "UNSURE"   # never reached (quit)
+    screen = out_stream.getvalue()
+    # best-first pop order and the entity cards rendered
+    assert screen.index("0.950") < screen.index("0.600")
+    assert "Acme Holding" in screen and "[Company]" in screen
+    assert "(no entity card)" in screen  # a4 has no card
+    assert "2 judgement(s) recorded" in screen
+
+
+def test_cli_dedupe_interactive(spark, tmp_path, subjects, capsys,
+                                monkeypatch):
+    """CLI verb: python -m opensanctions_spark dedupe — stdin-driven."""
+    import io
+
+    from opensanctions_spark.__main__ import main
+
+    subj_path = str(tmp_path / "subjects.parquet")
+    out = str(tmp_path / "xref")
+    subjects.write.parquet(subj_path)
+    assert main(["xref", "--subjects", subj_path, "--out", out]) == 0
+    capsys.readouterr()
+    decisions_path = f"{out}/decisions.parquet"
+    n_unsure = (
+        spark.read.parquet(decisions_path)
+        .filter(F.col("judgement") == "UNSURE").count()
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO("p\nq\n"))
+    assert main([
+        "dedupe", "--decisions", decisions_path,
+        "--out", str(tmp_path / "decisions3.parquet"), "--limit", "5",
+    ]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["judged"] == 1
+    updated = spark.read.parquet(str(tmp_path / "decisions3.parquet"))
+    assert (
+        updated.filter(F.col("judgement") == "UNSURE").count()
+        == n_unsure - 1
+    )
