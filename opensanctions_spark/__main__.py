@@ -208,6 +208,56 @@ def _cmd_dump(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_load_db(args: argparse.Namespace) -> int:
+    """`zavod load-db` (``zavod/zavod/cli/util.py:16-36`` →
+    ``tools/load_db.py:15-41``): archive statements — resolver applied,
+    deduplicated on statement id — into an RDBMS. With ``--url`` the
+    write goes through ``df.write.jdbc`` (driver jar required at
+    runtime); with ``--out`` the SAME prepared frame lands as parquet
+    for a SQL bulk loader — the container has no JDBC driver, so the
+    prepared-dump path is the testable form of the identical plan."""
+    from opensanctions_spark.exporters.jdbc import (
+        load_db,
+        prepare_statements_for_db,
+    )
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session("osp-load-db")
+    spark.sparkContext.setLogLevel("ERROR")
+    archive = StatementArchive(spark, args.archive)
+    stmts = archive.read_collection(
+        args.datasets.split(","), external=args.external
+    )
+    if args.canonical_map:
+        from opensanctions_spark.operators.resolve import apply_canonical
+
+        stmts = apply_canonical(stmts, spark.read.parquet(args.canonical_map))
+    if args.url:
+        load_db(stmts, args.url, args.table or "statements",
+                batch_size=args.batch_size)
+        print(json.dumps({"url": args.url, "table": args.table}))
+        return 0
+    if not args.out:
+        raise SystemExit("load-db needs --url (JDBC) or --out (prepared dump)")
+    prepared = prepare_statements_for_db(stmts)
+    prepared.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "statements": n}))
+    return 0
+
+
+def _cmd_clear(args: argparse.Namespace) -> int:
+    """`zavod clear` (``zavod/zavod/cli/util.py:62-70``): delete the
+    dataset's working data + state dirs (the versioned statement archive
+    is governed by gc/retention, not by clear)."""
+    from opensanctions_spark.archive import clear_data_path
+
+    clear_data_path(args.dataset)
+    print(json.dumps({"cleared": args.dataset}))
+    return 0
+
+
 def _cmd_enrich(args: argparse.Namespace) -> int:
     """`zavod enrich` analogue (§3.2): match a subject scope against a
     target store, apply resolver judgements, and expand the internal
@@ -695,6 +745,28 @@ def main(argv: list[str] | None = None) -> int:
     du_p.add_argument("--single-file", dest="single_file",
                       action="store_true", help="one ordered output file")
     du_p.set_defaults(fn=_cmd_dump)
+
+    ldb_p = sub.add_parser(
+        "load-db", help="load archive statements into a database (K11)"
+    )
+    ldb_p.add_argument("--archive", required=True, help="archive base dir")
+    ldb_p.add_argument("--datasets", required=True,
+                       help="comma-separated dataset names")
+    ldb_p.add_argument("--canonical-map", dest="canonical_map", default=None)
+    ldb_p.add_argument("--external", action="store_true")
+    ldb_p.add_argument("--url", default=None, help="JDBC url")
+    ldb_p.add_argument("--table", default=None, help="target table")
+    ldb_p.add_argument("--batch-size", dest="batch_size", type=int,
+                       default=10000)
+    ldb_p.add_argument("--out", default=None,
+                       help="prepared-statements parquet (no-JDBC path)")
+    ldb_p.set_defaults(fn=_cmd_load_db)
+
+    cl_p = sub.add_parser(
+        "clear", help="delete a dataset's working data and state dirs"
+    )
+    cl_p.add_argument("--dataset", required=True)
+    cl_p.set_defaults(fn=_cmd_clear)
 
     en_p = sub.add_parser(
         "enrich", help="match subjects against a target store (§3.2)"

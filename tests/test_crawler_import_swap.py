@@ -283,6 +283,138 @@ def test_eu_fsf_crawler_import_swap_e2e(spark, fsf_xml, tmp_path):
     assert index["name"] == "eu_fsf"
 
 
+# -- the eu/travel_bans reference crawler, import-swapped -------------------
+# VERBATIM body of datasets/eu/travel_bans/crawler.py: fetch_json over the
+# file-manifest API → per-file fetch_resource over HTTP (exercises the
+# register_http_fetcher seam) → parse_entry, with subjectType-less entries
+# routed through salvage_entity (name split + parse_sanctions keyed by
+# numberTitle). Only the import homes are swapped.
+from opensanctions_spark.shed.fsf import parse_sanctions  # noqa: E402
+from opensanctions_spark.util import Element, ElementOrTree  # noqa: E402
+
+TB_URL = "https://www.sanctionsmap.eu/api/v1/travelbans/file/%s"
+
+
+def salvage_entity(context: CrawlerContext, entry: Element) -> None:
+    texts = [t.text for t in entry.findall("./remark")]
+    assert len(texts) == 2, texts
+    name, details = texts
+    assert name is not None
+    name = name.split("(", 1)[0]
+    entity = context.make("LegalEntity")
+    entity.id = context.make_id(name)
+    entity.add("name", name)
+    entity.add("notes", details)
+    entity.add("topics", "sanction")
+    parse_sanctions(context, entity, entry, program_attrib="numberTitle")
+    context.emit(entity)
+
+
+def crawl_travel_bans(context: CrawlerContext) -> None:
+    data = context.fetch_json(context.data_url)
+    for ban in data.get("data", {}).get("travelBansFiles"):
+        if not ban.get("fileName").endswith(".xml"):
+            continue
+        data_url = TB_URL % ban.get("id")
+        path = context.fetch_resource("source.xml", data_url)
+        context.export_resource(path, "text/xml", title=context.SOURCE_TITLE)
+        doc: ElementOrTree = context.parse_resource_xml(path)
+        doc = h.remove_namespace(doc)
+        for entry in doc.findall(".//sanctionEntity"):
+            subject_type = entry.find("./subjectType")
+            if subject_type is None:
+                salvage_entity(context, entry)
+                continue
+            parse_entry(context, entry)
+
+    assert_all_accepted(context, raise_on_unaccepted=False)
+
+
+TB_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<export xmlns="http://eu.europa.eu/fpi/fsd/export">
+<sanctionEntity euReferenceNumber="EU.400.4" designationDate="2023-01-01">
+  <subjectType code="person"/>
+  <regulation numberTitle="2023/111 (OJ L1)" entryIntoForceDate="2023-01-05"
+              publicationDate="2023-01-06">
+    <publicationUrl>https://eur-lex.example/reg111</publicationUrl>
+  </regulation>
+  <nameAlias wholeName="Boris Banned" firstName="Boris" lastName="Banned"
+             strong="true" nameLanguage="en"/>
+</sanctionEntity>
+<sanctionEntity designationDate="2023-02-01">
+  <remark>Shadow Shipping Ltd (aka SS Ltd)</remark>
+  <remark>Entity listed only in the national annex</remark>
+  <regulation numberTitle="2023/222 (OJ L2)" entryIntoForceDate="2023-02-05">
+    <publicationUrl>https://eur-lex.example/reg222</publicationUrl>
+  </regulation>
+</sanctionEntity>
+</export>"""
+
+
+def test_eu_travel_bans_crawler_import_swap_e2e(spark, tmp_path):
+    """VERBATIM datasets/eu/travel_bans/crawler.py body: manifest JSON →
+    HTTP fetch through the registered fetcher seam → parse_entry +
+    salvage_entity (subjectType-less entries, crawler.py:10-22)."""
+    import json as _json
+
+    from opensanctions_spark.crawler import register_http_fetcher
+
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(_json.dumps({
+        "data": {"travelBansFiles": [
+            {"id": 7, "fileName": "travelBans.xml"},
+            {"id": 8, "fileName": "readme.txt"},   # non-xml: skipped
+        ]}
+    }))
+
+    fetched_urls: list[str] = []
+
+    def fake_http(url: str, **kw) -> bytes:
+        fetched_urls.append(url)
+        assert url == TB_URL % 7
+        return TB_XML.encode()
+
+    register_http_fetcher(fake_http)
+    try:
+        config = SimpleNamespace(
+            name="eu_travel_bans",
+            metadata={"data": {"url": str(manifest)}},
+            lookups=_fsf_lookups(),
+        )
+        statements, ctx = crawl(
+            spark, config, crawl_travel_bans,
+            work_dir=str(tmp_path / "work"),
+            run_time="2026-08-15T00:00:00",
+        )
+    finally:
+        register_http_fetcher(None)
+
+    # only the .xml manifest entry was fetched, through the http seam
+    assert fetched_urls == [TB_URL % 7]
+
+    rows = {}
+    for r in statements.collect():
+        rows.setdefault((r["entity_id"], r["prop"]), []).append(r["value"])
+    person = "eu-fsf-eu-400-4"  # parse_entry's slug prefix is fixed
+    assert rows[(person, "name")] == ["Boris Banned"]
+    assert rows[(person, "topics")] == ["sanction"]
+
+    # the salvage path: name truncated at '(' (whitespace stripped by the
+    # P5 emit guard), notes + sanction via the numberTitle program attr
+    salvaged = [
+        e for (e, p), v in rows.items()
+        if p == "name" and v == ["Shadow Shipping Ltd"]
+    ]
+    assert len(salvaged) == 1
+    sid = salvaged[0]
+    assert rows[(sid, "notes")] == ["Entity listed only in the national annex"]
+    # its sanction: start = earliest of designation / entry-into-force
+    s_ids = [e for (e, p), v in rows.items()
+             if p == "reason" and v == ["2023/222 (OJ L2)"]]
+    assert len(s_ids) == 1
+    assert rows[(s_ids[0], "startDate")] == ["2023-02-01"]
+
+
 def test_fetch_resource_requires_registered_fetcher_for_http(spark, tmp_path):
     ctx = CrawlerContext(
         spark,

@@ -783,3 +783,55 @@ def test_delta_index_lists_pending_version_and_only_real_artifacts(
     assert [e["version"] for e in didx3["unstable"]["version_list"]] == [
         str(ver3), str(ver2)
     ]
+
+
+def test_cli_load_db_verb(spark, tmp_path, capsys):
+    """load-db (zavod/zavod/cli/util.py:16-36): archive scope → resolver
+    rekey → id-dedupe → prepared statements. No JDBC driver ships in the
+    container, so the --out path exercises the identical prepared plan;
+    a --url-less, --out-less call is a loud usage error."""
+    import pytest as _pytest
+
+    from opensanctions_spark.__main__ import main
+    from opensanctions_spark.model.melt import melt_customers
+
+    cust = melt_customers(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    )
+    archive = StatementArchive(spark, str(tmp_path / "archive"))
+    archive.write(cust, "customers", "20260801-000000")
+    rc = main([
+        "load-db", "--archive", str(tmp_path / "archive"),
+        "--datasets", "customers",
+        "--out", str(tmp_path / "prepared.parquet"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["statements"] == cust.count()
+    back = spark.read.parquet(str(tmp_path / "prepared.parquet"))
+    # prepared form: id-deduplicated, reference CSV column order subset
+    assert back.select("id").distinct().count() == back.count()
+    assert "entity_id" in back.columns and "prop" in back.columns
+    with _pytest.raises(SystemExit):
+        main([
+            "load-db", "--archive", str(tmp_path / "archive"),
+            "--datasets", "customers",
+        ])
+
+
+def test_cli_clear_verb(tmp_path, monkeypatch, capsys):
+    """clear (zavod/zavod/cli/util.py:62-70): removes the dataset's
+    working-data dir under settings.DATA_PATH."""
+    from opensanctions_spark import settings
+    from opensanctions_spark.__main__ import main
+
+    monkeypatch.setattr(settings, "DATA_PATH", tmp_path)
+    from opensanctions_spark.archive import dataset_data_path
+
+    p = dataset_data_path("wipe_me")
+    (p / "source.csv").write_text("x")
+    assert p.exists()
+    assert main(["clear", "--dataset", "wipe_me"]) == 0
+    assert not p.exists()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["cleared"] == "wipe_me"
