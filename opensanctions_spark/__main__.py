@@ -258,6 +258,75 @@ def _cmd_clear(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_wikidata_reconcile(args: argparse.Namespace) -> int:
+    """`zavod wikidata-reconcile` (``zavod/zavod/cli/dedupe.py:86-168``)
+    headless form: Person entities → candidate search through the
+    registered wikidata client → stream-driven review →
+    judgements into the decisions frame + a QuickStatements batch."""
+    import sys as _sys
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.crawler import Entity, Schema
+    from opensanctions_spark.plans.wikidata_reconcile import (
+        reconcile_loop,
+        serialize,
+    )
+    from opensanctions_spark.plans.xref import apply_judgements
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.shed.wikidata.client import (
+        create_wikidata_client,
+    )
+
+    spark = get_session("osp-wd-reconcile")
+    spark.sparkContext.setLogLevel("ERROR")
+    ents = spark.read.parquet(args.entities)
+    rows = (
+        ents.filter(F.col("schema") == "Person")
+        .select("canonical_id", "schema", "properties")
+        .limit(args.limit)
+        .collect()
+    )
+    persons = []
+    for r in rows:
+        e = Entity(Schema(r["schema"]))
+        e.id = r["canonical_id"]
+        for prop, values in (r["properties"] or {}).items():
+            e.add(prop, values)
+        persons.append(e)
+    ctx = SimpleNamespace(name="wikidata-reconcile", metadata={})
+    client = create_wikidata_client(ctx)
+    judgements, commands = reconcile_loop(
+        persons, client, _sys.stdin, _sys.stdout,
+        source_url=args.source_url, retrieved=args.retrieved,
+    )
+    if args.decisions:
+        decisions = spark.read.parquet(args.decisions)
+    else:
+        decisions = spark.createDataFrame(
+            [],
+            "left_id STRING, right_id STRING, score DOUBLE, "
+            "judgement STRING",
+        )
+    updated = apply_judgements(decisions, [
+        (eid, qid, j) for eid, qid, j in judgements
+    ])
+    if args.decisions and (
+        os.path.abspath(args.out) == os.path.abspath(args.decisions)
+    ):
+        updated = updated.localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(args.out)
+    text = serialize(commands)
+    with open(args.qs, "w") as fh:
+        fh.write(text + "\n" if text else "")
+    print(json.dumps({
+        "decisions": args.out, "judged": len(judgements),
+        "quickstatements": args.qs, "commands": len(commands),
+    }))
+    return 0
+
+
 def _cmd_enrich(args: argparse.Namespace) -> int:
     """`zavod enrich` analogue (§3.2): match a subject scope against a
     target store, apply resolver judgements, and expand the internal
@@ -767,6 +836,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     cl_p.add_argument("--dataset", required=True)
     cl_p.set_defaults(fn=_cmd_clear)
+
+    wr_p = sub.add_parser(
+        "wikidata-reconcile",
+        help="review dataset persons against wikidata candidates",
+    )
+    wr_p.add_argument("--entities", required=True,
+                      help="assembled entities parquet")
+    wr_p.add_argument("--decisions", default=None,
+                      help="existing decisions parquet (optional)")
+    wr_p.add_argument("--out", required=True,
+                      help="updated decisions parquet")
+    wr_p.add_argument("--qs", required=True,
+                      help="QuickStatements v1 output file")
+    wr_p.add_argument("--source-url", dest="source_url", default=None)
+    wr_p.add_argument("--retrieved", default=None,
+                      help="retrieved-on date for citations (ISO)")
+    wr_p.add_argument("--limit", type=int, default=25)
+    wr_p.set_defaults(fn=_cmd_wikidata_reconcile)
 
     en_p = sub.add_parser(
         "enrich", help="match subjects against a target store (§3.2)"
