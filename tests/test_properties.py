@@ -477,3 +477,80 @@ def test_chunking_covers_every_token_without_contained_windows(spark, n_tokens):
         for b in spans:
             if a != b:
                 assert not (b[0] <= a[0] and a[1] <= b[1]), (a, b, "contained")
+
+
+# -- round 7: judgement-write and linker invariants --------------------------
+
+_IDS = st.text(alphabet="abcdxyz0123456789", min_size=1, max_size=6)
+_VERDICTS = st.sampled_from(["POSITIVE", "NEGATIVE", "UNSURE"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(_IDS, _IDS, _VERDICTS), min_size=0, max_size=8),
+    st.lists(st.tuples(_IDS, _IDS, _VERDICTS), min_size=0, max_size=8),
+)
+def test_apply_judgements_matches_python_reference(spark, base, session):
+    """Bulk write == the plain-Python fold: pairs normalize (lo, hi),
+    last session judgement per pair wins, unknown pairs append at score
+    1.0, untouched rows keep their judgement and score."""
+    from opensanctions_spark.plans.xref import apply_judgements
+
+    base_norm = {}
+    for left, right, j in base:
+        if left == right:
+            continue
+        lo, hi = sorted([left, right])
+        base_norm[(lo, hi)] = (0.5, j)  # later duplicates overwrite, fine
+    decisions = spark.createDataFrame(
+        [(lo, hi, s, j) for (lo, hi), (s, j) in base_norm.items()],
+        "left_id STRING, right_id STRING, score DOUBLE, judgement STRING",
+    )
+    session = [(l, r, j) for l, r, j in session if l != r]
+    expected = dict(base_norm)
+    for left, right, j in session:
+        lo, hi = sorted([left, right])
+        prior = expected.get((lo, hi))
+        expected[(lo, hi)] = (prior[0] if prior else 1.0, j)
+    out = apply_judgements(decisions, session)
+    got = {
+        (r["left_id"], r["right_id"]): (r["score"], r["judgement"])
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(_IDS, _IDS), max_size=12))
+def test_linker_canonical_is_idempotent_on_output(pairs):
+    """get_canonical falls back to the id; referents invert the map."""
+    from opensanctions_spark.integration import Linker
+
+    mapping = {e: c for e, c in pairs if e != c}
+    linker = Linker(mapping)
+    for e in list(mapping) + ["unmapped-zz"]:
+        canon = linker.get_canonical(e)
+        assert canon == mapping.get(e, e)
+        assert e in linker.get_referents(canon) or canon == e
+    for c in set(mapping.values()):
+        assert linker.get_referents(c) == {
+            e for e, cc in mapping.items() if cc == c
+        }
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sampled_from([4, 7, 10]).flatmap(
+    lambda n: st.dates().map(lambda d: d.isoformat()[:n])
+))
+def test_qs_date_precision_matches_length(iso):
+    from opensanctions_spark.plans.wikidata_reconcile import qs_date
+
+    out = qs_date(iso)
+    assert out.startswith("+") and out.endswith(
+        {"4": "/9", "7": "/10", "10": "/11"}[str(len(iso))]
+    )
+    # the date payload is always a full day timestamp
+    assert out[1:].split("/")[0].endswith("T00:00:00Z")
+    assert out[1:11].count("-") == 2
