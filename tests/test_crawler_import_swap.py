@@ -415,6 +415,157 @@ def test_eu_travel_bans_crawler_import_swap_e2e(spark, tmp_path):
     assert rows[(s_ids[0], "startDate")] == ["2023-02-01"]
 
 
+# -- the gb/fca_firds reference crawler, import-swapped ---------------------
+# VERBATIM body of datasets/gb/fca_firds/crawler.py: paginated fetch_json
+# over the FCA search API → latest_full_set → per-file fetch_resource →
+# shed.firds.parse_xml_file (zip of ISO-20022 instrument dumps). Only the
+# import homes are swapped.
+from urllib.parse import urlencode  # noqa: E402
+from datetime import datetime, timedelta  # noqa: E402
+from collections.abc import Iterator  # noqa: E402
+
+from opensanctions_spark.shed.firds import (  # noqa: E402
+    latest_full_set,
+    parse_xml_file,
+)
+
+
+def get_recent_full_dump_urls(context: CrawlerContext) -> "Iterator[tuple[str, str]]":
+    from_date = (datetime.now() - timedelta(days=30)).isoformat()[:10]
+    to_date = datetime.now().isoformat()[:10]
+    params = {
+        "q": f"file_type:FULINS AND publication_date:[{from_date} TO {to_date}]",
+        "from": 0,
+        "size": 100,
+        "pretty": "true",
+        "sort": "file_name:asc",
+    }
+    offset: int = 0
+    total: "int | None" = None
+    while total is None or offset <= total:
+        params["from"] = offset
+        url = f"{context.data_url}?{urlencode(params)}"
+        data = context.fetch_json(url)
+        total = data["hits"]["total"]
+        for hit in data["hits"]["hits"]:
+            src = hit["_source"]
+            yield src["file_name"], src["download_link"]
+
+        offset += 100
+
+
+def crawl_fca_firds(context: CrawlerContext) -> None:
+    for file_name, url in latest_full_set(
+        context, get_recent_full_dump_urls(context)
+    ):
+        context.log.info(f"Fetching {file_name}", url=url)
+        path = context.fetch_resource(file_name, url)
+        parse_xml_file(context, path)
+
+
+_FIRDS_NS = "urn:iso:std:iso:20022:tech:xsd:auth.017.001.02"
+
+
+def _firds_zip_bytes(isin, name, issuer_lei) -> bytes:
+    import io
+    import zipfile
+
+    xml = f"""<?xml version="1.0"?>
+<Doc xmlns="{_FIRDS_NS}">
+  <RefData>
+    <FinInstrmGnlAttrbts>
+      <Id>{isin}</Id>
+      <FullNm>{name}</FullNm>
+      <NtnlCcy>GBP</NtnlCcy>
+    </FinInstrmGnlAttrbts>
+    <Issr>{issuer_lei}</Issr>
+  </RefData>
+</Doc>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("instruments.xml", xml)
+    return buf.getvalue()
+
+
+def test_gb_fca_firds_crawler_import_swap_e2e(spark, tmp_path):
+    """VERBATIM datasets/gb/fca_firds/crawler.py body: two API pages
+    (pagination loop), a stale dump filtered by latest_full_set, two
+    latest-set zips parsed into securities + issuers."""
+    import json as _json
+
+    from opensanctions_spark.crawler import register_http_fetcher
+
+    api = "https://api.data.fca.example/fca_data_firds_files"
+    files = {
+        "FULINS_E_20260810_01of02.zip": _firds_zip_bytes(
+            "GB0002634946", "BAE Systems", "8SVCSVGJIVUVD2NG1Q67"
+        ),
+        "FULINS_E_20260810_02of02.zip": _firds_zip_bytes(
+            "GB00B03MLX29", "Shell plc", "21380068P1DRHMJ8KU70"
+        ),
+        # an older publication that latest_full_set must drop
+        "FULINS_E_20260701_01of01.zip": _firds_zip_bytes(
+            "GB00OLD00000", "Stale Co", "STALESTALESTALE00000"
+        ),
+    }
+
+    def page(hits, total):
+        return _json.dumps({
+            "hits": {
+                "total": total,
+                "hits": [
+                    {"_source": {
+                        "file_name": n,
+                        "download_link": f"https://dl.example/{n}",
+                    }}
+                    for n in hits
+                ],
+            }
+        })
+
+    names = sorted(files)  # file_name:asc, like the API sort param
+
+    def fake_http(url: str, **kw) -> bytes:
+        if url.startswith(api):
+            frm = int(url.split("from=")[1].split("&")[0])
+            # two pages: total 101 forces the second fetch (offset 100)
+            if frm == 0:
+                return page(names, 101).encode()
+            return page([], 101).encode()
+        name = url.rsplit("/", 1)[1]
+        return files[name]
+
+    register_http_fetcher(fake_http)
+    try:
+        config = SimpleNamespace(
+            name="gb_fca_firds",
+            metadata={"data": {"url": api}},
+            lookups={},
+        )
+        statements, ctx = crawl(
+            spark, config, crawl_fca_firds,
+            work_dir=str(tmp_path / "work"),
+            run_time="2026-08-15T00:00:00",
+        )
+    finally:
+        register_http_fetcher(None)
+
+    rows = {}
+    for r in statements.collect():
+        rows.setdefault((r["entity_id"], r["prop"]), []).append(r["value"])
+    # both latest-set files parsed: securities keyed by ISIN, issuer by LEI
+    assert rows[("isin-GB0002634946", "name")] == ["BAE Systems"]
+    assert rows[("isin-GB00B03MLX29", "name")] == ["Shell plc"]
+    assert rows[("isin-GB0002634946", "issuer")] == [
+        "lei-8SVCSVGJIVUVD2NG1Q67"
+    ]
+    assert rows[("lei-21380068P1DRHMJ8KU70", "leiCode")] == [
+        "21380068P1DRHMJ8KU70"
+    ]
+    # the stale publication never parsed
+    assert not any("OLD" in e for (e, _p) in rows)
+
+
 def test_fetch_resource_requires_registered_fetcher_for_http(spark, tmp_path):
     ctx = CrawlerContext(
         spark,
