@@ -127,14 +127,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The build driver records correctness rows for the FIRST 50 entries of
 #: ``queries()``. Lifetime coverage: every catalog query has at least one
 #: green driver row across rounds 1-6 (196/196). Round-7 rotation
-#: (VERDICT r6 task 5): the round-7 addition goes FIRST, then the 12
+#: (VERDICT r6 task 5): the round-7 additions go FIRST, then the 12
 #: round-2-last queries that missed the round-6 budget, then the
-#: round-3-last set (49, stalest cohort — 37 fit the 50 budget); the
+#: round-3-last set (49, stalest cohort — 36 fit the 50 budget); the
 #: remainder queues below the line for round 8, ahead of the
 #: round-4-last cohort.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-7 addition (1) ----------------------------------------------
+    # -- round-7 additions (2) ---------------------------------------------
     "s14_fsf_parse",
+    "mm_decode_bmp_real",
     # -- last driver row in ROUND 2 (the 12 below the r6 budget line) -------
     "text_token_count",
     "text_langid",
@@ -185,9 +186,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_chunk_exact",
     "q11_important_parts",
     "text_top_bigrams",
-    "dedup_url_canonical",
     # --- the driver's 50-row budget ends here; the round-3 remainder below
     # rotates into round 8 (and covers a budget increase) -------------------
+    "dedup_url_canonical",
     "graph_degree_centrality",
     "q9_product_profit",
     "text_repetition",

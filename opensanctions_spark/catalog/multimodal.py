@@ -360,3 +360,65 @@ def mm_decode_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("buf").cast("long").alias("n_bytes"),
         F.md5("buf").alias("digest"),
     )
+
+
+@register(
+    "mm_decode_bmp_real",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(36 AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 36) ||
+           repeat(chr(0), GREATEST(0, 36 - len(text)))) AS digest
+FROM documents
+""",
+)
+def mm_decode_bmp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real container through the ``register_codec`` seam
+    (round 7): the same 36-byte raster as ``mm_decode_ppm_real``, but
+    written as a Windows BMP — 54 bytes of little-endian headers,
+    bottom-up BGR rows padded to 4 bytes — so the decode has to undo a
+    genuinely different byte layout (channel swap + row flip + padding)
+    to reach the identical digest. Same map-only plan; the shared
+    oracle string is the point: three containers, one decoded truth."""
+    from opensanctions_spark.codecs import bmp_info, decode_bmp, encode_bmp
+    from opensanctions_spark.multimodal import MEDIA_SCHEMA, decode_media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    W, H = 4, 3
+    n = W * H * 3
+
+    def ingest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rasters = [
+                t.encode("utf-8")[:n].ljust(n, b"\x00") for t in pdf["text"]
+            ]
+            bmps = [encode_bmp(r, W, H) for r in rasters]
+            infos = [bmp_info(b) for b in bmps]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "bmp",
+                    "fmt": "rgb24",
+                    "content": bmps,
+                    "width": [i[0] for i in infos],
+                    "height": [i[1] for i in infos],
+                    "sample_rate": pd.array([None] * len(bmps), dtype="Int32"),
+                    "n_frames": 1,
+                }
+            )
+
+    media = docs.mapInPandas(ingest, schema=MEDIA_SCHEMA)
+    decoded = decode_media(
+        media, codecs={"bmp": decode_bmp}, keep=("width", "height")
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("buf").cast("long").alias("n_bytes"),
+        F.md5("buf").alias("digest"),
+    )

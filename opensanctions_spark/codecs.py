@@ -114,3 +114,79 @@ def ppm_info(content: bytes) -> tuple[int, int]:
             pos += 1
         tokens.append(int(content[start:pos]))
     return tokens[0], tokens[1]
+
+
+# --------------------------------------------------------------------------
+# BMP (Windows DIB, 24-bit uncompressed BI_RGB) — parsed by hand
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """RGB pixel buffer (3 bytes/pixel, row-major top-down) → BMP file
+    bytes: 14-byte file header + 40-byte BITMAPINFOHEADER, raster stored
+    bottom-up in BGR with rows padded to 4 bytes (the format's rules)."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want {width * height * 3}"
+        )
+    row = width * 3
+    pad = (-row) % 4
+    image_size = (row + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size,
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        line = pixels[y * row : (y + 1) * row]
+        # RGB → BGR per pixel
+        bgr = bytearray(line)
+        bgr[0::3], bgr[2::3] = line[2::3], line[0::3]
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(content: bytes, fmt: str = "rgb") -> bytes:
+    """BMP file bytes → raw RGB pixels (row-major top-down). Supports
+    the encoder's profile: BITMAPINFOHEADER, 24-bit, BI_RGB, bottom-up
+    (positive height) — anything else raises rather than mis-decoding."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (header {hdr_size}, {bpp}bpp, "
+            f"compression {compression}): this decoder reads 24-bit BI_RGB"
+        )
+    if height <= 0:
+        raise ValueError("top-down BMP (negative height) not supported")
+    row = width * 3
+    pad = (-row) % 4
+    out = bytearray(row * height)
+    for y in range(height):
+        src = offset + (height - 1 - y) * (row + pad)
+        line = content[src : src + row]
+        if len(line) != row:
+            raise ValueError("raster truncated")
+        rgb = bytearray(line)
+        rgb[0::3], rgb[2::3] = line[2::3], line[0::3]
+        out[y * row : (y + 1) * row] = rgb
+    return bytes(out)
+
+
+def bmp_info(content: bytes) -> tuple[int, int]:
+    """(width, height) from the BITMAPINFOHEADER."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _hdr, width, height = struct.unpack_from("<Iii", content, 14)
+    return width, abs(height)

@@ -85,3 +85,49 @@ def test_unregistered_kind_raises(spark):
     )
     with pytest.raises(Exception, match="no codec registered"):
         decode_media(media).collect()
+
+
+def test_bmp_round_trip():
+    """BMP (24-bit BI_RGB): encode writes bottom-up padded BGR, decode
+    recovers the exact top-down RGB buffer — including widths whose rows
+    need 4-byte padding (w=3 → 9-byte rows, 3 pad bytes)."""
+    import os
+
+    from opensanctions_spark.codecs import bmp_info, decode_bmp, encode_bmp
+
+    for w, h in [(4, 3), (1, 1), (3, 7), (5, 2)]:
+        px = os.urandom(w * h * 3)
+        b = encode_bmp(px, w, h)
+        assert b[:2] == b"BM"
+        assert bmp_info(b) == (w, h)
+        assert decode_bmp(b) == px
+
+
+def test_bmp_layout_and_errors():
+    import struct
+
+    import pytest
+
+    from opensanctions_spark.codecs import decode_bmp, encode_bmp
+
+    # one red pixel top-left on a 2x1 image: stored as BGR in the file
+    px = bytes([255, 0, 0, 0, 0, 255])  # red, blue (RGB)
+    b = encode_bmp(px, 2, 1)
+    offset = struct.unpack_from("<I", b, 10)[0]
+    assert offset == 54
+    assert b[offset:offset + 6] == bytes([0, 0, 255, 255, 0, 0])  # BGR
+    assert len(b) == 54 + 8  # 6-byte row padded to 8
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"nope")
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        # flip bpp to 8
+        broken = bytearray(b)
+        struct.pack_into("<H", broken, 28, 8)
+        decode_bmp(bytes(broken))
+    with pytest.raises(ValueError, match="top-down"):
+        negative = bytearray(b)
+        struct.pack_into("<i", negative, 22, -1)
+        decode_bmp(bytes(negative))
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_bmp(b"123", 2, 2)
