@@ -95,6 +95,9 @@ class Entity:
         #: the store view (``zavod`` Entity.datasets parity; empty for
         #: crawl-time entities, which belong to the emitting dataset)
         self.datasets: set[str] = set()
+        #: other ids resolved into this entity — populated by the store
+        #: view from the linker (``zavod`` Entity.referents parity)
+        self.referents: set[str] = set()
         #: (prop, value, lang, origin, original_value)
         self._stmts: list[tuple[str, str, str | None, str | None, str | None]] = []
 

@@ -19,6 +19,13 @@ DATA_PATH: Path = Path(
     os.environ.get("OSP_DATA_PATH", os.path.join(os.getcwd(), "data"))
 ).resolve()
 
+#: default statement-archive root — where ``store.get_store`` syncs from
+#: when the caller names no archive (the reference reads its global
+#: archive the same way)
+ARCHIVE_PATH: Path = Path(
+    os.environ.get("OSP_ARCHIVE_PATH", str(DATA_PATH / "archive"))
+).resolve()
+
 RUN_TIME: datetime = datetime.fromisoformat(_RUN_TIME_STR[:19])
 RUN_TIME_ISO: str = _RUN_TIME_STR
 

@@ -23,6 +23,31 @@ from opensanctions_spark.crawler import Entity, Schema
 from opensanctions_spark.integration import Linker
 
 
+class PropName(str):
+    """A property name that is BOTH the string (so existing callers can
+    compare/key with ``"holder"``) and an object with ``.name`` — the
+    attribute analyzer crawlers read off the reference's FtM Property
+    (``prop.name != "positionOccupancies"``)."""
+
+    __slots__ = ()
+
+    @property
+    def name(self) -> str:
+        return str(self)
+
+
+#: reverse property names for the intermediate-node traversals the
+#: reference's analyzers walk — public followthemoney schema facts
+#: ((schema, forward prop) → the reverse property's name on the target).
+#: Extend as analyzer ports need more of the FtM graph.
+REVERSE_PROPS: dict[tuple[str, str], str] = {
+    ("Occupancy", "holder"): "positionOccupancies",
+    ("Occupancy", "post"): "occupancies",
+    ("Sanction", "entity"): "sanctions",
+    ("Identification", "holder"): "identification",
+}
+
+
 class View:
     """Random-access view over assembled entities
     (``zavod/zavod/store.py:33-34`` View contract: ``entities``,
@@ -30,6 +55,18 @@ class View:
 
     def __init__(self, entities: dict[str, Entity]) -> None:
         self._entities = entities
+        # reverse index: target id → [(reverse prop name, source id)].
+        # Built once per sync; size is edge-count-bounded like the
+        # reference's inverted LevelDB index.
+        self._reverse: dict[str, list[tuple[str, str]]] = {}
+        for ent in entities.values():
+            for prop, value, _l, _o, _ov in ent.statements:
+                if value in entities and value != ent.id:
+                    rev = REVERSE_PROPS.get((ent.schema.name, prop))
+                    if rev is not None:
+                        self._reverse.setdefault(value, []).append(
+                            (rev, ent.id)  # type: ignore[arg-type]
+                        )
 
     def entities(self) -> Iterator[Entity]:
         yield from self._entities.values()
@@ -37,14 +74,22 @@ class View:
     def get_entity(self, entity_id: str) -> Entity | None:
         return self._entities.get(entity_id)
 
-    def get_adjacent(self, entity: Entity) -> Iterator[tuple[str, Entity]]:
-        """(prop, adjacent-entity) for every property value that resolves
-        to another entity in the view — the id-reference traversal the
-        reference's View.get_adjacent does over its inverted index."""
+    def get_adjacent(self, entity: Entity) -> Iterator[tuple[PropName, Entity]]:
+        """(prop, adjacent-entity): forward for every property value that
+        resolves to another entity in the view, PLUS the registered
+        reverse traversals (a Person sees its Occupancies under
+        ``positionOccupancies``) — the id-reference walk the reference's
+        View.get_adjacent does over its inverted index. Props are
+        :class:`PropName` (string-compatible, with ``.name``)."""
         for prop, value, _lang, _origin, _orig in entity.statements:
             adjacent = self._entities.get(value)
             if adjacent is not None and adjacent is not entity:
-                yield prop, adjacent
+                yield PropName(prop), adjacent
+        if entity.id is not None:
+            for rev_prop, source_id in self._reverse.get(entity.id, []):
+                source = self._entities.get(source_id)
+                if source is not None and source is not entity:
+                    yield PropName(rev_prop), source
 
 
 class Store:
@@ -69,19 +114,39 @@ class Store:
         self._archive = archive
         self._entities: dict[str, Entity] | None = None
 
+    def _scope_names(self) -> list[str]:
+        """Dataset scope → archive dataset names. Accepts a single
+        dataset (name/inputs attrs), a list of datasets (the engine's
+        ``get_multi_dataset`` shape), or plain strings."""
+        ds = self.dataset
+        if isinstance(ds, (list, tuple)):
+            return [str(getattr(d, "name", d)) for d in ds]
+        inputs = getattr(ds, "inputs", None) or []
+        if inputs:
+            return [str(getattr(d, "name", d)) for d in inputs]
+        return [str(getattr(ds, "name", ds))]
+
     def _resolve_statements(self, external: bool = False):
         if self._statements is not None:
             return self._statements
-        if self._archive is None:
-            raise ValueError(
-                "Store needs a statements DataFrame or a StatementArchive "
-                "to sync from"
-            )
-        scope = [
-            str(d)
-            for d in (getattr(self.dataset, "inputs", None) or [])
-        ] or [str(getattr(self.dataset, "name", self.dataset))]
-        return self._archive.read_collection(scope, external=external)
+        archive = self._archive
+        if archive is None:
+            # the reference's store reads the GLOBAL archive when none is
+            # named (zavod/zavod/store.py via zavod.archive paths); the
+            # engine's equivalent default root is settings.ARCHIVE_PATH
+            from pyspark.sql import SparkSession
+
+            from opensanctions_spark import settings
+            from opensanctions_spark.sources.archive import StatementArchive
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "Store needs a statements DataFrame, a StatementArchive,"
+                    " or an active SparkSession to read the default archive"
+                )
+            archive = StatementArchive(spark, str(settings.ARCHIVE_PATH))
+        return archive.read_collection(self._scope_names(), external=external)
 
     def sync(self, clear: bool = False, external: bool = False) -> None:
         """Assemble entities distributed, then materialize the driver-side
@@ -118,6 +183,7 @@ class Store:
             ent = Entity(Schema(row["schema"]))
             ent.id = row["canonical_id"]
             ent.datasets = set(row["datasets"] or [])
+            ent.referents = self.linker.get_referents(ent.id)
             for prop, values in (row["properties"] or {}).items():
                 ent.add(prop, values)
             entities[ent.id] = ent

@@ -149,11 +149,16 @@ def test_store_from_archive(spark, tmp_path):
     assert {e.id for e in view.entities()} == {"p1", "p1-dupe", "pos1", "occ1"}
 
 
-def test_store_requires_a_source(spark):
+def test_store_defaults_to_global_archive(spark, tmp_path, monkeypatch):
+    """get_store(scope, linker) with no statements/archive reads the
+    settings-default archive root — the reference's global-archive
+    behavior. An empty root fails loudly (no successful versions)."""
+    from opensanctions_spark import settings
     from opensanctions_spark.store import get_store
 
+    monkeypatch.setattr(settings, "ARCHIVE_PATH", tmp_path / "arch")
     store = get_store(SimpleNamespace(name="x", inputs=[]))
-    with pytest.raises(ValueError, match="statements DataFrame"):
+    with pytest.raises(FileNotFoundError, match="no successful versions"):
         store.sync()
 
 
