@@ -679,3 +679,8 @@ def test_mm_decode_wav_real_has_no_exchange(spark, sf_dir):
 def test_mm_decode_ppm_real_has_no_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["mm_decode_ppm_real"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_mm_decode_bmp_real_has_no_exchange(spark, sf_dir):
+    plan = _executed_plan(QUERIES["mm_decode_bmp_real"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
