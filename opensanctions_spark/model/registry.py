@@ -117,6 +117,14 @@ EDGE_SCHEMATA: dict[str, tuple[str, str, bool]] = {
     "Family": ("person", "relative", False),
     "Associate": ("person", "associate", False),
     "UnknownLink": ("subject", "object", False),
+    # round 7: the remaining followthemoney edge schemata the reference's
+    # graph analyzers traverse (SANCTION_ADJACENCY_EDGES in
+    # datasets/_analysis/ann_graph_topics/analyzer.py includes
+    # Employment/Succession) — public FtM model facts
+    "Employment": ("employer", "employee", True),
+    "Succession": ("predecessor", "successor", True),
+    "Representation": ("agent", "client", True),
+    "Occupancy": ("holder", "post", True),
 }
 
 # Entity-typed properties (the graph edges of the data model): prop -> range
@@ -134,6 +142,14 @@ ENTITY_PROPS: dict[str, str] = {
     "addressEntity": "Address",
     "familyPerson": "Person",
     "familyRelative": "Person",
+    "employer": "LegalEntity",
+    "employee": "Person",
+    "predecessor": "LegalEntity",
+    "successor": "LegalEntity",
+    "agent": "LegalEntity",
+    "client": "Thing",
+    "holder": "Person",
+    "post": "Position",
 }
 
 # Topics that flip the derived `target` flag (zavod/zavod/entity.py:164-167:
