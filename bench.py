@@ -4,9 +4,10 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
-Each query is executed with a full materialization (count + collect of a
-bounded result) so the measured time covers the whole plan, not lazy
-construction.
+Each rep rebuilds the query's DataFrame (fresh lineage — no cross-rep
+shuffle-stage reuse) and fully materializes it (count); plan construction
+is excluded from the clock only for plans whose build verifiably schedules
+zero Spark jobs (see run_reps).
 
 Drift control: round-over-round wall times on a shared VM are confounded
 by machine load (the r1→r2 DuckDB control itself moved +16% on identical
@@ -72,6 +73,73 @@ HEADLINE = [
     # so its floor-vs-data behaviour is measured alongside bm25's
     "chunk_documents",
 ]
+
+
+def run_reps(spark, fn, sf_dir: str, reps: int, control=None):
+    """Time one catalog query over ``reps`` independently-built executions.
+
+    Returns ``(times, rows, eager, violations)``.
+
+    Protocol (round 8, replacing the round-7 build-once plan reuse): every
+    rep calls ``fn`` again so each execution has a FRESH DataFrame lineage —
+    Spark reuses shuffle map outputs across jobs on the same RDD lineage
+    (skipped stages), so re-counting one DataFrame lets reps 2..n skip their
+    exchanges entirely while the interleaved DuckDB control re-executes
+    fully each rep. A fresh lineage per rep makes every rep a full
+    execution, symmetrical with the control.
+
+    Plan construction stays excluded for lazily-planned queries (the timer
+    starts after ``fn`` returns — a production pipeline builds its DAG once;
+    DuckDB's per-rep parse cost is microseconds), but ONLY when the build
+    verifiably scheduled zero Spark jobs. The classification probe runs
+    once up front; every timed rep re-checks it, so an operator that starts
+    caching/collecting mid-build cannot silently move data work off the
+    clock — such a rep keeps the full build-inclusive time and is counted
+    in ``violations`` (surfaced in the output JSON as ``probe_violations``).
+    Eager queries (iterative operators: connected components, k-means,
+    checkpointed pipelines) schedule data-proportional jobs during
+    construction and are timed build-inclusive every rep.
+    """
+    tracker = spark.sparkContext.statusTracker()
+
+    def _max_job() -> int:
+        ids = tracker.getJobIdsForGroup()
+        return max(ids) if ids else -1
+
+    # classification probe: with relations pre-cached, a lazy plan
+    # schedules no jobs during construction
+    j0 = _max_job()
+    df = fn(spark, sf_dir)
+    eager = _max_job() > j0
+
+    times: list[float] = []
+    violations = 0
+    rows = 0
+    for _ in range(reps):
+        t0 = time.time()
+        j0 = _max_job()
+        df = fn(spark, sf_dir)  # fresh lineage: no cross-rep stage reuse
+        built = time.time()
+        if not eager:
+            if _max_job() > j0:
+                # the "lazy" plan did data work during build — keep the
+                # build-inclusive time and flag it loudly
+                violations += 1
+                print(
+                    "# PROBE VIOLATION: lazily-classified query scheduled "
+                    "Spark jobs during plan build; timing build-inclusive",
+                    file=sys.stderr,
+                )
+            else:
+                t0 = built
+        # full materialization without driver-side transfer of big results
+        rows = df.count()
+        times.append(time.time() - t0)
+        if control is not None:
+            # interleaved control (spark, duck, spark, duck, ...): both
+            # engines see the same instantaneous machine load
+            control()
+    return times, rows, eager, violations
 
 
 def main() -> None:
@@ -172,50 +240,38 @@ def main() -> None:
     duck: dict[str, float] = {}
     ratios: dict[str, float] = {}
     spread: dict[str, float] = {}
-    tracker = spark.sparkContext.statusTracker()
-
-    def _max_job() -> int:
-        ids = tracker.getJobIdsForGroup()
-        return max(ids) if ids else -1
+    probe_violations: dict[str, int] = {}
 
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         sql = ORACLES.get(name)
-        stimes: list[float] = []
         dtimes: list[float] = []
-        n = 0
-        duck_ok = con is not None and sql is not None
-        # Plan construction is a per-pipeline fixed cost (a production run
-        # builds the DAG once per batch), so lazily-planned queries build
-        # the DataFrame once and re-execute it per rep — symmetrical with
-        # DuckDB re-running the same prepared statement. EXCEPTION:
-        # iterative operators (connected components, k-means, composed
-        # pipelines with checkpoints) execute data-proportional jobs DURING
-        # construction; those rebuild inside the timed region every rep so
-        # no real work escapes the clock. The probe build below (relations
-        # already cached, so zero scan jobs for lazy plans) detects which
-        # kind this query is.
-        j0 = _max_job()
-        df = fn(spark, sf_dir)
-        eager = _max_job() > j0
-        for _ in range(REPS):
-            t0 = time.time()
-            if eager:
-                df = fn(spark, sf_dir)
-            # full materialization without driver-side transfer of big results
-            n = df.count()
-            stimes.append(time.time() - t0)
-            if duck_ok:
-                try:
-                    t0 = time.time()
-                    con.execute(sql).fetchall()
-                    dtimes.append(time.time() - t0)
-                except Exception as exc:
-                    duck_ok = False
-                    print(f"# duckdb control {name} failed: {exc}",
-                          file=sys.stderr)
+        duck_state = {"ok": con is not None and sql is not None}
+
+        def _duck_control():
+            if not duck_state["ok"]:
+                return
+            try:
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dtimes.append(time.time() - t0)
+            except Exception as exc:
+                duck_state["ok"] = False
+                print(f"# duckdb control {name} failed: {exc}",
+                      file=sys.stderr)
+
+        # Spark reps: fresh lineage per rep, plan-build excluded only for
+        # verified-lazy plans, DuckDB control interleaved per rep
+        # (see run_reps).
+        stimes, n, eager, viol = run_reps(
+            spark, fn, sf_dir, REPS, control=_duck_control
+        )
+        if viol:
+            probe_violations[name] = viol
+        if not duck_state["ok"]:
+            dtimes = []
         best = min(stimes)
         timings[name] = round(best, 3)
         spread[name] = round((max(stimes) - best) / best, 2) if best else 0.0
@@ -269,6 +325,10 @@ def main() -> None:
         )
         if len(duck) < len(timings):
             out["control_missing"] = sorted(set(timings) - set(duck))
+    if probe_violations:
+        # a lazily-classified plan did data work during construction in
+        # some rep — those reps were timed build-inclusive; flag the fact
+        out["probe_violations"] = probe_violations
     if amb5 > 2.0:
         # shared-VM guard (VERDICT r6 #8): headline numbers recorded above
         # AMBIENT load ~2 carry external-tenant noise — annotate, don't

@@ -83,6 +83,42 @@ class Schema:
         return EDGE_SCHEMATA[self.name][2]
 
 
+class Statement(tuple):
+    """One property assertion: unpacks as the historical 5-tuple
+    ``(prop, value, lang, origin, original_value)`` AND carries the
+    reference statement attributes analyzers read (``.prop``, ``.value``,
+    ``.dataset``, ``.external`` — ``followthemoney.statement.Statement``
+    surface, consumed by e.g.
+    ``datasets/_analysis/ann_graph_topics/analyzer.py:123,138``).
+
+    ``dataset``/``external`` are provenance the store view attaches when it
+    rebuilds entities from the statements IR; crawl-time statements default
+    to (None, False) — at crawl time the whole entity belongs to the
+    emitting dataset and externality is decided per ``emit`` call.
+    """
+
+    def __new__(
+        cls,
+        prop: str,
+        value: str,
+        lang: str | None = None,
+        origin: str | None = None,
+        original_value: str | None = None,
+        dataset: str | None = None,
+        external: bool = False,
+    ) -> "Statement":
+        self = super().__new__(cls, (prop, value, lang, origin, original_value))
+        self.dataset = dataset
+        self.external = external
+        return self
+
+    prop = property(lambda s: s[0])
+    value = property(lambda s: s[1])
+    lang = property(lambda s: s[2])
+    origin = property(lambda s: s[3])
+    original_value = property(lambda s: s[4])
+
+
 class Entity:
     """A bag of (prop, value) assertions under one id — ``Entity.add``
     skips None and empty strings exactly like the reference's P5 guard
@@ -98,8 +134,7 @@ class Entity:
         #: other ids resolved into this entity — populated by the store
         #: view from the linker (``zavod`` Entity.referents parity)
         self.referents: set[str] = set()
-        #: (prop, value, lang, origin, original_value)
-        self._stmts: list[tuple[str, str, str | None, str | None, str | None]] = []
+        self._stmts: list[Statement] = []
 
     def add(
         self,
@@ -126,15 +161,56 @@ class Entity:
             text = str(v).strip()
             if not text:
                 continue
-            self._stmts.append((prop, text, lang, origin, original_value))
+            self._stmts.append(
+                Statement(prop, text, lang, origin, original_value)
+            )
+        return self
+
+    def add_statement(self, stmt: Statement) -> "Entity":
+        """Append a fully-attributed statement (store-view path: the
+        provenance columns ``dataset``/``external`` survive into the
+        entity, which crawl-time ``add`` has no source for)."""
+        self._stmts.append(stmt)
         return self
 
     def set(self, prop: str, values: Any, **kwargs: Any) -> "Entity":
         self._stmts = [s for s in self._stmts if s[0] != prop]
         return self.add(prop, values, **kwargs)
 
-    def get(self, prop: str) -> list[str]:
+    def get(self, prop: str, quiet: bool = False) -> list[str]:
+        # ``quiet`` mirrors the reference's suppress-unknown-prop flag
+        # (zavod/zavod/entity.py Entity.get); accepted for signature parity
         return [s[1] for s in self._stmts if s[0] == prop]
+
+    def get_statements(self, prop: str) -> list[Statement]:
+        """Statements for one property, with provenance attributes
+        (``zavod`` Entity.get_statements — e.g. ann_graph_topics
+        ``non_graph_topics`` reads ``.value``/``.dataset`` off them)."""
+        return [s for s in self._stmts if s[0] == prop]
+
+    def get_type_values(self, prop_type: Any) -> list[str]:
+        """All values of properties of the given registry type
+        (``followthemoney`` EntityProxy.get_type_values). The engine's
+        property-type map lives in ``model/registry.py`` TYPE_PROPS."""
+        from opensanctions_spark.model.registry import TYPE_PROPS
+
+        type_name = getattr(prop_type, "name", str(prop_type))
+        props = TYPE_PROPS.get(type_name, (type_name,))
+        out: list[str] = []
+        for s in self._stmts:
+            if s[0] in props and s[1] not in out:
+                out.append(s[1])
+        return out
+
+    @property
+    def caption(self) -> str:
+        """Display name (``followthemoney`` EntityProxy.caption: the first
+        name-ish value, falling back to the id)."""
+        for prop in ("name", "alias", "title"):
+            vals = self.get(prop)
+            if vals:
+                return vals[0]
+        return self.id or self.schema.name
 
     def has(self, prop: str) -> bool:
         return any(s[0] == prop for s in self._stmts)
