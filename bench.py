@@ -106,22 +106,46 @@ def run_reps(spark, fn, sf_dir: str, reps: int, control=None):
         ids = tracker.getJobIdsForGroup()
         return max(ids) if ids else -1
 
+    def _built_jobs(j0: int) -> bool:
+        # the status store is fed by the async listener bus: a job
+        # scheduled during build may not be visible the instant fn
+        # returns — also consult the active-job list (a still-running
+        # build job shows there first)
+        return _max_job() > j0 or bool(tracker.getActiveJobsIds())
+
+    def _drain_active() -> None:
+        # job-END events ride the same async bus: wait (bounded) for the
+        # previous rep's completed jobs to leave the active list so they
+        # can't read as this rep's build work
+        deadline = time.time() + 0.25
+        while time.time() < deadline and tracker.getActiveJobsIds():
+            time.sleep(0.01)
+
     # classification probe: with relations pre-cached, a lazy plan
-    # schedules no jobs during construction
+    # schedules no jobs during construction. Poll briefly before
+    # concluding "lazy" so a bus-delayed build job can't misclassify an
+    # eager plan (and silently move its build work off the clock).
+    _drain_active()
     j0 = _max_job()
     df = fn(spark, sf_dir)
-    eager = _max_job() > j0
+    eager = _built_jobs(j0)
+    if not eager:
+        deadline = time.time() + 0.15
+        while time.time() < deadline and not eager:
+            time.sleep(0.01)
+            eager = _built_jobs(j0)
 
     times: list[float] = []
     violations = 0
     rows = 0
     for _ in range(reps):
+        _drain_active()  # settle the listener bus before the snapshot
         t0 = time.time()
         j0 = _max_job()
         df = fn(spark, sf_dir)  # fresh lineage: no cross-rep stage reuse
         built = time.time()
         if not eager:
-            if _max_job() > j0:
+            if _built_jobs(j0):
                 # the "lazy" plan did data work during build — keep the
                 # build-inclusive time and flag it loudly
                 violations += 1

@@ -236,7 +236,7 @@ def _cmd_load_db(args: argparse.Namespace) -> int:
     if args.url:
         load_db(stmts, args.url, args.table or "statements",
                 batch_size=args.batch_size)
-        print(json.dumps({"url": args.url, "table": args.table}))
+        print(json.dumps({"url": args.url, "table": args.table or "statements"}))
         return 0
     if not args.out:
         raise SystemExit("load-db needs --url (JDBC) or --out (prepared dump)")

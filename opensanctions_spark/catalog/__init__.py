@@ -127,80 +127,118 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The build driver records correctness rows for the FIRST 50 entries of
 #: ``queries()``. Lifetime coverage: every catalog query has at least one
 #: green driver row across rounds 1-6 (196/196). Round-7 rotation
-#: (VERDICT r6 task 5): the round-7 additions go FIRST, then the 12
-#: round-2-last queries that missed the round-6 budget, then the
-#: round-3-last set (49, stalest cohort — 36 fit the 50 budget); the
-#: remainder queues below the line for round 8, ahead of the
-#: round-4-last cohort.
+#: ROUND-9 ROTATION (VERDICT r8 task 2 — the r7 staging put the stale
+#: cohort BELOW the 50-slot budget line and nothing rotated): positions
+#: 1-49 are the round-9 addition plus ALL 48 driver-stale queries (13
+#: last checked r3, 35 last checked r4 — computed from the
+#: CORRECTNESS_r0*.json history); slot 50 takes the head of the r5
+#: cohort. The rest of the r5 cohort queues below the line for round 10.
 DRIVER_PRIORITY: list[str] = [
-    # -- round-7 additions (2) ---------------------------------------------
-    "s14_fsf_parse",
-    "mm_decode_bmp_real",
-    # -- last driver row in ROUND 2 (the 12 below the r6 budget line) -------
-    "text_token_count",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "sample_train_split",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_ivf_bucketed",
-    "mm_byte_features",
-    # -- last driver row in ROUND 3 (37 of 49 fit the budget) ---------------
-    "rollup_time_hierarchy",
-    "sample_stratified",
-    "dedup_fuzzy_levenshtein",
-    "j7_interval_overlap",
-    "mixture_cap_per_source",
-    "stream_interval_join",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_windowed_agg",
-    "text_mojibake_scan",
-    "text_pii_redact",
-    "text_pii_scan",
-    "pack_sequences",
-    "text_gopher_rules",
-    "dedup_source_priority",
-    "docs_length_histogram",
-    "docs_length_quantiles",
-    "mm_frame_sample",
-    "mm_resize",
-    "ann_ivf_nprobe2",
-    "asof_last_view_before_click",
-    "dedup_embedding_fast",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "s6_xls_scan",
-    "s7_pdf_distributed",
-    "wikidata_deref",
-    "mixture_temperature",
-    "pipeline_quality_filter",
-    "q17_small_quantity_revenue",
-    "ann_centroid_step",
-    "contamination_overlap",
-    "dedup_chunk_exact",
-    "q11_important_parts",
-    "text_top_bigrams",
-    # --- the driver's 50-row budget ends here; the round-3 remainder below
-    # rotates into round 8 (and covers a budget increase) -------------------
+    # -- round-9 addition (store shim, non-identity linker) -----------------
+    "store_view_adjacency",
+    # -- stale since ROUND 3 (13) -------------------------------------------
+    "a2_facets_grouping_sets",
+    "ann_cosine_fast",
+    "ann_recall_meta",
+    "dedup_minhash_capped",
+    "dedup_near_cluster",
+    "dedup_semantic_semdedup",
     "dedup_url_canonical",
     "graph_degree_centrality",
+    "pipeline_xref_resolve",
+    "q7_volume_shipping",
     "q9_product_profit",
     "text_repetition",
-    "dedup_minhash_capped",
-    "ann_recall_meta",
-    "dedup_semantic_semdedup",
     "text_tfidf_topk",
-    "ann_cosine_fast",
-    "dedup_near_cluster",
-    "q7_volume_shipping",
-    "pipeline_xref_resolve",
-    "a2_facets_grouping_sets",
+    # -- stale since ROUND 4 (35) -------------------------------------------
+    "ann_kmeans_loop",
+    "ann_lsh_hyperplane",
+    "chunk_documents",
+    "contamination_bloom",
+    "dedup_lsh_recall",
+    "dedup_near_cluster_star",
+    "dedup_paragraph_exact",
+    "f16_make_security",
+    "f17_make_identification",
+    "graph_component_histogram",
+    "graph_pagerank",
+    "j13_lookup_module",
+    "j5_custom_scorer_udf",
+    "j5_min_score_ratio",
+    "j5_reference_scorer",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "pipeline_enrich_expand",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "s6_excel_distributed",
+    "s7_pdf_scanned",
+    "sample_quality_weighted",
+    "sample_token_budget",
+    "search_bm25",
+    "search_inverted_index",
+    "stream_curate_corpus",
+    "stream_stateful_totals",
+    "text_bigram_lm_score",
+    "text_bpe_train",
+    "text_oov_rate",
+    "text_quality_classifier",
+    "text_vocab_coverage",
+    # -- slot 50: head of the ROUND-5 cohort ---------------------------------
+    "a12_assertions",
+    # --- the driver's 50-row budget ends here; the round-5 cohort below
+    # (stalest remaining) rotates into round 10 ------------------------------
+    "a1_entity_assembly",
+    "a2_entity_counts",
+    "a3_fill_rate",
+    "a5_last_change",
+    "a7_issue_counts",
+    "a8_t4_prefix_date_dedup",
+    "d0_d1_version_delta",
+    "d2_d3_union_dedupe",
+    "f12_t5_active_status",
+    "f18_make_sanction",
+    "f19_make_occupancy",
+    "f1_f2_date_parse",
+    "f20_make_address",
+    "f3_f14_f15_text_guards",
+    "f5_name_cleaning",
+    "f6_number_parse",
+    "f8_deterministic_ids",
+    "j10_dangling_anti_join",
+    "j12_semi_join_gate",
+    "j13_lookup_join",
+    "j1_timestamp_join",
+    "j2_canonical_rekey",
+    "j3_adjacency_region_revenue",
+    "j6_canonical_map",
+    "j6_incremental_resolver",
+    "j8_same_id_equijoin",
+    "k10_maritime",
+    "k11_sql_load_prep",
+    "k2_statements_csv",
+    "k3_simple_csv",
+    "k4_nested_json",
+    "k5_senzing",
+    "k6_names_txt",
+    "k7_statistics",
+    "k9_securities",
+    "p1_target_filter",
+    "pipeline_curate_corpus",
+    "pipeline_curate_increment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "s11_name_extraction",
+    "s13_compaction_plan",
+    "s9_p2_statement_filters",
+    "scd2_entity_history",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "t2_t3_facet_topk",
+    "t6_key_skew_profile",
 ]
 
 

@@ -1055,3 +1055,76 @@ def t6_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return key_skew_profile(li, "l_suppkey", top_k=20)
+
+
+@register(
+    "store_view_adjacency",
+    oracle="""
+SELECT 'c-' || c_custkey AS person_id, c_name AS person_name,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_occupancies
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+WHERE c_nationkey = 1
+GROUP BY 1, 2
+""",
+)
+def store_view_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-shim reverse adjacency under a NON-identity linker (VERDICT
+    r8 task 5): Occupancy edges point at merged-away REFERENT ids
+    (``dupe-<custkey>``) that the linker resolves to the canonical
+    persons — the exact resolved-duplicate shape where the round-9
+    value-canonicalization fix applies (the reference store rewrites
+    entity references via ``linker.get_canonical``,
+    ``zavod/zavod/store.py:36-74``). The view walk counts each person's
+    ``positionOccupancies`` reverse adjacency; without the fix every
+    count collapses to 0 and the oracle mismatches.
+
+    Scale note: the Store/View is the documented DRIVER-LOCAL analyzer
+    compat surface (``store.py`` module docstring) — the heavy
+    canonicalize+group runs distributed, only the bounded nation-1
+    slice materializes on the driver, exactly what the reference's
+    LevelDB store would hold."""
+    from types import SimpleNamespace
+
+    from opensanctions_spark.integration import Linker
+    from opensanctions_spark.store import get_store
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 1)
+    orders = load(spark, sf_dir, "orders").join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+    person_stmts = cust.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("entity_id"),
+        F.lit("Person").alias("schema"),
+        F.lit("name").alias("prop"),
+        F.col("c_name").alias("value"),
+    )
+    occ_stmts = orders.select(
+        F.concat(F.lit("o-"), F.col("o_orderkey")).alias("entity_id"),
+        F.lit("Occupancy").alias("schema"),
+        F.lit("holder").alias("prop"),
+        # the edge names the REFERENT id, not the canonical one
+        F.concat(F.lit("dupe-"), F.col("o_custkey")).alias("value"),
+    )
+    stmts = finish_statements(
+        person_stmts.unionByName(occ_stmts), dataset="store_adj_fixture"
+    )
+    mapping = cust.select(
+        F.concat(F.lit("dupe-"), F.col("c_custkey")).alias("entity_id"),
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("canonical_id"),
+    )
+    scope = SimpleNamespace(name="store_adj_fixture", inputs=[])
+    store = get_store(scope, Linker.from_dataframe(mapping), statements=stmts)
+    view = store.view(scope)
+    rows = []
+    for ent in view.entities():
+        if not ent.schema.is_a("Person"):
+            continue
+        n = sum(
+            1
+            for prop, _adj in view.get_adjacent(ent)
+            if prop.name == "positionOccupancies"
+        )
+        rows.append((ent.id, ent.caption, n))
+    return spark.createDataFrame(
+        rows, "person_id string, person_name string, n_occupancies long"
+    )

@@ -71,12 +71,17 @@ class Schema:
         return self.name in EDGE_SCHEMATA
 
     @property
-    def source_prop(self) -> str:
-        return EDGE_SCHEMATA[self.name][0]
+    def source_prop(self) -> str | None:
+        # None for non-edge schemata: the reference's Schema.source_prop
+        # is Optional and graph walkers guard on it
+        # (ann_graph_topics/analyzer.py walk_edge)
+        spec = EDGE_SCHEMATA.get(self.name)
+        return spec[0] if spec else None
 
     @property
-    def target_prop(self) -> str:
-        return EDGE_SCHEMATA[self.name][1]
+    def target_prop(self) -> str | None:
+        spec = EDGE_SCHEMATA.get(self.name)
+        return spec[1] if spec else None
 
     @property
     def directed(self) -> bool:
@@ -117,6 +122,14 @@ class Statement(tuple):
     lang = property(lambda s: s[2])
     origin = property(lambda s: s[3])
     original_value = property(lambda s: s[4])
+
+    def __getnewargs__(self) -> tuple:
+        # tuple.__getnewargs__ would return the whole 5-tuple as ONE
+        # argument, so pickle/copy round-trips would call __new__ with a
+        # single positional and fail; return the real constructor args
+        # (keeping the dataset/external provenance attributes).
+        return (self[0], self[1], self[2], self[3], self[4],
+                self.dataset, self.external)
 
 
 class Entity:
@@ -188,14 +201,22 @@ class Entity:
         ``non_graph_topics`` reads ``.value``/``.dataset`` off them)."""
         return [s for s in self._stmts if s[0] == prop]
 
-    def get_type_values(self, prop_type: Any) -> list[str]:
+    def get_type_values(self, prop_type: Any, matchable: bool = False) -> list[str]:
         """All values of properties of the given registry type
-        (``followthemoney`` EntityProxy.get_type_values). The engine's
-        property-type map lives in ``model/registry.py`` TYPE_PROPS."""
-        from opensanctions_spark.model.registry import TYPE_PROPS
+        (``followthemoney`` EntityProxy.get_type_values; reference call
+        sites pass ``matchable=True`` to exclude non-matchable props —
+        zavod/zavod/exporters/simplecsv.py:69-104, names.py:19,
+        integration/logic.py:25-78). The engine's property-type map is
+        ``model/registry.py`` TYPE_PROPS."""
+        from opensanctions_spark.model.registry import (
+            NON_MATCHABLE_PROPS,
+            TYPE_PROPS,
+        )
 
         type_name = getattr(prop_type, "name", str(prop_type))
-        props = TYPE_PROPS.get(type_name, (type_name,))
+        props: tuple[str, ...] = TYPE_PROPS.get(type_name, (type_name,))
+        if matchable:
+            props = tuple(p for p in props if p not in NON_MATCHABLE_PROPS)
         out: list[str] = []
         for s in self._stmts:
             if s[0] in props and s[1] not in out:
@@ -204,13 +225,23 @@ class Entity:
 
     @property
     def caption(self) -> str:
-        """Display name (``followthemoney`` EntityProxy.caption: the first
-        name-ish value, falling back to the id)."""
-        for prop in ("name", "alias", "title"):
+        """Display name (``followthemoney`` EntityProxy.caption): the
+        first value of the schema's caption-property list (per-schema
+        ``caption:`` order — e.g. Address captions by ``full``), falling
+        back to the schema's display label."""
+        from opensanctions_spark.model.registry import (
+            SCHEMA_CAPTIONS,
+            schema_label,
+        )
+
+        caption_props = SCHEMA_CAPTIONS.get(
+            self.schema.name, ("name", "alias", "title")
+        )
+        for prop in caption_props:
             vals = self.get(prop)
             if vals:
                 return vals[0]
-        return self.id or self.schema.name
+        return schema_label(self.schema.name)[0]
 
     def has(self, prop: str) -> bool:
         return any(s[0] == prop for s in self._stmts)

@@ -2139,12 +2139,30 @@ def split_html_newline_tags(string: str) -> list[str]:
     return [s for s in _BR_RE.split(string) if s.strip()]
 
 
+#: the ``[contains(text(), '…')]`` predicate production crawlers use
+#: (e.g. ``datasets/_global/tokyo_mou/psc/crawler.py`` CAPTCHA scrape);
+#: stdlib ElementPath has no such predicate, so it is stripped for the
+#: findall and applied as a post-filter on the matched elements
+_CONTAINS_TEXT_RE = re.compile(r"\[contains\(text\(\),\s*'([^']*)'\)\]")
+
+
 def xpath_elements(
     el: Any, path: str, *, expect_exactly: int | None = None
 ) -> list[Any]:
     """ElementPath query returning elements (the reference's lxml XPath
-    narrowed to the stdlib ``findall`` subset — html.py:156-185)."""
-    result = el.findall(path)
+    narrowed to the stdlib ``findall`` subset — html.py:156-185 — plus
+    two lxml-isms reference crawlers rely on: a leading ``//`` and a
+    ``contains(text(), '…')`` predicate on the FINAL step)."""
+    needles = _CONTAINS_TEXT_RE.findall(path)
+    fpath = _CONTAINS_TEXT_RE.sub("", path)
+    if fpath.startswith("//"):
+        fpath = "." + fpath
+    result = el.findall(fpath)
+    for needle in needles:
+        result = [
+            e for e in result
+            if needle in (element_text(e, squash=False) or "")
+        ]
     if expect_exactly is not None and len(result) != expect_exactly:
         raise ValueError(
             f"Expected {expect_exactly} elements, got {len(result)} "
@@ -2167,13 +2185,13 @@ def xpath_strings(
     if path.endswith("/text()"):
         results = [
             element_text(e, squash=False)
-            for e in el.findall(path[: -len("/text()")] or ".")
+            for e in xpath_elements(el, path[: -len("/text()")] or ".")
         ]
     else:
         prefix, _, last = path.rpartition("/")
         if last.startswith("@"):
             attr = last[1:]
-            found = el.findall(prefix or ".")
+            found = xpath_elements(el, prefix or ".")
             results = [e.get(attr) for e in found if e.get(attr) is not None]
         else:
             raise ValueError(

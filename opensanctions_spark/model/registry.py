@@ -150,6 +150,76 @@ ENTITY_PROPS: dict[str, str] = {
     "client": "Thing",
     "holder": "Person",
     "post": "Position",
+    # non-edge entity references the graph analyzers traverse:
+    # Sanction.entity and Security.issuer (public FtM model facts;
+    # datasets/_analysis/ann_graph_topics/analyzer.py walks both)
+    "entity": "Thing",
+    "issuer": "LegalEntity",
+}
+
+
+class PropertyType:
+    """One FtM property-type registry entry (``followthemoney.types`` —
+    analyzers pass ``registry.topic`` etc. into
+    ``EntityProxy.get_type_values``). The engine's registry is this
+    module, so the singletons live here and ``from
+    opensanctions_spark.model import registry`` is the import-swap home
+    for ``from followthemoney import registry``."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"<PropertyType({self.name})>"
+
+
+#: property-type → the props of that type in the engine's compact model
+#: (public FtM model facts; consumed by ``Entity.get_type_values`` —
+#: reference call sites: zavod/zavod/exporters/simplecsv.py:69-104,
+#: names.py:19, integration/logic.py:25-78, and
+#: datasets/_analysis/ann_graph_topics/analyzer.py:332).
+TYPE_PROPS: dict[str, tuple[str, ...]] = {
+    "topic": ("topics",),
+    "country": ("country", "jurisdiction", "mainCountry", "nationality", "citizenship"),
+    "name": ("name", "alias", "previousName", "weakAlias"),
+    "identifier": (
+        "idNumber", "passportNumber", "taxNumber", "registrationNumber",
+        "vatCode", "innCode", "ogrnCode", "leiCode", "swiftBic",
+        "imoNumber", "isin", "wikidataId",
+    ),
+    "phone": ("phone",),
+    "email": ("email",),
+    "date": (
+        "date", "birthDate", "deathDate", "startDate", "endDate",
+        "incorporationDate", "dissolutionDate", "listingDate", "modifiedAt",
+    ),
+    "entity": tuple(ENTITY_PROPS),
+}
+
+#: props excluded from ``get_type_values(..., matchable=True)`` — the FtM
+#: model marks these matchable: false (weak aliases don't feed matching)
+NON_MATCHABLE_PROPS: frozenset[str] = frozenset({"weakAlias"})
+
+#: the registry singletons analyzer/exporter call sites pass around
+topic = PropertyType("topic")
+country = PropertyType("country")
+name = PropertyType("name")
+identifier = PropertyType("identifier")
+phone = PropertyType("phone")
+email = PropertyType("email")
+date = PropertyType("date")
+entity = PropertyType("entity")
+
+#: per-schema caption property order (``followthemoney`` schema
+#: ``caption:`` lists — EntityProxy.caption takes the first value of the
+#: first caption prop with values, falling back to the schema label).
+#: Schemata not listed use the generic (name, alias, title) order.
+SCHEMA_CAPTIONS: dict[str, tuple[str, ...]] = {
+    "Address": ("full", "name"),
+    "Security": ("name", "isin"),
+    "Position": ("name",),
 }
 
 # Topics that flip the derived `target` flag (zavod/zavod/entity.py:164-167:

@@ -232,6 +232,46 @@ def apply_canonical(statements: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def canonicalize_values(
+    statements: DataFrame,
+    mapping: DataFrame,
+    props: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite entity-REFERENCE values through the resolver mapping.
+
+    ``apply_canonical`` rewrites the statement's own canonical id; this
+    rewrites the VALUES of entity-typed properties (``holder``, ``owner``,
+    ``asset``, …) so edges keep pointing at the surviving canonical
+    entity after a merge — the reference store rewrites these via
+    ``linker.get_canonical`` when writing statements (nomenklatura store
+    writer wrapped at ``zavod/zavod/store.py:36-74``). Without this, an
+    Occupancy whose ``holder`` names a merged-away id dangles and the
+    holder silently loses its adjacency.
+
+    Only properties registered entity-typed are rewritten (a plain string
+    value that happens to collide with an entity id is data, not an
+    edge). Map-side: the mapping broadcasts, same as ``apply_canonical``.
+    """
+    from opensanctions_spark.model.registry import ENTITY_PROPS
+
+    props = list(ENTITY_PROPS) if props is None else props
+    m = F.broadcast(
+        mapping.select(
+            F.col("entity_id").alias("_ref_id"),
+            F.col("canonical_id").alias("_ref_canon"),
+        )
+    )
+    return (
+        statements.join(
+            m,
+            (statements.value == m._ref_id) & statements.prop.isin(props),
+            "left",
+        )
+        .withColumn("value", F.coalesce(F.col("_ref_canon"), F.col("value")))
+        .drop("_ref_id", "_ref_canon")
+    )
+
+
 def incremental_canonical_map(
     mapping: DataFrame, new_decisions: DataFrame
 ) -> DataFrame:

@@ -5,91 +5,156 @@ The reference's store is a driver-local LevelDB aggregation of the
 dataset's statements (``LevelDBStore``); the engine's native shape is the
 distributed A1 assembly (:mod:`opensanctions_spark.operators.assembly`) —
 a DataFrame of entities, never driver-bounded. This module is the compat
-bridge for analyzer-style random access: ``sync`` runs the distributed
-assembly (canonicalized through the linker, exactly
-``apply_canonical`` → ``assemble_entities``) and streams the result to a
-driver-side map via ``toLocalIterator`` — the same driver-local
-materialization the reference's LevelDB store performs, with the heavy
-grouping left on the cluster. Scale note: an analyzer that must stay
-distributed should consume ``assemble_entities`` directly; this view is
-bounded by what the reference itself could hold on one node.
+bridge for analyzer-style random access: ``sync`` canonicalizes the
+statements through the linker — BOTH the statement ids
+(``apply_canonical``) and the entity-typed property VALUES
+(``canonicalize_values``), exactly like the reference's store writer
+rewriting references via ``linker.get_canonical`` — then groups them
+per entity on the cluster and streams the result to a driver-side map
+via ``toLocalIterator``: the same driver-local materialization the
+reference's LevelDB store performs, with the heavy grouping left
+distributed. Entities are rebuilt statement-by-statement so per-statement
+provenance (``dataset``, ``external``) survives — the surface
+``non_graph_topics``-style analyzer logic reads
+(``datasets/_analysis/ann_graph_topics/analyzer.py:123-138``).
+
+Scale note: an analyzer that must stay distributed should consume
+``assemble_entities`` directly; this view is bounded by what the
+reference itself could hold on one node.
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterator
 
-from opensanctions_spark.crawler import Entity, Schema
+from opensanctions_spark.crawler import Entity, Schema, Statement
 from opensanctions_spark.integration import Linker
+from opensanctions_spark.model.registry import ENTITY_PROPS
 
 
 class PropName(str):
     """A property name that is BOTH the string (so existing callers can
-    compare/key with ``"holder"``) and an object with ``.name`` — the
-    attribute analyzer crawlers read off the reference's FtM Property
-    (``prop.name != "positionOccupancies"``)."""
+    compare/key with ``"holder"``) and an object with ``.name`` and
+    ``.reverse`` — the attributes analyzer crawlers read off the
+    reference's FtM Property (``prop.name != "positionOccupancies"``,
+    ``prop.reverse.name != "owner"``). ``reverse`` is the counterpart
+    property's name (itself a :class:`PropName`), or None when the model
+    registers none."""
 
-    __slots__ = ()
+    __slots__ = ("_reverse",)
+
+    def __new__(cls, value: str, reverse: str | None = None) -> "PropName":
+        self = super().__new__(cls, value)
+        self._reverse = reverse
+        return self
 
     @property
     def name(self) -> str:
         return str(self)
 
+    @property
+    def reverse(self) -> "PropName | None":
+        if self._reverse is None:
+            return None
+        return PropName(self._reverse, reverse=str(self))
 
-#: reverse property names for the intermediate-node traversals the
-#: reference's analyzers walk — public followthemoney schema facts
+
+#: reverse property names for the traversals the reference's analyzers
+#: walk — public followthemoney schema facts
 #: ((schema, forward prop) → the reverse property's name on the target).
-#: Extend as analyzer ports need more of the FtM graph.
+#: ``View.get_adjacent`` surfaces the reverse direction under this name,
+#: with ``.reverse`` pointing back at the forward prop — the pair the
+#: graph rules dispatch on (ann_graph_topics ``walk_edge`` /
+#: ``rule_sanction_control_descent``).
 REVERSE_PROPS: dict[tuple[str, str], str] = {
     ("Occupancy", "holder"): "positionOccupancies",
     ("Occupancy", "post"): "occupancies",
     ("Sanction", "entity"): "sanctions",
     ("Identification", "holder"): "identification",
+    ("Security", "issuer"): "securities",
+    ("Ownership", "owner"): "ownershipOwner",
+    ("Ownership", "asset"): "ownershipAsset",
+    ("Directorship", "director"): "directorshipDirector",
+    ("Directorship", "organization"): "directorshipOrganization",
+    ("Membership", "member"): "membershipMember",
+    ("Membership", "organization"): "membershipOrganization",
+    ("Employment", "employer"): "employmentEmployer",
+    ("Employment", "employee"): "employmentEmployee",
+    ("Family", "person"): "familyPerson",
+    ("Family", "relative"): "familyRelative",
+    ("Associate", "person"): "associates",
+    ("Associate", "associate"): "associateOf",
+    ("Succession", "predecessor"): "successionPredecessor",
+    ("Succession", "successor"): "successionSuccessor",
+    ("Representation", "agent"): "agencyClient",
+    ("Representation", "client"): "agentRepresentation",
+    ("UnknownLink", "subject"): "unknownLinkTo",
+    ("UnknownLink", "object"): "unknownLinkFrom",
 }
 
 
 class View:
     """Random-access view over assembled entities
     (``zavod/zavod/store.py:33-34`` View contract: ``entities``,
-    ``get_entity``, ``get_adjacent``)."""
+    ``get_entity``, ``get_adjacent``). Lookups canonicalize through the
+    linker, so a merged-away id resolves to its surviving entity — the
+    reference view's ``linker.get_canonical`` lookup behavior."""
 
-    def __init__(self, entities: dict[str, Entity]) -> None:
+    def __init__(
+        self, entities: dict[str, Entity], linker: Linker | None = None
+    ) -> None:
         self._entities = entities
-        # reverse index: target id → [(reverse prop name, source id)].
-        # Built once per sync; size is edge-count-bounded like the
-        # reference's inverted LevelDB index.
+        self._linker = linker or Linker({})
+        # reverse index: target id → [(forward prop name, source id)].
+        # Built once per sync over entity-TYPED props only (a plain value
+        # colliding with an entity id is data, not an edge); size is
+        # edge-count-bounded like the reference's inverted LevelDB index.
         self._reverse: dict[str, list[tuple[str, str]]] = {}
         for ent in entities.values():
             for prop, value, _l, _o, _ov in ent.statements:
+                if prop not in ENTITY_PROPS:
+                    continue
                 if value in entities and value != ent.id:
-                    rev = REVERSE_PROPS.get((ent.schema.name, prop))
-                    if rev is not None:
+                    if (ent.schema.name, prop) in REVERSE_PROPS:
                         self._reverse.setdefault(value, []).append(
-                            (rev, ent.id)  # type: ignore[arg-type]
+                            (prop, ent.id)  # type: ignore[arg-type]
                         )
+
+    # the reference types its view generically (nomenklatura
+    # ``View[Dataset, Entity]``); accept the subscript for import parity
+    def __class_getitem__(cls, item: Any) -> type:
+        return cls
 
     def entities(self) -> Iterator[Entity]:
         yield from self._entities.values()
 
     def get_entity(self, entity_id: str) -> Entity | None:
-        return self._entities.get(entity_id)
+        ent = self._entities.get(entity_id)
+        if ent is None:
+            ent = self._entities.get(self._linker.get_canonical(entity_id))
+        return ent
 
     def get_adjacent(self, entity: Entity) -> Iterator[tuple[PropName, Entity]]:
-        """(prop, adjacent-entity): forward for every property value that
-        resolves to another entity in the view, PLUS the registered
-        reverse traversals (a Person sees its Occupancies under
-        ``positionOccupancies``) — the id-reference walk the reference's
+        """(prop, adjacent-entity): forward for every ENTITY-TYPED
+        property value that resolves to another entity in the view, PLUS
+        the registered reverse traversals (a Person sees its Occupancies
+        under ``positionOccupancies``) — the walk the reference's
         View.get_adjacent does over its inverted index. Props are
-        :class:`PropName` (string-compatible, with ``.name``)."""
+        :class:`PropName` (string-compatible, with ``.name`` and
+        ``.reverse``)."""
         for prop, value, _lang, _origin, _orig in entity.statements:
-            adjacent = self._entities.get(value)
+            if prop not in ENTITY_PROPS:
+                continue
+            adjacent = self.get_entity(value)
             if adjacent is not None and adjacent is not entity:
-                yield PropName(prop), adjacent
+                rev = REVERSE_PROPS.get((entity.schema.name, prop))
+                yield PropName(prop, reverse=rev), adjacent
         if entity.id is not None:
-            for rev_prop, source_id in self._reverse.get(entity.id, []):
+            for fwd_prop, source_id in self._reverse.get(entity.id, []):
                 source = self._entities.get(source_id)
                 if source is not None and source is not entity:
-                    yield PropName(rev_prop), source
+                    rev_name = REVERSE_PROPS[(source.schema.name, fwd_prop)]
+                    yield PropName(rev_name, reverse=fwd_prop), source
 
 
 class Store:
@@ -113,6 +178,7 @@ class Store:
         self._statements = statements
         self._archive = archive
         self._entities: dict[str, Entity] | None = None
+        self._synced_external: bool | None = None
 
     def _scope_names(self) -> list[str]:
         """Dataset scope → archive dataset names. Accepts a single
@@ -149,15 +215,30 @@ class Store:
         return archive.read_collection(self._scope_names(), external=external)
 
     def sync(self, clear: bool = False, external: bool = False) -> None:
-        """Assemble entities distributed, then materialize the driver-side
-        map (ref ``store.py:49-75`` sync; the LevelDB build loop becomes
-        one Spark aggregation + a streamed collect)."""
+        """Canonicalize + group statements distributed, then materialize
+        the driver-side map (ref ``store.py:49-75`` sync; the LevelDB
+        build loop becomes one Spark aggregation + a streamed collect).
+
+        Memoized per ``external`` flag: asking for a different external
+        scope than the last sync re-syncs (a default sync followed by
+        ``view(external=True)`` must not silently return the
+        internal-only map).
+        """
         from pyspark.sql import functions as F
 
-        from opensanctions_spark.operators.assembly import assemble_entities
-        from opensanctions_spark.operators.resolve import apply_canonical
+        from opensanctions_spark.model.registry import (
+            common_schema_rank_column,
+        )
+        from opensanctions_spark.operators.resolve import (
+            apply_canonical,
+            canonicalize_values,
+        )
 
-        if self._entities is not None and not clear:
+        if (
+            self._entities is not None
+            and not clear
+            and self._synced_external == external
+        ):
             return
         stmts = self._resolve_statements(external=external)
         if not external and "external" in stmts.columns:
@@ -171,32 +252,80 @@ class Store:
                 mapping_rows, "entity_id string, canonical_id string"
             )
             stmts = apply_canonical(stmts, mapping)
-        assembled = assemble_entities(stmts)
-        per_entity_ds = stmts.groupBy("canonical_id").agg(
-            F.collect_set("dataset").alias("datasets")
+            # edges must follow the merge: entity-typed property VALUES
+            # rewrite through the linker too (the reference store writer's
+            # linker.get_canonical on references) — without this an
+            # Occupancy pointing at a merged-away holder id dangles
+            stmts = canonicalize_values(stmts, mapping)
+        cols = set(stmts.columns)
+        dataset_col = (
+            F.col("dataset") if "dataset" in cols else F.lit(None).cast("string")
         )
-        assembled = assembled.join(per_entity_ds, "canonical_id", "left")
+        external_col = (
+            F.col("external") if "external" in cols else F.lit(False)
+        )
+        opt = {
+            p: (F.col(p) if p in cols else F.lit(None).cast("string"))
+            for p in ("lang", "origin", "original_value")
+        }
+        # ONE shuffle: group per canonical id, keeping each statement's
+        # provenance. collect_set dedupes at statement granularity (the
+        # reference's content-hash statement ids do the same); array_sort
+        # gives the driver loop a deterministic statement order.
+        assembled = (
+            stmts.repartition("canonical_id")
+            .groupBy("canonical_id")
+            .agg(
+                F.max_by(
+                    "schema", common_schema_rank_column(F.col("schema"))
+                ).alias("schema"),
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            F.col("prop").alias("prop"),
+                            F.col("value").alias("value"),
+                            opt["lang"].alias("lang"),
+                            opt["origin"].alias("origin"),
+                            opt["original_value"].alias("original_value"),
+                            dataset_col.alias("dataset"),
+                            external_col.alias("external"),
+                        )
+                    )
+                ).alias("stmts"),
+                F.collect_set(dataset_col).alias("datasets"),
+            )
+        )
         entities: dict[str, Entity] = {}
         # toLocalIterator: driver sees one partition at a time — the
         # materialized dict is the (reference-parity) driver-local store
         for row in assembled.toLocalIterator():
             ent = Entity(Schema(row["schema"]))
             ent.id = row["canonical_id"]
-            ent.datasets = set(row["datasets"] or [])
+            ent.datasets = {d for d in (row["datasets"] or []) if d}
             ent.referents = self.linker.get_referents(ent.id)
-            for prop, values in (row["properties"] or {}).items():
-                ent.add(prop, values)
+            for s in row["stmts"]:
+                ent.add_statement(
+                    Statement(
+                        s["prop"],
+                        s["value"],
+                        s["lang"],
+                        s["origin"],
+                        s["original_value"],
+                        dataset=s["dataset"],
+                        external=bool(s["external"]),
+                    )
+                )
             entities[ent.id] = ent
         self._entities = entities
+        self._synced_external = external
 
     def view(self, scope: Any = None, external: bool = False) -> View:
         """Open the assembled view (syncs lazily; ``scope`` is accepted for
         reference-signature parity — the statements were already scoped at
         construction)."""
-        if self._entities is None:
-            self.sync(external=external)
+        self.sync(external=external)
         assert self._entities is not None
-        return View(self._entities)
+        return View(self._entities, linker=self.linker)
 
 
 def get_store(

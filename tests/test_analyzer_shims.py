@@ -175,6 +175,109 @@ def test_store_external_filter(spark):
     assert {e.id for e in store.view(ds).entities()} == {
         "p1", "p1-dupe", "occ1",
     }
+    # the view's own external flag decides visibility (reference View
+    # semantics): a default sync followed by view(external=True) re-syncs
+    # to include externals, and a default view after an external sync
+    # narrows back — the memoization keys on the flag, not just presence
     store_ext = get_store(ds, statements=stmts)
     store_ext.sync(external=True)
-    assert "pos1" in {e.id for e in store_ext.view(ds).entities()}
+    assert "pos1" in {e.id for e in store_ext.view(ds, external=True).entities()}
+    assert "pos1" not in {e.id for e in store_ext.view(ds).entities()}
+    assert "pos1" in {e.id for e in store_ext.view(ds, external=True).entities()}
+
+
+def test_store_value_canonicalization_under_linker(spark):
+    """VERDICT r8 'What's wrong #1' repro, pinned: an edge pointing at a
+    merged-away REFERENT id (``holder='p1-dupe'`` with linker
+    ``p1-dupe→p1``) must keep its adjacency in both directions, and
+    ``get_entity`` must resolve referent ids — the reference store
+    rewrites entity-typed values via ``linker.get_canonical``
+    (``zavod/zavod/store.py:36-74``)."""
+    from opensanctions_spark.integration import Linker
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.store import get_store
+
+    rows = [
+        ("p1", "Person", "name", "Alice A"),
+        ("p1", "Person", "topics", "role.pep"),
+        ("p1-dupe", "Person", "name", "Alice Alias"),
+        ("pos1", "Position", "name", "Minister of Tests"),
+        # the edge points at the REFERENT, not the canonical id
+        ("occ1", "Occupancy", "holder", "p1-dupe"),
+        ("occ1", "Occupancy", "post", "pos1"),
+    ]
+    stmts = finish_statements(
+        spark.createDataFrame(
+            rows, "entity_id string, schema string, prop string, value string"
+        ),
+        dataset="test_ds",
+    )
+    ds = SimpleNamespace(name="test_ds", inputs=[])
+    store = get_store(ds, Linker({"p1-dupe": "p1"}), statements=stmts)
+    view = store.view(ds)
+
+    # referent lookup resolves to the surviving entity
+    alice = view.get_entity("p1-dupe")
+    assert alice is not None and alice.id == "p1"
+    # the edge's holder value was rewritten through the linker
+    occ = view.get_entity("occ1")
+    assert occ.get("holder") == ["p1"]
+    # forward adjacency: occupancy → person
+    fwd = dict(view.get_adjacent(occ))
+    assert fwd["holder"].id == "p1"
+    # reverse adjacency: person ← occupancy under the FtM reverse name
+    rev = {(p.name, e.id) for p, e in view.get_adjacent(alice)}
+    assert ("positionOccupancies", "occ1") in rev
+
+
+def test_store_statement_provenance_and_walk_gate(spark):
+    """Rebuilt entities carry per-statement dataset/external provenance
+    (the ``non_graph_topics`` read surface), and the adjacency walk only
+    traverses entity-TYPED props — a plain string value colliding with an
+    entity id is data, not an edge."""
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.store import get_store
+
+    def _src(name, rows):
+        return finish_statements(
+            spark.createDataFrame(
+                rows,
+                "entity_id string, schema string, prop string, value string",
+            ),
+            dataset=name,
+        )
+
+    stmts = _src(
+        "src_a",
+        [
+            ("e1", "Person", "topics", "poi"),
+            # a notes value that happens to equal another entity's id:
+            # must NOT create adjacency
+            ("e1", "Person", "notes", "e2"),
+            ("e2", "Person", "name", "Other"),
+        ],
+    ).unionByName(_src("ann_x", [("e1", "Person", "topics", "debarred")]))
+    ds = SimpleNamespace(name="multi", inputs=[])
+    view = get_store(ds, statements=stmts).view(ds)
+
+    e1 = view.get_entity("e1")
+    by_ds = {s.dataset: s.value for s in e1.get_statements("topics")}
+    assert by_ds == {"src_a": "poi", "ann_x": "debarred"}
+    assert all(s.external is False for s in e1.statements)
+    assert e1.datasets == {"src_a", "ann_x"}
+    # the notes value is not an entity-typed prop: no adjacency either way
+    assert dict(view.get_adjacent(e1)) == {}
+    assert dict(view.get_adjacent(view.get_entity("e2"))) == {}
+
+
+def test_propname_reverse_surface():
+    """PropName carries the FtM Property read surface the graph analyzer
+    dispatches on: ``.name``, ``.reverse`` and string-compatibility
+    (``prop.reverse == edge_schema.target_prop`` string compares)."""
+    from opensanctions_spark.store import PropName
+
+    p = PropName("ownershipOwner", reverse="owner")
+    assert p == "ownershipOwner" and p.name == "ownershipOwner"
+    assert p.reverse == "owner" and p.reverse.name == "owner"
+    assert p.reverse.reverse == "ownershipOwner"
+    assert PropName("plain").reverse is None

@@ -640,3 +640,22 @@ def test_parse_pdf_table_bridge(tmp_path):
         {"name": "Ada", "code": "P1"},
         {"name": "Bob", "code": "P2"},
     ]
+
+
+def test_xpath_contains_text_predicate_and_absolute_prefix():
+    """The lxml-isms production crawlers use (leading ``//`` and a
+    ``contains(text(), '…')`` predicate on the final step,
+    ``datasets/_global/tokyo_mou/psc/crawler.py``) work through the
+    stdlib-backed compat xpath."""
+    from opensanctions_spark.helpers import parse_html, xpath_string, xpath_strings
+
+    doc = parse_html(
+        "<html><body><span>hello</span><span>7 + 8 =</span>"
+        "<div><span>also =</span></div></body></html>"
+    )
+    assert xpath_strings(doc, "//span[contains(text(), '=')]/text()") == [
+        "7 + 8 =", "also =",
+    ]
+    assert xpath_string(
+        doc, "//span[contains(text(), '7')]/text()"
+    ).strip(" =") == "7 + 8"
