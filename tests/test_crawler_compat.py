@@ -283,3 +283,74 @@ def test_helper_crawler_end_to_end(spark, tmp_path):
 
     entities = assemble_entities(stmts)
     assert entities.filter(F.col("schema") == "Passport").count() == 1
+
+
+def test_statement_surface_pickle_and_attrs():
+    """The FtM Statement read surface (round 8) under serialization:
+    unpacks as the 5-tuple, carries provenance attributes, and survives
+    pickle/copy round-trips (tuple.__getnewargs__ would otherwise pass
+    the whole 5-tuple as one constructor argument)."""
+    import copy
+    import pickle
+
+    from opensanctions_spark.crawler import Statement
+
+    s = Statement("holder", "p1", "en", "inferred", "P-1",
+                  dataset="src", external=True)
+    prop, value, lang, origin, original = s
+    assert (prop, value, lang, origin, original) == (
+        "holder", "p1", "en", "inferred", "P-1"
+    )
+    assert (s.prop, s.value, s.dataset, s.external) == (
+        "holder", "p1", "src", True
+    )
+    for clone in (pickle.loads(pickle.dumps(s)), copy.copy(s),
+                  copy.deepcopy(s)):
+        assert clone == s
+        assert clone.dataset == "src" and clone.external is True
+
+
+def test_get_type_values_and_matchable():
+    """EntityProxy.get_type_values parity (reference call sites pass
+    registry singletons and matchable=True — simplecsv.py:69-104,
+    names.py:19, integration/logic.py:25-78): TYPE_PROPS maps the type
+    to its props, matchable=True drops non-matchable ones (weakAlias),
+    values dedupe in first-seen order."""
+    from opensanctions_spark.crawler import Entity, Schema
+    from opensanctions_spark.model import registry
+
+    e = Entity(Schema("Person"))
+    e.add("name", ["Jane Doe", "Jane Doe"])
+    e.add("alias", "J. Doe")
+    e.add("weakAlias", "JD")
+    e.add("country", "dk")
+    e.add("nationality", "se")
+    e.add("topics", ["role.pep", "sanction"])
+    assert e.get_type_values(registry.name) == ["Jane Doe", "J. Doe", "JD"]
+    assert e.get_type_values(registry.name, matchable=True) == [
+        "Jane Doe", "J. Doe"
+    ]
+    assert e.get_type_values(registry.country) == ["dk", "se"]
+    assert e.get_type_values(registry.topic) == ["role.pep", "sanction"]
+    assert e.get_type_values(registry.email) == []
+
+
+def test_caption_per_schema_order_and_label_fallback():
+    """EntityProxy.caption parity: per-schema caption-prop order (Address
+    captions by `full`), generic (name, alias, title) otherwise, and the
+    schema display LABEL as the fallback (not the id)."""
+    from opensanctions_spark.crawler import Entity, Schema
+
+    addr = Entity(Schema("Address"))
+    addr.add("name", "HQ")
+    addr.add("full", "1 Main St, Springfield")
+    assert addr.caption == "1 Main St, Springfield"
+
+    person = Entity(Schema("Person"))
+    person.id = "p-1"
+    person.add("alias", "J. Doe")
+    assert person.caption == "J. Doe"
+
+    empty = Entity(Schema("PublicBody"))
+    empty.id = "pb-1"
+    assert empty.caption == "Public body"
