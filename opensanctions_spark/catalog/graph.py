@@ -428,3 +428,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+@register(
+    "graph_risk_propagation",
+    oracle="""
+WITH edges AS (
+  SELECT 's-' || l_suppkey AS owner, 'p-' || l_partkey AS asset
+  FROM lineitem WHERE l_linenumber = 1 AND l_returnflag <> 'R'
+),
+sanc_sup AS (
+  SELECT DISTINCT 's-' || s_suppkey AS eid FROM supplier WHERE s_suppkey % 7 = 0
+),
+exp_sup AS (
+  SELECT DISTINCT 's-' || s_suppkey AS eid FROM supplier WHERE s_suppkey % 5 = 0
+),
+ctl_part AS (
+  SELECT DISTINCT 'p-' || p_partkey AS eid FROM part
+  WHERE p_partkey % 13 = 0 OR p_partkey % 17 = 0
+),
+sanc_part AS (
+  SELECT DISTINCT 'p-' || p_partkey AS eid FROM part WHERE p_partkey % 17 = 0
+)
+SELECT DISTINCT e.asset AS entity_id, 'sanction.linked' AS topic
+FROM edges e JOIN sanc_sup s ON e.owner = s.eid
+WHERE e.asset NOT IN (SELECT eid FROM sanc_part)
+UNION
+SELECT DISTINCT e.owner, 'sanction.linked'
+FROM edges e JOIN sanc_part p ON e.asset = p.eid
+WHERE e.owner NOT IN (SELECT eid FROM sanc_sup)
+UNION
+SELECT DISTINCT e.asset, 'sanction.control'
+FROM edges e JOIN sanc_sup s ON e.owner = s.eid
+WHERE e.asset NOT IN (SELECT eid FROM ctl_part)
+UNION
+SELECT DISTINCT e.asset, 'export.control.linked'
+FROM edges e JOIN exp_sup s ON e.owner = s.eid
+""",
+)
+def graph_risk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed one-hop risk-topic propagation
+    (``operators/graph.py propagate_risk_topics`` — the DataFrame-native
+    counterpart of ``datasets/_analysis/ann_graph_topics/analyzer.py``,
+    rule parity pinned by the verbatim differential test). Fixture: the
+    supplier→part Ownership graph from lineitem (one edge per first
+    line, ``l_returnflag='R'`` rows as end-dated edges), sanctioned
+    suppliers (suppkey%7), export-controlled suppliers (%5), and
+    pre-seeded parts (%13 control, %17 sanction) exercising every
+    suppression path. Plan: semi-join seed gates + anti-join
+    suppression on entity ids — no driver state, no Python row path;
+    one hop per run exactly like the reference analyzer."""
+    from opensanctions_spark.operators.graph import propagate_risk_topics
+
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    sup_id = F.concat(F.lit("s-"), F.col("s_suppkey"))
+    part_id = F.concat(F.lit("p-"), F.col("p_partkey"))
+    entities = sup.select(sup_id.alias("entity_id"), F.lit("Company").alias("schema")).unionByName(
+        part.select(part_id.alias("entity_id"), F.lit("Company").alias("schema"))
+    )
+    topics = (
+        sup.filter(F.col("s_suppkey") % 7 == 0)
+        .select(sup_id.alias("entity_id"), F.lit("sanction").alias("topic"))
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 5 == 0)
+            .select(sup_id.alias("entity_id"), F.lit("export.control").alias("topic"))
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") % 13 == 0)
+            .select(part_id.alias("entity_id"), F.lit("sanction.control").alias("topic"))
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") % 17 == 0)
+            .select(part_id.alias("entity_id"), F.lit("sanction").alias("topic"))
+        )
+    )
+    edges = li.select(
+        F.lit("Ownership").alias("schema"),
+        F.concat(F.lit("s-"), F.col("l_suppkey")).alias("source_id"),
+        F.concat(F.lit("p-"), F.col("l_partkey")).alias("target_id"),
+        (F.col("l_returnflag") == "R").alias("end_dated"),
+    )
+    return propagate_risk_topics(entities, topics, edges)

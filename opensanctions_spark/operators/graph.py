@@ -54,3 +54,153 @@ def self_reference_cycles(edges: DataFrame) -> DataFrame:
         .select(F.col("src").alias("node"))
         .distinct()
     )
+
+
+# -- distributed risk-topic propagation --------------------------------------
+
+#: edge schemata counted as "broad adjacency" for sanction propagation
+#: (datasets/_analysis/ann_graph_topics/analyzer.py SANCTION_ADJACENCY_EDGES)
+SANCTION_ADJACENCY_EDGES = (
+    "Ownership", "Directorship", "Membership", "Employment",
+    "Associate", "Family", "Succession",
+)
+_SANCTION_SEEDS = ("sanction", "sanction.linked")
+_CONTROL_SEEDS = ("sanction", "sanction.control")
+_EXPORT_SEEDS = ("export.control", "export.control.linked")
+
+
+def propagate_risk_topics(
+    entities: DataFrame,
+    topics: DataFrame,
+    edges: DataFrame,
+    securities: DataFrame | None = None,
+) -> DataFrame:
+    """One propagation hop of the graph risk rules, fully distributed.
+
+    The DataFrame-native counterpart of the reference's
+    ``ann_graph_topics`` analyzer
+    (``datasets/_analysis/ann_graph_topics/analyzer.py`` — rule parity
+    pinned by the differential test in
+    ``tests/test_ann_graph_topics_verbatim.py``): the compat
+    :class:`opensanctions_spark.store.Store` walk is driver-local by
+    design; THIS is the shape that runs the same rules over a 100 TB
+    statement graph. One hop per invocation, converging across runs,
+    exactly like the reference.
+
+    Inputs:
+
+    - ``entities``: (entity_id, schema) — node schemata (the Person
+      check of the RCA rule).
+    - ``topics``: (entity_id, topic) — topics contributed by OTHER
+      datasets (the caller applies the analyzer's self-exclusion).
+    - ``edges``: (schema, source_id, target_id, end_dated) — one row
+      per edge entity; ``end_dated`` edges terminate propagation.
+    - ``securities``: optional (security_id, issuer_id) — the direct
+      Company ↔ Security relation (no intermediate edge entity).
+
+    Returns the distinct (entity_id, topic) patch set:
+
+    - ``role.rca`` on Persons across a ``Family`` edge from a
+      ``role.pep`` source (skipped if already rca/pep);
+    - ``sanction.linked`` on broad-adjacency neighbors of ``sanction``
+      entities and across the securities relation (skipped if already
+      sanction/sanction.linked);
+    - ``sanction.control`` one ``Ownership`` hop downward
+      (owner → asset) from sanction/sanction.control seeds, with the
+      ``sanction.linked`` co-emit (control is suppressed by control
+      seeds, the co-emit additionally by sanction seeds);
+    - ``export.control.linked`` one Ownership hop downward from
+      export.control/export.control.linked seeds (ownership-only,
+      downward-only, NO sanctions co-emit — the reference is explicit
+      that the ``.linked`` suffix carries control semantics here).
+
+    Scale shape: every rule is a semi-join (seed gate) plus an
+    anti-join (already-tagged suppression) on entity ids —
+    high-cardinality, near-uniform keys, so the shuffles partition
+    evenly; nothing collects, no Python row path, and the final
+    ``distinct`` is the only extra exchange. The seed/suppression
+    frames are topic-filtered (tiny vs the graph) — AQE broadcasts
+    them when they fit.
+    """
+    def seeds(*names: str) -> DataFrame:
+        return (
+            topics.filter(F.col("topic").isin(list(names)))
+            .select("entity_id")
+            .distinct()
+        )
+
+    live = edges.filter(~F.col("end_dated"))
+    # broad adjacency is walked from EITHER endpoint to the counterpart
+    sym = (
+        live.filter(F.col("schema").isin(list(SANCTION_ADJACENCY_EDGES)))
+        .select("schema", F.col("source_id").alias("a"), F.col("target_id").alias("b"))
+        .unionByName(
+            live.filter(F.col("schema").isin(list(SANCTION_ADJACENCY_EDGES)))
+            .select("schema", F.col("target_id").alias("a"), F.col("source_id").alias("b"))
+        )
+    )
+
+    def _gate(pairs: DataFrame, src_seeds: DataFrame, blocked: DataFrame) -> DataFrame:
+        """pairs(a, b) whose a is seeded and whose b is not blocked → b."""
+        return (
+            pairs.join(src_seeds.withColumnRenamed("entity_id", "a"), "a", "left_semi")
+            .select(F.col("b").alias("entity_id"))
+            .join(blocked, "entity_id", "left_anti")
+        )
+
+    sanction_src = seeds("sanction")
+    linked_blocked = seeds(*_SANCTION_SEEDS)
+
+    # rule_pep_family_to_rca: Persons across a Family edge from a PEP
+    persons = entities.filter(F.col("schema") == "Person").select("entity_id")
+    rca = (
+        _gate(
+            sym.filter(F.col("schema") == "Family").select("a", "b"),
+            seeds("role.pep"),
+            seeds("role.rca", "role.pep"),
+        )
+        .join(persons, "entity_id", "left_semi")
+        .withColumn("topic", F.lit("role.rca"))
+    )
+
+    # rule_sanction_adjacency over the broad edge schemata
+    linked = _gate(sym.select("a", "b"), sanction_src, linked_blocked).withColumn(
+        "topic", F.lit("sanction.linked")
+    )
+
+    # ...and over the direct Company ↔ Security relation, both directions
+    if securities is not None:
+        sec_pairs = securities.select(
+            F.col("security_id").alias("a"), F.col("issuer_id").alias("b")
+        )
+        sec_sym = sec_pairs.unionByName(
+            sec_pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        linked = linked.unionByName(
+            _gate(sec_sym, sanction_src, linked_blocked).withColumn(
+                "topic", F.lit("sanction.linked")
+            )
+        )
+
+    # the two descent rules: Ownership, owner → asset only
+    own = live.filter(F.col("schema") == "Ownership").select(
+        F.col("source_id").alias("a"), F.col("target_id").alias("b")
+    )
+    ctl_seeds = seeds(*_CONTROL_SEEDS)
+    ctl_hits = _gate(own, ctl_seeds, ctl_seeds)
+    control = ctl_hits.withColumn("topic", F.lit("sanction.control"))
+    control_coemit = ctl_hits.join(linked_blocked, "entity_id", "left_anti").withColumn(
+        "topic", F.lit("sanction.linked")
+    )
+    exp_seeds = seeds(*_EXPORT_SEEDS)
+    export = _gate(own, exp_seeds, exp_seeds).withColumn(
+        "topic", F.lit("export.control.linked")
+    )
+
+    return (
+        rca.unionByName(linked)
+        .unionByName(control)
+        .unionByName(control_coemit)
+        .unionByName(export)
+        .distinct()
+    )

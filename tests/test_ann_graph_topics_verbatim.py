@@ -765,3 +765,107 @@ def test_ann_graph_topics_crawl_e2e(spark, tmp_path, monkeypatch):
     # origin stamping: every patch statement carries ORIGIN_INFERRED
     origins = {s[5] for s in ctx._buffer if s[2] == "topics"}
     assert origins == {ORIGIN_INFERRED}
+
+
+# ---- distributed operator ↔ verbatim analyzer differential -----------------
+
+
+def test_propagate_risk_topics_matches_verbatim_analyzer(spark):
+    """The DataFrame-native one-hop propagation
+    (``operators/graph.py propagate_risk_topics`` — the 100 TB path)
+    emits exactly the patch set the verbatim driver-local analyzer does
+    on the same graph: every rule, suppression, end-date gate, and the
+    securities relation, in both directions."""
+    from opensanctions_spark.model.registry import EDGE_SCHEMATA
+    from opensanctions_spark.operators.graph import propagate_risk_topics
+
+    entities = [
+        # RCA: pep → family → spouse; endDate-gated family → exspouse
+        _entity("Person", "pep", {"topics": ["role.pep"]}),
+        _entity("Family", "fam1", {"person": ["pep"], "relative": ["spouse"]}),
+        _entity("Person", "spouse"),
+        _entity(
+            "Family", "fam2",
+            {"person": ["pep"], "relative": ["exspouse"], "endDate": ["2020-01-01"]},
+        ),
+        _entity("Person", "exspouse"),
+        # control descent + broad adjacency from a sanctioned owner
+        _entity("Person", "boss", {"topics": ["sanction"]}),
+        _entity("Ownership", "own1", {"owner": ["boss"], "asset": ["acme"]}),
+        _entity("Company", "acme"),
+        # descent continues from a prior-run control seed
+        _entity("Company", "acme2", {"topics": ["sanction.control"]}),
+        _entity("Ownership", "own2", {"owner": ["acme2"], "asset": ["child"]}),
+        _entity("Company", "child"),
+        # export descent (and ONLY export — no sanctions co-emit)
+        _entity("Company", "parent", {"topics": ["export.control"]}),
+        _entity("Ownership", "own3", {"owner": ["parent"], "asset": ["child2"]}),
+        _entity("Company", "child2"),
+        # broad adjacency across Membership; UnknownLink must not emit
+        _entity("Membership", "mem", {"member": ["boss"], "organization": ["club"]}),
+        _entity("Organization", "club"),
+        _entity("UnknownLink", "ul", {"subject": ["boss"], "object": ["other"]}),
+        _entity("Person", "other"),
+        # suppression: an already-sanctioned asset receives nothing
+        _entity("Person", "boss2", {"topics": ["sanction"]}),
+        _entity("Ownership", "own4", {"owner": ["boss2"], "asset": ["seeded"]}),
+        _entity("Company", "seeded", {"topics": ["sanction"]}),
+        # securities, both directions
+        _entity("Company", "co", {"topics": ["sanction"]}),
+        _entity("Security", "sec1", {"issuer": ["co"]}),
+        _entity("Company", "co2"),
+        _entity("Security", "sec2", {"topics": ["sanction"], "issuer": ["co2"]}),
+    ]
+
+    # driver-local path: the verbatim analyzer over the store view
+    scope = SimpleNamespace(name=SOURCE, inputs=[])
+    store = get_store(scope, statements=_statements(spark, entities))
+    view = store.view(scope, external=True)
+    ctx = _CapturingContext(spark)
+    for ent in view.entities():
+        analyze_entity(ctx, view, ent)
+    verbatim = set(_emits(ctx))
+
+    # distributed path: the same graph as (entities, topics, edges,
+    # securities) DataFrames
+    ent_rows = [(f"{eid}", schema) for schema, eid, _p, _d, _x in entities]
+    topic_rows = [
+        (eid, t)
+        for schema, eid, props, _d, _x in entities
+        for t in props.get("topics", [])
+    ]
+    edge_rows = []
+    for schema, eid, props, _d, _x in entities:
+        spec = EDGE_SCHEMATA.get(schema)
+        if spec is None:
+            continue
+        src_prop, tgt_prop, _directed = spec
+        for s in props.get(src_prop, []):
+            for t in props.get(tgt_prop, []):
+                edge_rows.append((schema, s, t, bool(props.get("endDate"))))
+    sec_rows = [
+        (eid, issuer)
+        for schema, eid, props, _d, _x in entities
+        if schema == "Security"
+        for issuer in props.get("issuer", [])
+    ]
+    out = propagate_risk_topics(
+        spark.createDataFrame(ent_rows, "entity_id string, schema string"),
+        spark.createDataFrame(topic_rows, "entity_id string, topic string"),
+        spark.createDataFrame(
+            edge_rows,
+            "schema string, source_id string, target_id string, end_dated boolean",
+        ),
+        securities=spark.createDataFrame(
+            sec_rows, "security_id string, issuer_id string"
+        ),
+    )
+    distributed = {(r["entity_id"], r["topic"]) for r in out.collect()}
+
+    assert distributed == verbatim
+    # and the fixture actually exercised every rule
+    emitted_topics = {t for _e, t in verbatim}
+    assert emitted_topics == {
+        "role.rca", "sanction.linked", "sanction.control",
+        "export.control.linked",
+    }

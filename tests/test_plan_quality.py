@@ -684,3 +684,13 @@ def test_mm_decode_ppm_real_has_no_exchange(spark, sf_dir):
 def test_mm_decode_bmp_real_has_no_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["mm_decode_bmp_real"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_graph_risk_propagation_plan(spark, sf_dir):
+    """The distributed risk-propagation hop must stay join-shaped: seed
+    gates as semi joins, suppression as anti joins, no cartesian
+    product, and no Python in the row path."""
+    plan = _executed_plan(QUERIES["graph_risk_propagation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
