@@ -511,3 +511,66 @@ def graph_risk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").alias("end_dated"),
     )
     return propagate_risk_topics(entities, topics, edges)
+
+
+@register(
+    "graph_risk_propagation_converged",
+    oracle="""
+WITH RECURSIVE sup AS (
+  SELECT s_suppkey AS k FROM supplier
+),
+edges AS (
+  SELECT 's-' || a.k AS owner, 's-' || b.k AS asset
+  FROM sup a JOIN sup b ON b.k = a.k + 1
+  WHERE a.k % 10 <> 9
+),
+seeds AS (
+  SELECT 's-' || k AS eid FROM sup WHERE k % 20 = 0
+),
+ctl(eid) AS (
+  SELECT e.asset FROM edges e JOIN seeds s ON e.owner = s.eid
+  UNION
+  SELECT e.asset FROM edges e JOIN ctl c ON e.owner = c.eid
+)
+SELECT eid AS entity_id, 'sanction.control' AS topic FROM ctl
+UNION
+SELECT eid, 'sanction.linked' FROM ctl
+""",
+)
+def graph_risk_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk propagation run to its FIXPOINT
+    (``operators/graph.py propagate_risk_topics_converged``): the
+    reference converges multi-tier ownership across successive nightly
+    runs; the engine walks the whole chain in one invocation. Fixture:
+    supplier-key chains s-k → s-(k+1) within blocks of ten, sanctioned
+    block heads every 20 keys — descent must reach the block tail (up
+    to 9 hops), which the DuckDB oracle replays as a recursive-CTE
+    transitive closure. Per hop the plan is the same semi/anti join
+    shape as the one-shot row; the accumulated topic set is
+    localCheckpoint-ed so lineage stays flat (the connected-components
+    discipline)."""
+    from opensanctions_spark.operators.graph import (
+        propagate_risk_topics_converged,
+    )
+
+    sup = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    nxt = sup.select((F.col("k") - 1).alias("k"))
+    chain = (
+        sup.filter(F.col("k") % 10 != 9)
+        .join(nxt, "k", "left_semi")
+        .select(
+            F.lit("Ownership").alias("schema"),
+            F.concat(F.lit("s-"), F.col("k")).alias("source_id"),
+            F.concat(F.lit("s-"), F.col("k") + 1).alias("target_id"),
+            F.lit(False).alias("end_dated"),
+        )
+    )
+    entities = sup.select(
+        F.concat(F.lit("s-"), F.col("k")).alias("entity_id"),
+        F.lit("Company").alias("schema"),
+    )
+    topics = sup.filter(F.col("k") % 20 == 0).select(
+        F.concat(F.lit("s-"), F.col("k")).alias("entity_id"),
+        F.lit("sanction").alias("topic"),
+    )
+    return propagate_risk_topics_converged(entities, topics, chain, max_hops=12)

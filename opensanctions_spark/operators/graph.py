@@ -204,3 +204,51 @@ def propagate_risk_topics(
         .unionByName(export)
         .distinct()
     )
+
+
+def propagate_risk_topics_converged(
+    entities: DataFrame,
+    topics: DataFrame,
+    edges: DataFrame,
+    securities: DataFrame | None = None,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Iterate :func:`propagate_risk_topics` to its fixpoint.
+
+    The reference analyzer advances ownership descent ONE hop per
+    dataset run and relies on successive nightly runs to converge
+    (``ann_graph_topics`` module docstring: "a single pass is not
+    sufficient"). On Spark the loop is cheap to run to convergence in
+    one invocation: each round feeds the emitted patches back into the
+    topic set and stops when a round emits nothing new. ``max_hops``
+    bounds pathological chains (a 100 TB corporate hierarchy deeper
+    than ~10 tiers is data corruption, not structure); hitting the
+    bound raises rather than silently truncating.
+
+    Scale shape: per hop the same join plan as the one-shot operator;
+    the accumulated topic set is ``localCheckpoint``-ed each round so
+    lineage stays flat (the connected-components discipline,
+    ``operators/resolve.py``), and the emitted-count check is the only
+    driver-side state. Returns the distinct (entity_id, topic) patch
+    set relative to the INPUT topics (what a converged patch dataset
+    would publish).
+    """
+    emitted = None
+    current = topics.localCheckpoint(eager=True)
+    for _hop in range(max_hops):
+        patch = propagate_risk_topics(entities, current, edges, securities)
+        fresh = patch.join(current, ["entity_id", "topic"], "left_anti")
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.limit(1).count() == 0:
+            break
+        emitted = fresh if emitted is None else emitted.unionByName(fresh).distinct()
+        emitted = emitted.localCheckpoint(eager=True)
+        current = current.unionByName(fresh).localCheckpoint(eager=True)
+    else:
+        raise ValueError(
+            f"risk propagation did not converge within {max_hops} hops"
+        )
+    if emitted is None:
+        spark = topics.sparkSession
+        return spark.createDataFrame([], "entity_id string, topic string")
+    return emitted

@@ -869,3 +869,92 @@ def test_propagate_risk_topics_matches_verbatim_analyzer(spark):
         "role.rca", "sanction.linked", "sanction.control",
         "export.control.linked",
     }
+
+
+def test_propagate_risk_topics_converged_multi_tier(spark):
+    """The convergence variant runs the one-hop rules to fixpoint in one
+    invocation — the multi-run behavior of the reference (which advances
+    descent one hop per nightly run). Differential: iterate the verbatim
+    analyzer, feeding its emits back as ann_graph_topics statements (the
+    self-observing descent the reference documents), until it emits
+    nothing new; the cumulative patch set must equal the distributed
+    fixpoint."""
+    from opensanctions_spark.model.registry import EDGE_SCHEMATA
+    from opensanctions_spark.operators.graph import (
+        propagate_risk_topics,
+        propagate_risk_topics_converged,
+    )
+
+    # a 4-tier ownership chain below a sanctioned root, plus a PEP branch
+    entities = [
+        _entity("Person", "root", {"topics": ["sanction"]}),
+        _entity("Ownership", "o1", {"owner": ["root"], "asset": ["t2"]}),
+        _entity("Company", "t2"),
+        _entity("Ownership", "o2", {"owner": ["t2"], "asset": ["t3"]}),
+        _entity("Company", "t3"),
+        _entity("Ownership", "o3", {"owner": ["t3"], "asset": ["t4"]}),
+        _entity("Company", "t4"),
+        _entity("Person", "pep", {"topics": ["role.pep"]}),
+        _entity("Family", "fam", {"person": ["pep"], "relative": ["spouse"]}),
+        _entity("Person", "spouse"),
+    ]
+
+    # verbatim path, iterated with self-observation to its own fixpoint
+    base = list(entities)
+    cumulative: set[tuple[str, str]] = set()
+    for _ in range(6):
+        scope = SimpleNamespace(name=SOURCE, inputs=[])
+        store = get_store(scope, statements=_statements(spark, base))
+        view = store.view(scope, external=True)
+        ctx = _CapturingContext(spark)
+        for ent in view.entities():
+            analyze_entity(ctx, view, ent)
+        new = set(_emits(ctx)) - cumulative
+        if not new:
+            break
+        cumulative |= new
+        schemas = {eid: schema for schema, eid, _p, _d, _x in base}
+        base = base + [
+            _entity(schemas[eid], eid, {"topics": [t]}, dataset=GRAPH)
+            for eid, t in new
+        ]
+    else:
+        raise AssertionError("verbatim iteration did not converge")
+
+    # distributed path
+    ent_rows = [(eid, schema) for schema, eid, _p, _d, _x in entities]
+    topic_rows = [
+        (eid, t)
+        for schema, eid, props, _d, _x in entities
+        for t in props.get("topics", [])
+    ]
+    edge_rows = [
+        (schema, s, t, bool(props.get("endDate")))
+        for schema, eid, props, _d, _x in entities
+        if schema in EDGE_SCHEMATA
+        for s in props.get(EDGE_SCHEMATA[schema][0], [])
+        for t in props.get(EDGE_SCHEMATA[schema][1], [])
+    ]
+    ent_df = spark.createDataFrame(ent_rows, "entity_id string, schema string")
+    top_df = spark.createDataFrame(topic_rows, "entity_id string, topic string")
+    edge_df = spark.createDataFrame(
+        edge_rows,
+        "schema string, source_id string, target_id string, end_dated boolean",
+    )
+
+    one_shot = {
+        (r["entity_id"], r["topic"])
+        for r in propagate_risk_topics(ent_df, top_df, edge_df).collect()
+    }
+    converged = {
+        (r["entity_id"], r["topic"])
+        for r in propagate_risk_topics_converged(ent_df, top_df, edge_df).collect()
+    }
+
+    # one hop reaches only tier 2; the fixpoint walks the whole chain
+    assert ("t2", "sanction.control") in one_shot
+    assert ("t3", "sanction.control") not in one_shot
+    assert {e for e, t in converged if t == "sanction.control"} == {"t2", "t3", "t4"}
+    assert {e for e, t in converged if t == "sanction.linked"} == {"t2", "t3", "t4"}
+    assert ("spouse", "role.rca") in converged
+    assert converged == cumulative
