@@ -252,3 +252,156 @@ def propagate_risk_topics_converged(
         spark = topics.sparkSession
         return spark.createDataFrame([], "entity_id string, topic string")
     return emitted
+
+
+def risk_propagation_statements(
+    statements: DataFrame, analyzer_dataset: str
+) -> DataFrame:
+    """The whole analyzer as ONE plan: canonical statements IR in, patch
+    statements out (one hop).
+
+    Everything ``datasets/_analysis/ann_graph_topics/analyzer.py`` does
+    around the rules, distributed: the graph inputs (entity schemata,
+    non-own-dataset topics — the self-exclusion invariant, edge
+    endpoints with end-date gating, the securities relation with the
+    adjacent-entity end-date skip), the rules via
+    :func:`propagate_risk_topics`, then the patch shaping — schema
+    reduced to LegalEntity for legal-entity subtypes, and the
+    external-ness rule: a patch is internal iff the target has at least
+    one internal statement from a non-analyzer dataset (BASE_ID
+    checksum rows discounted). Output is the canonical statements IR
+    (``finish_statements`` under ``analyzer_dataset``), ready for the
+    archive/export pipeline.
+
+    Scale shape: input derivation is three filters and one
+    schema-resolution aggregate over the statements; the substance set
+    and end-date set are filtered projections joined back semi/anti —
+    nothing leaves the cluster.
+    """
+    from opensanctions_spark.constants import (
+        ANALYZER_DATASETS,
+        BASE_ID,
+        ORIGIN_INFERRED,
+    )
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.model.registry import (
+        EDGE_SCHEMATA,
+        SCHEMA_PARENTS,
+        common_schema_rank_column,
+    )
+
+    st = statements
+    entities = st.groupBy("canonical_id").agg(
+        F.max_by("schema", common_schema_rank_column(F.col("schema"))).alias(
+            "schema"
+        )
+    ).select(F.col("canonical_id").alias("entity_id"), "schema")
+    topics = (
+        st.filter(
+            (F.col("prop") == "topics")
+            & (F.col("dataset") != F.lit(analyzer_dataset))
+        )
+        .select(F.col("canonical_id").alias("entity_id"), F.col("value").alias("topic"))
+        .distinct()
+    )
+    end_dated = (
+        st.filter(F.col("prop") == "endDate")
+        .select(F.col("canonical_id").alias("entity_id"))
+        .distinct()
+    )
+
+    # edge entities → (schema, source_id, target_id, end_dated)
+    src_map = F.create_map(
+        *[F.lit(x) for s, spec in EDGE_SCHEMATA.items() for x in (s, spec[0])]
+    )
+    tgt_map = F.create_map(
+        *[F.lit(x) for s, spec in EDGE_SCHEMATA.items() for x in (s, spec[1])]
+    )
+    edge_st = st.filter(F.col("schema").isin(list(EDGE_SCHEMATA)))
+    srcs = edge_st.filter(F.col("prop") == src_map[F.col("schema")]).select(
+        "canonical_id", "schema", F.col("value").alias("source_id")
+    )
+    tgts = edge_st.filter(F.col("prop") == tgt_map[F.col("schema")]).select(
+        "canonical_id", "schema", F.col("value").alias("target_id")
+    )
+    edges = (
+        srcs.join(tgts, ["canonical_id", "schema"])
+        .join(
+            end_dated.select(F.col("entity_id").alias("canonical_id")).withColumn(
+                "end_dated", F.lit(True)
+            ),
+            "canonical_id",
+            "left",
+        )
+        .select(
+            "schema",
+            "source_id",
+            "target_id",
+            F.coalesce(F.col("end_dated"), F.lit(False)).alias("end_dated"),
+        )
+    )
+
+    patches = propagate_risk_topics(entities, topics, edges)
+
+    # the direct Company ↔ Security relation, handled here rather than
+    # through the operator's symmetric param because the analyzer skips
+    # an end-dated ADJACENT — a per-direction gate (the edge rules never
+    # check the far end, only the edge entity itself)
+    sec_pairs = st.filter(
+        (F.col("schema") == "Security") & (F.col("prop") == "issuer")
+    ).select(
+        F.col("canonical_id").alias("security_id"), F.col("value").alias("issuer_id")
+    )
+    sanction_src = topics.filter(F.col("topic") == "sanction").select("entity_id")
+    linked_blocked = topics.filter(
+        F.col("topic").isin(["sanction", "sanction.linked"])
+    ).select("entity_id")
+
+    def _sec_dir(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+        return (
+            pairs.join(
+                sanction_src.withColumnRenamed("entity_id", src), src, "left_semi"
+            )
+            .select(F.col(dst).alias("entity_id"))
+            .join(linked_blocked, "entity_id", "left_anti")
+            .join(end_dated, "entity_id", "left_anti")
+            .withColumn("topic", F.lit("sanction.linked"))
+        )
+
+    patches = (
+        patches.unionByName(_sec_dir(sec_pairs, "issuer_id", "security_id"))
+        .unionByName(_sec_dir(sec_pairs, "security_id", "issuer_id"))
+        .distinct()
+    )
+
+    # patch shaping: LegalEntity reduction + the published-substance rule
+    legal = [
+        s
+        for s, parents in SCHEMA_PARENTS.items()
+        if s == "LegalEntity" or "LegalEntity" in parents
+    ]
+    substance = (
+        st.filter(
+            (~F.col("external"))
+            & (~F.col("dataset").isin(list(ANALYZER_DATASETS)))
+            & (F.col("prop") != BASE_ID)
+        )
+        .select(F.col("canonical_id").alias("entity_id"))
+        .distinct()
+        .withColumn("_substance", F.lit(True))
+    )
+    out = (
+        patches.join(entities, "entity_id")
+        .join(substance, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.when(F.col("schema").isin(legal), F.lit("LegalEntity"))
+            .otherwise(F.col("schema"))
+            .alias("schema"),
+            F.lit("topics").alias("prop"),
+            F.col("topic").alias("value"),
+            F.lit(ORIGIN_INFERRED).alias("origin"),
+            (~F.coalesce(F.col("_substance"), F.lit(False))).alias("external"),
+        )
+    )
+    return finish_statements(out, dataset=analyzer_dataset)

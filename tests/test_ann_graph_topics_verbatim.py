@@ -958,3 +958,69 @@ def test_propagate_risk_topics_converged_multi_tier(spark):
     assert {e for e, t in converged if t == "sanction.linked"} == {"t2", "t3", "t4"}
     assert ("spouse", "role.rca") in converged
     assert converged == cumulative
+
+
+def test_risk_propagation_statements_matches_verbatim_crawl(spark):
+    """The statements-IR wrapper (``risk_propagation_statements`` — the
+    whole analyzer dataset as one distributed plan) reproduces the
+    verbatim ``crawl``'s patch statements on the same graph: targets,
+    topics, the LegalEntity schema reduction, AND the published-substance
+    external-ness rule."""
+    from opensanctions_spark.crawler import CrawlerContext
+    from opensanctions_spark.operators.graph import risk_propagation_statements
+    from opensanctions_spark.store import Store
+
+    entities = [
+        _entity("Person", "boss", {"topics": ["sanction"], "name": ["Boss"]}),
+        _entity("Ownership", "own1", {"owner": ["boss"], "asset": ["acme"]}),
+        _entity("Company", "acme", {"name": ["Acme"]}),
+        _entity("Ownership", "own2", {"owner": ["acme"], "asset": ["subco"]}),
+        _entity("Company", "subco", {"name": ["SubCo"]}),
+        _entity("Person", "pep", {"topics": ["role.pep"], "name": ["Pep"]}),
+        _entity("Family", "fam", {"person": ["pep"], "relative": ["spouse"]}),
+        _entity("Person", "spouse", {"name": ["Spouse"]}),
+        _entity(
+            "Membership", "mem", {"member": ["boss"], "organization": ["club"]}
+        ),
+        _entity("Organization", "club", {"name": ["Club"]}, external=True),
+        # securities both ways, plus an end-dated security the analyzer
+        # must skip as an adjacent
+        _entity("Company", "co", {"topics": ["sanction"]}),
+        _entity("Security", "sec1", {"issuer": ["co"]}),
+        _entity(
+            "Security", "sec2", {"issuer": ["co"], "endDate": ["2020-01-01"]}
+        ),
+    ]
+    stmts = _statements(spark, entities)
+
+    # driver-local path: the verbatim analyze_entity loop over the store
+    scope = SimpleNamespace(name=SOURCE, inputs=[])
+    view = Store(scope, statements=stmts).view(scope, external=True)
+    ctx = _CapturingContext(spark)
+    for ent in view.entities():
+        analyze_entity(ctx, view, ent)
+    verbatim = {
+        (e.id, t, ext, e.schema.name)
+        for e, ext in ctx.emitted
+        for t in e.get("topics")
+    }
+
+    # distributed path: one plan over the same statements IR
+    out = risk_propagation_statements(stmts, analyzer_dataset=GRAPH)
+    distributed = {
+        (r["entity_id"], r["value"], r["external"], r["schema"])
+        for r in out.collect()
+    }
+    assert distributed == verbatim
+    # the rule set actually fired across the fixture
+    assert {t for _e, t, _x, _s in verbatim} == {
+        "role.rca", "sanction.linked", "sanction.control",
+    }
+    # the external passenger stayed external; published targets internal
+    flags = {(e, x) for e, _t, x, _s in distributed}
+    assert ("club", True) in flags and ("acme", False) in flags
+    # end-dated security skipped; live one tagged with its real schema
+    ids = {e for e, _t, _x, _s in distributed}
+    assert "sec1" in ids and "sec2" not in ids
+    schemas = {e: s for e, _t, _x, s in distributed}
+    assert schemas["acme"] == "LegalEntity" and schemas["sec1"] == "Security"
