@@ -106,12 +106,20 @@ def run_reps(spark, fn, sf_dir: str, reps: int, control=None):
         ids = tracker.getJobIdsForGroup()
         return max(ids) if ids else -1
 
-    def _built_jobs(j0: int) -> bool:
+    def _snapshot() -> tuple:
+        return _max_job(), frozenset(tracker.getActiveJobsIds())
+
+    def _built_jobs(snap: tuple) -> bool:
         # the status store is fed by the async listener bus: a job
         # scheduled during build may not be visible the instant fn
         # returns — also consult the active-job list (a still-running
-        # build job shows there first)
-        return _max_job() > j0 or bool(tracker.getActiveJobsIds())
+        # build job shows there first). Compare against the ids active
+        # AT SNAPSHOT TIME: a previous rep's completed job whose END
+        # event outlives the drain bound must not read as build work.
+        j0, active0 = snap
+        return _max_job() > j0 or bool(
+            set(tracker.getActiveJobsIds()) - active0
+        )
 
     def _drain_active() -> None:
         # job-END events ride the same async bus: wait (bounded) for the
@@ -126,14 +134,14 @@ def run_reps(spark, fn, sf_dir: str, reps: int, control=None):
     # concluding "lazy" so a bus-delayed build job can't misclassify an
     # eager plan (and silently move its build work off the clock).
     _drain_active()
-    j0 = _max_job()
+    snap = _snapshot()
     df = fn(spark, sf_dir)
-    eager = _built_jobs(j0)
+    eager = _built_jobs(snap)
     if not eager:
         deadline = time.time() + 0.15
         while time.time() < deadline and not eager:
             time.sleep(0.01)
-            eager = _built_jobs(j0)
+            eager = _built_jobs(snap)
 
     times: list[float] = []
     violations = 0
@@ -141,11 +149,11 @@ def run_reps(spark, fn, sf_dir: str, reps: int, control=None):
     for _ in range(reps):
         _drain_active()  # settle the listener bus before the snapshot
         t0 = time.time()
-        j0 = _max_job()
+        snap = _snapshot()
         df = fn(spark, sf_dir)  # fresh lineage: no cross-rep stage reuse
         built = time.time()
         if not eager:
-            if _built_jobs(j0):
+            if _built_jobs(snap):
                 # the "lazy" plan did data work during build — keep the
                 # build-inclusive time and flag it loudly
                 violations += 1

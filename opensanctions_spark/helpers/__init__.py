@@ -2152,16 +2152,32 @@ def xpath_elements(
     """ElementPath query returning elements (the reference's lxml XPath
     narrowed to the stdlib ``findall`` subset — html.py:156-185 — plus
     two lxml-isms reference crawlers rely on: a leading ``//`` and a
-    ``contains(text(), '…')`` predicate on the FINAL step)."""
-    needles = _CONTAINS_TEXT_RE.findall(path)
+    ``contains(text(), '…')`` predicate on the FINAL step). A mid-path
+    contains-predicate fails loudly: silently filtering the wrong step
+    would return wrong scrape results. XPath ``text()`` means the
+    element's DIRECT text nodes, so the post-filter matches ``el.text``
+    and child tails, not descendant markup text."""
+    needles = []
+    for m in _CONTAINS_TEXT_RE.finditer(path):
+        if m.end() != len(path):
+            raise ValueError(
+                "contains(text(), …) is supported only on the final "
+                f"path step: {path!r}"
+            )
+        needles.append(m.group(1))
     fpath = _CONTAINS_TEXT_RE.sub("", path)
     if fpath.startswith("//"):
         fpath = "." + fpath
     result = el.findall(fpath)
+
+    def _direct_text(e: Any) -> list[str]:
+        nodes = [e.text or ""]
+        nodes += [c.tail or "" for c in e]
+        return nodes
+
     for needle in needles:
         result = [
-            e for e in result
-            if needle in (element_text(e, squash=False) or "")
+            e for e in result if any(needle in t for t in _direct_text(e))
         ]
     if expect_exactly is not None and len(result) != expect_exactly:
         raise ValueError(

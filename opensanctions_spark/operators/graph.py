@@ -74,6 +74,8 @@ def propagate_risk_topics(
     topics: DataFrame,
     edges: DataFrame,
     securities: DataFrame | None = None,
+    seed_topics: DataFrame | None = None,
+    end_dated_entities: DataFrame | None = None,
 ) -> DataFrame:
     """One propagation hop of the graph risk rules, fully distributed.
 
@@ -92,11 +94,25 @@ def propagate_risk_topics(
     - ``entities``: (entity_id, schema) — node schemata (the Person
       check of the RCA rule).
     - ``topics``: (entity_id, topic) — topics contributed by OTHER
-      datasets (the caller applies the analyzer's self-exclusion).
+      datasets (the caller applies the analyzer's self-exclusion);
+      used for the already-tagged SUPPRESSION side.
     - ``edges``: (schema, source_id, target_id, end_dated) — one row
       per edge entity; ``end_dated`` edges terminate propagation.
     - ``securities``: optional (security_id, issuer_id) — the direct
       Company ↔ Security relation (no intermediate edge entity).
+    - ``seed_topics``: optional (entity_id, topic) — the SEED side when
+      it differs from the suppression side. The reference seeds from
+      ALL topics on the source entity (``get_type_values`` has no
+      dataset filter — the self-observing descent) but suppresses only
+      on other-dataset topics (``non_graph_topics``); pass the
+      unfiltered topic set here and the filtered one as ``topics``.
+      Defaults to ``topics``.
+    - ``end_dated_entities``: optional (entity_id) — entities whose
+      ``endDate`` makes them skippable as a direct ADJACENT (the
+      analyzer skips end-dated adjacents; for edge-mediated rules the
+      edge's own ``end_dated`` flag covers this, but the securities
+      relation has no edge entity, so its TARGETS are anti-joined
+      against this set).
 
     Returns the distinct (entity_id, topic) patch set:
 
@@ -122,7 +138,16 @@ def propagate_risk_topics(
     frames are topic-filtered (tiny vs the graph) — AQE broadcasts
     them when they fit.
     """
+    seed_side = topics if seed_topics is None else seed_topics
+
     def seeds(*names: str) -> DataFrame:
+        return (
+            seed_side.filter(F.col("topic").isin(list(names)))
+            .select("entity_id")
+            .distinct()
+        )
+
+    def blocked(*names: str) -> DataFrame:
         return (
             topics.filter(F.col("topic").isin(list(names)))
             .select("entity_id")
@@ -149,7 +174,7 @@ def propagate_risk_topics(
         )
 
     sanction_src = seeds("sanction")
-    linked_blocked = seeds(*_SANCTION_SEEDS)
+    linked_blocked = blocked(*_SANCTION_SEEDS)
 
     # rule_pep_family_to_rca: Persons across a Family edge from a PEP
     persons = entities.filter(F.col("schema") == "Person").select("entity_id")
@@ -157,7 +182,7 @@ def propagate_risk_topics(
         _gate(
             sym.filter(F.col("schema") == "Family").select("a", "b"),
             seeds("role.pep"),
-            seeds("role.rca", "role.pep"),
+            blocked("role.rca", "role.pep"),
         )
         .join(persons, "entity_id", "left_semi")
         .withColumn("topic", F.lit("role.rca"))
@@ -176,24 +201,27 @@ def propagate_risk_topics(
         sec_sym = sec_pairs.unionByName(
             sec_pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        linked = linked.unionByName(
-            _gate(sec_sym, sanction_src, linked_blocked).withColumn(
-                "topic", F.lit("sanction.linked")
+        sec_hits = _gate(sec_sym, sanction_src, linked_blocked)
+        if end_dated_entities is not None:
+            # no edge entity carries the endDate here: the TARGET is the
+            # adjacent the analyzer skips when end-dated
+            sec_hits = sec_hits.join(
+                end_dated_entities.select("entity_id"), "entity_id", "left_anti"
             )
+        linked = linked.unionByName(
+            sec_hits.withColumn("topic", F.lit("sanction.linked"))
         )
 
     # the two descent rules: Ownership, owner → asset only
     own = live.filter(F.col("schema") == "Ownership").select(
         F.col("source_id").alias("a"), F.col("target_id").alias("b")
     )
-    ctl_seeds = seeds(*_CONTROL_SEEDS)
-    ctl_hits = _gate(own, ctl_seeds, ctl_seeds)
+    ctl_hits = _gate(own, seeds(*_CONTROL_SEEDS), blocked(*_CONTROL_SEEDS))
     control = ctl_hits.withColumn("topic", F.lit("sanction.control"))
     control_coemit = ctl_hits.join(linked_blocked, "entity_id", "left_anti").withColumn(
         "topic", F.lit("sanction.linked")
     )
-    exp_seeds = seeds(*_EXPORT_SEEDS)
-    export = _gate(own, exp_seeds, exp_seeds).withColumn(
+    export = _gate(own, seeds(*_EXPORT_SEEDS), blocked(*_EXPORT_SEEDS)).withColumn(
         "topic", F.lit("export.control.linked")
     )
 
@@ -296,6 +324,15 @@ def risk_propagation_statements(
             "schema"
         )
     ).select(F.col("canonical_id").alias("entity_id"), "schema")
+    # SEED side: ALL topics, including the analyzer's own prior-run
+    # patches (get_type_values has no dataset filter — the
+    # self-observing descent that lets nightly runs advance one hop);
+    # SUPPRESSION side: other-dataset topics only (non_graph_topics)
+    all_topics = (
+        st.filter(F.col("prop") == "topics")
+        .select(F.col("canonical_id").alias("entity_id"), F.col("value").alias("topic"))
+        .distinct()
+    )
     topics = (
         st.filter(
             (F.col("prop") == "topics")
@@ -341,37 +378,18 @@ def risk_propagation_statements(
         )
     )
 
-    patches = propagate_risk_topics(entities, topics, edges)
-
-    # the direct Company ↔ Security relation, handled here rather than
-    # through the operator's symmetric param because the analyzer skips
-    # an end-dated ADJACENT — a per-direction gate (the edge rules never
-    # check the far end, only the edge entity itself)
     sec_pairs = st.filter(
         (F.col("schema") == "Security") & (F.col("prop") == "issuer")
     ).select(
         F.col("canonical_id").alias("security_id"), F.col("value").alias("issuer_id")
     )
-    sanction_src = topics.filter(F.col("topic") == "sanction").select("entity_id")
-    linked_blocked = topics.filter(
-        F.col("topic").isin(["sanction", "sanction.linked"])
-    ).select("entity_id")
-
-    def _sec_dir(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-        return (
-            pairs.join(
-                sanction_src.withColumnRenamed("entity_id", src), src, "left_semi"
-            )
-            .select(F.col(dst).alias("entity_id"))
-            .join(linked_blocked, "entity_id", "left_anti")
-            .join(end_dated, "entity_id", "left_anti")
-            .withColumn("topic", F.lit("sanction.linked"))
-        )
-
-    patches = (
-        patches.unionByName(_sec_dir(sec_pairs, "issuer_id", "security_id"))
-        .unionByName(_sec_dir(sec_pairs, "security_id", "issuer_id"))
-        .distinct()
+    patches = propagate_risk_topics(
+        entities,
+        topics,
+        edges,
+        securities=sec_pairs,
+        seed_topics=all_topics,
+        end_dated_entities=end_dated,
     )
 
     # patch shaping: LegalEntity reduction + the published-substance rule

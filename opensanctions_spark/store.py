@@ -107,15 +107,26 @@ class View:
         self._linker = linker or Linker({})
         # reverse index: target id → [(forward prop name, source id)].
         # Built once per sync over entity-TYPED props only (a plain value
-        # colliding with an entity id is data, not an edge); size is
-        # edge-count-bounded like the reference's inverted LevelDB index.
+        # colliding with an entity id is data, not an edge); values
+        # canonicalize through the linker (so a still-unrewritten
+        # referent reference indexes like the forward walk resolves it),
+        # and one logical edge indexes ONCE even when several
+        # datasets/langs asserted the same (prop, value) — FtM property
+        # values are sets. Size is edge-count-bounded like the
+        # reference's inverted LevelDB index.
         self._reverse: dict[str, list[tuple[str, str]]] = {}
+        seen: set[tuple[str, str, str]] = set()
         for ent in entities.values():
             for prop, value, _l, _o, _ov in ent.statements:
                 if prop not in ENTITY_PROPS:
                     continue
+                value = self._linker.get_canonical(value)
                 if value in entities and value != ent.id:
                     if (ent.schema.name, prop) in REVERSE_PROPS:
+                        key = (value, prop, ent.id)  # type: ignore[assignment]
+                        if key in seen:
+                            continue
+                        seen.add(key)
                         self._reverse.setdefault(value, []).append(
                             (prop, ent.id)  # type: ignore[arg-type]
                         )
@@ -141,12 +152,19 @@ class View:
         under ``positionOccupancies``) — the walk the reference's
         View.get_adjacent does over its inverted index. Props are
         :class:`PropName` (string-compatible, with ``.name`` and
-        ``.reverse``)."""
+        ``.reverse``). One logical edge yields once per direction even
+        when several datasets asserted the same (prop, value) — FtM
+        property values are sets."""
+        seen: set[tuple[str, str | None]] = set()
         for prop, value, _lang, _origin, _orig in entity.statements:
             if prop not in ENTITY_PROPS:
                 continue
             adjacent = self.get_entity(value)
             if adjacent is not None and adjacent is not entity:
+                key = (prop, adjacent.id)
+                if key in seen:
+                    continue
+                seen.add(key)
                 rev = REVERSE_PROPS.get((entity.schema.name, prop))
                 yield PropName(prop, reverse=rev), adjacent
         if entity.id is not None:

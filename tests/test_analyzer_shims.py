@@ -281,3 +281,35 @@ def test_propname_reverse_surface():
     assert p.reverse == "owner" and p.reverse.name == "owner"
     assert p.reverse.reverse == "ownershipOwner"
     assert PropName("plain").reverse is None
+
+
+def test_adjacency_dedupes_multi_dataset_assertions(spark):
+    """One logical edge asserted by TWO datasets (or langs) must walk
+    once per direction — FtM property values are sets, and the
+    reference's inverted index is per unique (entity, prop, value)."""
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.store import get_store
+
+    def _src(name, rows):
+        return finish_statements(
+            spark.createDataFrame(
+                rows,
+                "entity_id string, schema string, prop string, value string",
+            ),
+            dataset=name,
+        )
+
+    rows = [
+        ("p1", "Person", "name", "Alice"),
+        ("occ1", "Occupancy", "holder", "p1"),
+    ]
+    stmts = _src("ds_a", rows).unionByName(_src("ds_b", rows))
+    ds = SimpleNamespace(name="multi", inputs=[])
+    view = get_store(ds, statements=stmts).view(ds)
+
+    occ = view.get_entity("occ1")
+    fwd = [(p.name, e.id) for p, e in view.get_adjacent(occ)]
+    assert fwd == [("holder", "p1")]
+    alice = view.get_entity("p1")
+    rev = [(p.name, e.id) for p, e in view.get_adjacent(alice)]
+    assert rev == [("positionOccupancies", "occ1")]

@@ -1024,3 +1024,34 @@ def test_risk_propagation_statements_matches_verbatim_crawl(spark):
     assert "sec1" in ids and "sec2" not in ids
     schemas = {e: s for e, _t, _x, s in distributed}
     assert schemas["acme"] == "LegalEntity" and schemas["sec1"] == "Security"
+
+
+def test_risk_propagation_statements_seeds_from_own_prior_patches(spark):
+    """Seed/suppression asymmetry (reference parity): the analyzer SEEDS
+    from ALL topics on the source — including its own prior-run patches
+    (the self-observing descent) — but SUPPRESSES only on other-dataset
+    topics. A prior-run ``sanction.control`` patch from the analyzer's
+    own dataset must advance the descent one more hop."""
+    from opensanctions_spark.operators.graph import risk_propagation_statements
+
+    entities = [
+        _entity("Company", "t2", {"name": ["T2"]}),
+        # the analyzer's own prior-run patch on t2
+        _entity("LegalEntity", "t2", {"topics": ["sanction.control"]}, dataset=GRAPH),
+        _entity("Ownership", "o2", {"owner": ["t2"], "asset": ["t3"]}),
+        _entity("Company", "t3", {"name": ["T3"]}),
+    ]
+    stmts = _statements(spark, entities)
+
+    # verbatim path on the same store
+    scope = SimpleNamespace(name=SOURCE, inputs=[])
+    view = get_store(scope, statements=stmts).view(scope, external=True)
+    ctx = _CapturingContext(spark)
+    for ent in view.entities():
+        analyze_entity(ctx, view, ent)
+    verbatim = set(_emits(ctx))
+    assert ("t3", "sanction.control") in verbatim
+
+    out = risk_propagation_statements(stmts, analyzer_dataset=GRAPH)
+    distributed = {(r["entity_id"], r["value"]) for r in out.collect()}
+    assert distributed == verbatim

@@ -659,3 +659,24 @@ def test_xpath_contains_text_predicate_and_absolute_prefix():
     assert xpath_string(
         doc, "//span[contains(text(), '7')]/text()"
     ).strip(" =") == "7 + 8"
+
+
+def test_xpath_contains_text_is_final_step_only_and_direct_text():
+    """A mid-path contains(text()) predicate fails LOUDLY (silently
+    filtering the wrong step would scrape wrong data), and the
+    predicate tests the element's DIRECT text nodes — nested markup
+    text does not match, per XPath text() semantics."""
+    import pytest as _pytest
+
+    from opensanctions_spark.helpers import parse_html, xpath_elements, xpath_strings
+
+    doc = parse_html(
+        "<html><body><div><span>label<b>=</b></span>"
+        "<span>7 + 8 =</span></div></body></html>"
+    )
+    # nested <b>=</b> must NOT make the first span match
+    assert xpath_strings(doc, "//span[contains(text(), '=')]/text()") == [
+        "7 + 8 =",
+    ]
+    with _pytest.raises(ValueError, match="final"):
+        xpath_elements(doc, "//div[contains(text(), 'x')]/span")
