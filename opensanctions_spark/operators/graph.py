@@ -263,8 +263,16 @@ def propagate_risk_topics_converged(
     """
     emitted = None
     current = topics.localCheckpoint(eager=True)
+    frontier = current
     for _hop in range(max_hops):
-        patch = propagate_risk_topics(entities, current, edges, securities)
+        # frontier seeding: only entities whose topics CHANGED last hop
+        # can produce new emissions (suppression only grows, so anything
+        # an older seed could emit was already emitted the hop after the
+        # seed appeared) — each hop joins the edges against the fresh
+        # topic delta, not the whole accumulated set
+        patch = propagate_risk_topics(
+            entities, current, edges, securities, seed_topics=frontier
+        )
         fresh = patch.join(current, ["entity_id", "topic"], "left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.limit(1).count() == 0:
@@ -272,6 +280,7 @@ def propagate_risk_topics_converged(
         emitted = fresh if emitted is None else emitted.unionByName(fresh).distinct()
         emitted = emitted.localCheckpoint(eager=True)
         current = current.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
     else:
         raise ValueError(
             f"risk propagation did not converge within {max_hops} hops"
