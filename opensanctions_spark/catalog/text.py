@@ -2732,3 +2732,106 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.expr("CAST(SUM(ppm) div COUNT(*) AS BIGINT)").alias("avg_ppm"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans: the token ranges of every
+    w-token window that appears at least ``min_count`` times across the
+    corpus, merged per document into maximal spans.
+
+    The substring-level dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022) re-expressed for Spark:
+    the suffix-array pass becomes corpus-wide w-gram counting — one
+    explode (w-token sliding windows built JVM-side with
+    ``transform``/``slice``), one count shuffle on the gram, a semi-join
+    back to positions, and a per-document gaps-and-islands merge (lag
+    window + running-sum island ids; the (doc, island) aggregate reuses
+    the window's doc partitioning, no extra exchange). Returns
+    ``(doc_id, span_start, span_end)`` with 1-based token positions,
+    end exclusive — the ranges a cleaning pass would cut.
+
+    Scale note: the gram shuffle carries ~w tokens of text per corpus
+    token; at 100 TB swap the join key for ``xxhash64(g)`` (8 bytes) —
+    same plan, collision risk ~n²/2⁶⁴, acceptable for a cut list. The
+    string key here keeps the catalog oracle bit-exact.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    idx = F.when(
+        F.size("t") >= w, F.sequence(F.lit(1), F.size("t") - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("t", i, w)).alias("g"),
+                ),
+            )
+        ).alias("x"),
+    ).select(id_col, "x.pos", "x.g")
+    dup = (
+        grams.groupBy("g")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("g")
+    )
+    marked = grams.join(dup, "g", "left_semi").select(id_col, "pos")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(by_doc))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.coalesce(F.col("prev"), F.col("pos")) > w,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(by_doc))
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + w).cast("long").alias("span_end"),
+    ).drop("island")
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+5], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 5 + 1)) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 6 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos, 1, pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked) s
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 6 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022's cut list): maximal
+    per-document token spans covered by 6-gram windows that repeat
+    corpus-wide — see :func:`duplicate_spans` for the plan shape."""
+    return duplicate_spans(load(spark, sf_dir, "documents"), w=6, min_count=2)

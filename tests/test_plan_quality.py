@@ -694,3 +694,14 @@ def test_graph_risk_propagation_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_substring_spans_plan(spark, sf_dir):
+    """Substring-span dedup stays JVM-side and join/window-shaped: no
+    Python in the row path, no cartesian product, and the whole
+    pipeline (gram explode → count → semi-join → island window →
+    span aggregate) fits in a bounded number of exchanges."""
+    plan = _executed_plan(QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 6
