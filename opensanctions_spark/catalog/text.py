@@ -2835,3 +2835,99 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document token spans covered by 6-gram windows that repeat
     corpus-wide — see :func:`duplicate_spans` for the plan shape."""
     return duplicate_spans(load(spark, sf_dir, "documents"), w=6, min_count=2)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`duplicate_spans` cut list: rebuild each document's
+    text with the spanned tokens removed.
+
+    One join of the documents against the per-doc span lists (spans are
+    output-bounded, far smaller than the corpus), then pure JVM array
+    expressions: tokens are paired with their 1-based positions
+    (two-arg ``transform`` — (element, index)), positions covered by
+    any span are filtered out with ``exists``, and the survivors
+    re-join into the cleaned text. O(tokens × spans-per-doc) inside
+    whole-stage codegen; documents with no spans pass through on the
+    left join.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    indexed = F.transform(
+        toks, lambda x, i: F.struct((i + 1).alias("pos"), x.alias("tok"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda p: ~F.exists(
+            F.coalesce(
+                F.col("cuts"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+            lambda s: (p["pos"] >= s["span_start"]) & (p["pos"] < s["span_end"]),
+        ),
+    )
+    return docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda p: p["tok"]), " ").alias("cleaned"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+5], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 5 + 1)) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 6 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos, 1, pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked) s
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 6 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos >= s.span_start AND p.pos < s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+       COALESCE(a.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full substring-dedup pass: detect corpus-repeated 6-gram
+    spans (:func:`duplicate_spans`) and CUT them from every document
+    (:func:`remove_duplicate_spans`) — detect + apply as one plan."""
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, duplicate_spans(docs, w=6, min_count=2))
