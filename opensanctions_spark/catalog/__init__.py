@@ -188,8 +188,13 @@ DRIVER_PRIORITY: list[str] = [
     "text_vocab_coverage",
     # -- slot 50: head of the ROUND-5 cohort ---------------------------------
     "a12_assertions",
-    # --- the driver's 50-row budget ends here; the round-5 cohort below
-    # (stalest remaining) rotates into round 10 ------------------------------
+    # --- the driver's 50-row budget ends here. Round 10 head: first the
+    # round-9 additions below (never driver-checked), then the round-5
+    # cohort (stalest remaining) --------------------------------------------
+    "graph_risk_propagation",
+    "graph_risk_propagation_converged",
+    "dedup_substring_spans",
+    "dedup_substring_cut",
     "a1_entity_assembly",
     "a2_entity_counts",
     "a3_fill_rate",
