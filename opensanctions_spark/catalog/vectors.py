@@ -895,3 +895,133 @@ def ann_recall_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.col("n2").isNotNull().cast("long")).alias("n_recalled"),
     )
+
+
+# -- product quantization (round 9) ------------------------------------------
+
+PQ_M = 4          # subspaces (64 dims → 16 dims each)
+PQ_SUB = 16       # dims per subspace
+PQ_K = 4          # codewords per subspace
+PQ_TOPK = 10
+
+_PQ_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, g.i // {PQ_SUB} AS sub,
+         CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+),
+c0 AS (  -- codebook init: the first k vectors' subvectors
+  SELECT vec_id AS cid, sub, dim, q AS cq FROM dims WHERE vec_id < {PQ_K}
+),
+d1 AS (  -- one Lloyd assignment per (vector, subspace)
+  SELECT d.vec_id, d.sub, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c0 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.cid
+),
+a1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (  -- codebook update: per-(subspace, code, dim) floor-mean
+  SELECT a1.sub, a1.cid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN a1 ON d.vec_id = a1.vec_id AND d.sub = a1.sub
+  GROUP BY a1.sub, a1.cid, d.dim
+),
+d2 AS (  -- encode under the trained codebook
+  SELECT d.vec_id, d.sub, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.cid
+),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+lut AS (  -- the query's (subspace, code) distance table
+  SELECT c.sub, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  WHERE d.vec_id = 0
+  GROUP BY c.sub, c.cid
+)
+SELECT vec_id, CAST(adc AS BIGINT) AS adc_dist_q FROM (
+  SELECT codes.vec_id, SUM(lut.dist) AS adc,
+         row_number() OVER (ORDER BY SUM(lut.dist), codes.vec_id) AS rn
+  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+  WHERE codes.vec_id <> 0
+  GROUP BY codes.vec_id
+) WHERE rn <= {PQ_TOPK}
+"""
+
+
+@register("ann_pq_adc", oracle=_PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric-distance scoring — the
+    standard billion-vector ANN memory/compute reduction (IVF-PQ's PQ
+    half): train per-subspace codebooks (deterministic init from the
+    first k vectors + one Lloyd step, the ``ann_kmeans_loop``
+    discipline), ENCODE every vector as M=4 one-byte-ish codes, build
+    the query's (subspace, code) distance LUT, and score candidates by
+    summing M LUT entries instead of 64-dim float math.
+
+    Integer micro-units end-to-end (floor(x·1e6); floor-division means)
+    so both engines agree bit-for-bit; ties break on (distance, id).
+
+    Scale shape: the codebook (M·k·16 = 256 cells) and the LUT (M·k =
+    16 rows) BROADCAST; training/encode cost one (vec, subspace, code)
+    aggregation each (min via struct-min, no window sort); scoring is a
+    broadcast LUT join + a per-vector sum + TakeOrderedAndProject —
+    the corpus never shuffles its raw vectors. Composes with
+    ``ann_ivf_bucketed``: PQ codes inside IVF buckets is the IVF-PQ
+    layout (Jégou et al., 2011)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = _quantized_dims(emb).withColumn(
+        "sub", (F.col("dim") / PQ_SUB).cast("int")
+    )
+
+    def nearest(frame, codebook):
+        """(vec_id, sub, cid): arg-min codeword per (vector, subspace),
+        struct-min tie-broken on (dist, cid) — no window sort."""
+        return (
+            frame.join(F.broadcast(codebook), ["sub", "dim"])
+            .groupBy("vec_id", "sub", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", "sub", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        )
+
+    c0 = dims.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "sub", "dim", F.col("q").alias("cq")
+    )
+    a1 = nearest(dims, c0).select("vec_id", "sub", "cid")
+    c1 = (
+        dims.join(a1, ["vec_id", "sub"])
+        .groupBy("sub", "cid", "dim")
+        .agg(F.expr("sum(q) div count(*)").alias("cq"))
+    )
+    codes = nearest(dims, c1).select("vec_id", "sub", "cid")
+    # the query's FULL M×k distance table (every code, not just arg-min)
+    lut_full = (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(c1), ["sub", "dim"])
+        .groupBy("sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    scored = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut_full), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
+    )
+    return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
