@@ -195,6 +195,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_risk_propagation_converged",
     "dedup_substring_spans",
     "dedup_substring_cut",
+    "ann_pq_adc",
     "a1_entity_assembly",
     "a2_entity_counts",
     "a3_fill_rate",
