@@ -78,6 +78,71 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_analyze(args: argparse.Namespace) -> int:
+    """Run the DISTRIBUTED graph risk-topic analyzer (the engine's
+    ann_graph_topics: ``operators/graph.py risk_propagation_statements``)
+    over the archived input datasets and write the patch statements as a
+    new archive version of the analyzer dataset. ``--max-hops N`` loops
+    the one-hop pass to convergence in one invocation (the reference
+    converges across nightly re-runs); each extra hop feeds the emitted
+    patches back as analyzer-dataset statements, exactly the
+    self-observing descent the reference documents."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.operators.graph import risk_propagation_statements
+    from opensanctions_spark.operators.resolve import (
+        apply_canonical,
+        canonicalize_values,
+    )
+    from opensanctions_spark.plans.run import crawl_dataset
+    from opensanctions_spark.session import get_session
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    spark = get_session(f"osp-analyze-{args.dataset}")
+    spark.sparkContext.setLogLevel("WARN")
+    archive = StatementArchive(spark, args.archive)
+    # the analyzer reads the EXTERNAL view: enrichment passengers are
+    # exactly the entities the rules need to evaluate
+    stmts = archive.read_collection(args.inputs.split(","), external=True)
+    if args.canonical_map:
+        mapping = spark.read.parquet(args.canonical_map)
+        stmts = canonicalize_values(apply_canonical(stmts, mapping), mapping)
+    emitted = None
+    hops = 0
+    for _ in range(args.max_hops):
+        patch = risk_propagation_statements(stmts, analyzer_dataset=args.dataset)
+        fresh = (
+            patch
+            if emitted is None
+            else patch.join(
+                emitted.select("entity_id", "value").distinct(),
+                ["entity_id", "value"],
+                "left_anti",
+            )
+        )
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.limit(1).count() == 0:
+            break
+        hops += 1
+        emitted = fresh if emitted is None else emitted.unionByName(fresh)
+        emitted = emitted.localCheckpoint(eager=True)
+        stmts = stmts.unionByName(fresh.select(*stmts.columns))
+    if emitted is None:
+        emitted = risk_propagation_statements(stmts, analyzer_dataset=args.dataset).limit(0)
+    n = emitted.count()
+    version = crawl_dataset(
+        spark, emitted, args.dataset, archive, run_time=args.run_time
+    )
+    print(
+        json.dumps(
+            {"dataset": args.dataset, "version": version,
+             "patches": n, "hops": hops,
+             "external": int(emitted.filter(F.col("external")).count())}
+        )
+    )
+    return 0
+
+
 def _cmd_validate(args: argparse.Namespace) -> int:
     """`zavod validate` analogue: rebuild the entity view from the
     archive and run validators + assertions without exporting."""
@@ -730,6 +795,21 @@ def main(argv: list[str] | None = None) -> int:
     cr_p.add_argument("--archive", required=True)
     cr_p.add_argument("--run-time", default="2024-01-01T00:00:00")
     cr_p.set_defaults(fn=_cmd_crawl)
+
+    an_p = sub.add_parser(
+        "analyze",
+        help="distributed graph risk-topic analyzer → one archive version",
+    )
+    an_p.add_argument("--inputs", required=True,
+                      help="comma-separated input dataset names")
+    an_p.add_argument("--dataset", default="ann_graph_topics")
+    an_p.add_argument("--archive", required=True)
+    an_p.add_argument("--canonical-map", default=None,
+                      help="resolver mapping parquet (ids AND entity-typed "
+                           "values rewritten before the rules)")
+    an_p.add_argument("--max-hops", type=int, default=1)
+    an_p.add_argument("--run-time", default="2024-01-01T00:00:00")
+    an_p.set_defaults(fn=_cmd_analyze)
 
     v_p = sub.add_parser("validate", help="validators + assertions, no export")
     v_p.add_argument("--dataset", required=True)

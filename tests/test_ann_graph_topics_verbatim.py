@@ -1055,3 +1055,51 @@ def test_risk_propagation_statements_seeds_from_own_prior_patches(spark):
     out = risk_propagation_statements(stmts, analyzer_dataset=GRAPH)
     distributed = {(r["entity_id"], r["value"]) for r in out.collect()}
     assert distributed == verbatim
+
+
+def test_analyze_cli_verb_e2e(spark, tmp_path):
+    """`python -m opensanctions_spark analyze`: archive in, analyzer
+    patch version out — with a resolver canonical map (ids AND
+    entity-typed values rewritten) and multi-hop convergence, the
+    operational wrapper around the distributed rule set."""
+    from opensanctions_spark.__main__ import main
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    entities = [
+        # 3-tier chain below a sanctioned root; the first edge points at
+        # a merged-away referent id resolved by the canonical map
+        _entity("Person", "root", {"topics": ["sanction"]}),
+        _entity("Ownership", "o1", {"owner": ["root-dupe"], "asset": ["t2"]}),
+        _entity("Company", "t2", {"name": ["T2"]}),
+        _entity("Ownership", "o2", {"owner": ["t2"], "asset": ["t3"]}),
+        _entity("Company", "t3", {"name": ["T3"]}),
+    ]
+    arch_dir = str(tmp_path / "arch")
+    archive = StatementArchive(spark, arch_dir)
+    archive.write(_statements(spark, entities), "graph_cli_src", success=True)
+    mapping = str(tmp_path / "map.parquet")
+    spark.createDataFrame(
+        [("root-dupe", "root")], "entity_id string, canonical_id string"
+    ).write.parquet(mapping)
+
+    rc = main([
+        "analyze", "--inputs", "graph_cli_src", "--archive", arch_dir,
+        "--canonical-map", mapping, "--max-hops", "5",
+        "--run-time", "2026-08-15T00:00:00",
+    ])
+    assert rc == 0
+
+    from pyspark.sql import functions as F
+
+    out = archive.read("ann_graph_topics")
+    topics = {
+        (r["entity_id"], r["value"])
+        for r in out.filter(F.col("prop") == "topics").collect()
+    }
+    # hop 1 via the canonical map; hop 2 only because --max-hops looped
+    assert ("t2", "sanction.control") in topics
+    assert ("t3", "sanction.control") in topics
+    assert ("t2", "sanction.linked") in topics
+    # patches reduced to LegalEntity and stamped as the analyzer dataset
+    row = out.filter(F.col("entity_id") == "t2").first()
+    assert row["schema"] == "LegalEntity" and row["dataset"] == "ann_graph_topics"
