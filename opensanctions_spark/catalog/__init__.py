@@ -125,8 +125,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()``. Lifetime coverage: every catalog query has at least one
-#: green driver row across rounds 1-6 (196/196). Round-7 rotation
+#: ``queries()``. Lifetime coverage: every query present through round 6
+#: has at least one green driver row across rounds 1-6 (196/196).
 #: ROUND-9 ROTATION (VERDICT r8 task 2 — the r7 staging put the stale
 #: cohort BELOW the 50-slot budget line and nothing rotated): positions
 #: 1-49 are the round-9 addition plus ALL 48 driver-stale queries (13
@@ -196,6 +196,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_spans",
     "dedup_substring_cut",
     "ann_pq_adc",
+    "ann_ivf_pq",
     "a1_entity_assembly",
     "a2_entity_counts",
     "a3_fill_rate",

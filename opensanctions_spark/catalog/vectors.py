@@ -1025,3 +1025,197 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
     )
     return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
+
+
+_IVF_PQ_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, g.i // {PQ_SUB} AS sub,
+         CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+),
+-- coarse quantizer: k=8 full-dimension centroids, first-k init + one
+-- Lloyd step (the ann_kmeans_loop discipline)
+k0 AS (SELECT vec_id AS cid, dim, q AS cq FROM dims WHERE vec_id < 8),
+kd1 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN k0 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+),
+ka1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM kd1) WHERE rn = 1
+),
+k1 AS (
+  SELECT ka1.cid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN ka1 ON d.vec_id = ka1.vec_id GROUP BY ka1.cid, d.dim
+),
+kd2 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN k1 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+),
+buckets AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM kd2) WHERE rn = 1
+),
+probes AS (  -- the query's nprobe=2 nearest coarse cells
+  SELECT cid FROM kd2 WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2
+),
+cand AS (
+  SELECT vec_id FROM buckets
+  WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
+),
+-- product quantizer (identical to ann_pq_adc): per-subspace codebooks
+c0 AS (SELECT vec_id AS pid, sub, dim, q AS cq FROM dims WHERE vec_id < {PQ_K}),
+pd1 AS (
+  SELECT d.vec_id, d.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c0 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.pid
+),
+pa1 AS (
+  SELECT vec_id, sub, pid FROM (
+    SELECT vec_id, sub, pid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pid) AS rn
+    FROM pd1) WHERE rn = 1
+),
+c1 AS (
+  SELECT pa1.sub, pa1.pid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN pa1 ON d.vec_id = pa1.vec_id AND d.sub = pa1.sub
+  GROUP BY pa1.sub, pa1.pid, d.dim
+),
+pd2 AS (
+  SELECT d.vec_id, d.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.pid
+),
+codes AS (
+  SELECT vec_id, sub, pid FROM (
+    SELECT vec_id, sub, pid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pid) AS rn
+    FROM pd2) WHERE rn = 1
+),
+lut AS (
+  SELECT c.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  WHERE d.vec_id = 0 GROUP BY c.sub, c.pid
+)
+SELECT vec_id, CAST(adc AS BIGINT) AS adc_dist_q FROM (
+  SELECT codes.vec_id, SUM(lut.dist) AS adc,
+         row_number() OVER (ORDER BY SUM(lut.dist), codes.vec_id) AS rn
+  FROM codes
+  JOIN cand ON codes.vec_id = cand.vec_id
+  JOIN lut ON codes.sub = lut.sub AND codes.pid = lut.pid
+  GROUP BY codes.vec_id
+) WHERE rn <= {PQ_TOPK}
+"""
+
+
+@register("ann_ivf_pq", oracle=_IVF_PQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (Jégou et al., 2011 — THE billion-vector
+    layout): a coarse k=8 quantizer (first-k init + one Lloyd step)
+    partitions the corpus into cells, the query probes its nprobe=2
+    nearest cells, and only those candidates are scored — by summed
+    broadcast-LUT entries over their M=4 PQ codes, never raw 64-dim
+    math. Integer micro-units throughout; ties break (distance, id).
+
+    Scale shape: both codebooks and the probe list BROADCAST; the
+    corpus-side work is two bucket-assignment aggregations (coarse +
+    PQ), a semi-join of codes against the probed cells, and a
+    TakeOrderedAndProject — candidate scoring cost is
+    |probed cells| × M LUT adds per vector, the property that makes
+    billion-vector serving tractable."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = _quantized_dims(emb).withColumn(
+        "sub", (F.col("dim") / PQ_SUB).cast("int")
+    )
+
+    def argmin_cell(frame, codebook, keys, code_col):
+        d = (
+            frame.join(F.broadcast(codebook), keys)
+            .groupBy("vec_id", *(k for k in keys if k == "sub"), code_col)
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        grp = ["vec_id"] + (["sub"] if "sub" in keys else [])
+        return (
+            d.groupBy(*grp)
+            .agg(F.min(F.struct("dist", code_col)).alias("m"))
+            .select(*grp, F.col(f"m.{code_col}").alias(code_col),
+                    F.col("m.dist").alias("dist"))
+        )
+
+    # coarse quantizer → buckets
+    k0 = dims.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+    )
+    ka1 = argmin_cell(dims, k0, ["dim"], "cid").select("vec_id", "cid")
+    k1 = (
+        dims.join(ka1, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.expr("sum(q) div count(*)").alias("cq"))
+    )
+    # full distance table under the trained coarse book (buckets + probes)
+    kd2 = (
+        dims.join(F.broadcast(k1), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    buckets = (
+        kd2.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    probes = (
+        kd2.filter(F.col("vec_id") == 0)
+        .orderBy("dist", "cid")
+        .limit(2)
+        .select("cid")
+    )
+    cand = (
+        buckets.join(F.broadcast(probes), "cid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+
+    # product quantizer (the ann_pq_adc construction)
+    c0 = dims.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("pid"), "sub", "dim", F.col("q").alias("cq")
+    )
+    pa1 = argmin_cell(dims, c0, ["sub", "dim"], "pid").select(
+        "vec_id", "sub", "pid"
+    )
+    c1 = (
+        dims.join(pa1, ["vec_id", "sub"])
+        .groupBy("sub", "pid", "dim")
+        .agg(F.expr("sum(q) div count(*)").alias("cq"))
+    )
+    codes = argmin_cell(dims, c1, ["sub", "dim"], "pid").select(
+        "vec_id", "sub", "pid"
+    )
+    lut = (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(c1), ["sub", "dim"])
+        .groupBy("sub", "pid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    scored = (
+        codes.join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["sub", "pid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
+    )
+    return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
