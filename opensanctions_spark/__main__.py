@@ -108,9 +108,13 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
         mapping = spark.read.parquet(args.canonical_map)
         stmts = canonicalize_values(apply_canonical(stmts, mapping), mapping)
     emitted = None
+    frontier = None  # hop 1 derives seeds from the statements themselves
     hops = 0
-    for _ in range(args.max_hops):
-        patch = risk_propagation_statements(stmts, analyzer_dataset=args.dataset)
+    converged = False
+    for _ in range(args.max_hops + 1):
+        patch = risk_propagation_statements(
+            stmts, analyzer_dataset=args.dataset, seed_topics=frontier
+        )
         fresh = (
             patch
             if emitted is None
@@ -122,13 +126,38 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
         )
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.limit(1).count() == 0:
+            converged = True
+            if emitted is None:
+                emitted = fresh  # checkpointed empty frame, right schema
+            break
+        if hops == args.max_hops:
+            # hop budget exhausted with patches still flowing: keep what
+            # converged so far but say so loudly (the operator raises in
+            # this case; the CLI records the truncation in the manifest)
+            print(
+                f"# WARNING: not converged within --max-hops {args.max_hops};"
+                " the written patch set is truncated",
+                file=sys.stderr,
+            )
             break
         hops += 1
         emitted = fresh if emitted is None else emitted.unionByName(fresh)
         emitted = emitted.localCheckpoint(eager=True)
-        stmts = stmts.unionByName(fresh.select(*stmts.columns))
-    if emitted is None:
-        emitted = risk_propagation_statements(stmts, analyzer_dataset=args.dataset).limit(0)
+        # next hop seeds ONLY from this hop's fresh topics (the frontier
+        # bound of propagate_risk_topics_converged — suppression derives
+        # from other-dataset statements and never grows with own emits,
+        # so anything an older seed could emit was already emitted)
+        frontier = (
+            fresh.filter(F.col("prop") == "topics")
+            .select(
+                F.col("canonical_id").alias("entity_id"),
+                F.col("value").alias("topic"),
+            )
+            .distinct()
+        )
+        stmts = stmts.unionByName(fresh.select(*stmts.columns)).localCheckpoint(
+            eager=True
+        )
     n = emitted.count()
     version = crawl_dataset(
         spark, emitted, args.dataset, archive, run_time=args.run_time
@@ -136,7 +165,7 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     print(
         json.dumps(
             {"dataset": args.dataset, "version": version,
-             "patches": n, "hops": hops,
+             "patches": n, "hops": hops, "converged": converged,
              "external": int(emitted.filter(F.col("external")).count())}
         )
     )

@@ -2872,10 +2872,18 @@ def remove_duplicate_spans(
             lambda s: (p["pos"] >= s["span_start"]) & (p["pos"] < s["span_end"]),
         ),
     )
-    return docs.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.array_join(F.transform(kept, lambda p: p["tok"]), " ").alias("cleaned"),
-        F.size(kept).cast("long").alias("n_kept"),
+    # materialize the filtered array ONCE: the O(tokens × spans) exists
+    # scan must not run twice (once for the join, once for the size)
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda p: p["tok"]), " "
+            ).alias("cleaned"),
+            F.size("_kept").cast("long").alias("n_kept"),
+        )
     )
 
 

@@ -899,10 +899,80 @@ def ann_recall_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- product quantization (round 9) ------------------------------------------
 
-PQ_M = 4          # subspaces (64 dims → 16 dims each)
-PQ_SUB = 16       # dims per subspace
+PQ_SUB = 16       # dims per subspace (64 dims → M = 64/16 = 4 subspaces)
 PQ_K = 4          # codewords per subspace
 PQ_TOPK = 10
+
+
+def _pq_dims(emb_df):
+    """Quantized (vec_id, dim, sub, q) coordinates — the shared PQ
+    substrate (micro-unit dims + subspace index)."""
+    return _quantized_dims(emb_df).withColumn(
+        "sub", (F.col("dim") / PQ_SUB).cast("int")
+    )
+
+
+def _argmin_code(frame, codebook, keys, code_col):
+    """Arg-min code per (vec_id[, sub]): one distance aggregation +
+    struct-min (ties break (dist, code)) — no window sort. The codebook
+    broadcasts."""
+    grp = ["vec_id"] + (["sub"] if "sub" in keys else [])
+    d = (
+        frame.join(F.broadcast(codebook), keys)
+        .groupBy(*grp, code_col)
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    return (
+        d.groupBy(*grp)
+        .agg(F.min(F.struct("dist", code_col)).alias("m"))
+        .select(*grp, F.col(f"m.{code_col}").alias(code_col))
+    )
+
+
+def _pq_train_encode_lut(dims):
+    """The ONE product-quantizer pipeline both PQ exhibits share:
+    per-subspace codebooks (first-k init + one Lloyd step, the
+    ``ann_kmeans_loop`` discipline), the corpus's (vec_id, sub, pid)
+    codes, and the query's full M×k (sub, pid, dist) LUT."""
+    c0 = dims.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("pid"), "sub", "dim", F.col("q").alias("cq")
+    )
+    pa1 = _argmin_code(dims, c0, ["sub", "dim"], "pid")
+    c1 = (
+        dims.join(pa1, ["vec_id", "sub"])
+        .groupBy("sub", "pid", "dim")
+        .agg(F.expr("sum(q) div count(*)").alias("cq"))
+    )
+    codes = _argmin_code(dims, c1, ["sub", "dim"], "pid")
+    lut = (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(c1), ["sub", "dim"])
+        .groupBy("sub", "pid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    return codes, lut
+
+
+def _adc_topk(codes, lut, cand=None):
+    """ADC scoring: sum the query's LUT entries over each candidate's
+    codes, smallest ``PQ_TOPK`` first (ties by id)."""
+    scored = codes.filter(F.col("vec_id") != 0)
+    if cand is not None:
+        scored = scored.join(cand, "vec_id", "left_semi")
+    scored = (
+        scored.join(F.broadcast(lut), ["sub", "pid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
+    )
+    return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
 
 _PQ_ORACLE = f"""
 WITH dims AS (
@@ -976,55 +1046,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never shuffles its raw vectors. Composes with
     ``ann_ivf_bucketed``: PQ codes inside IVF buckets is the IVF-PQ
     layout (Jégou et al., 2011)."""
-    emb = load(spark, sf_dir, "embeddings")
-    dims = _quantized_dims(emb).withColumn(
-        "sub", (F.col("dim") / PQ_SUB).cast("int")
-    )
-
-    def nearest(frame, codebook):
-        """(vec_id, sub, cid): arg-min codeword per (vector, subspace),
-        struct-min tie-broken on (dist, cid) — no window sort."""
-        return (
-            frame.join(F.broadcast(codebook), ["sub", "dim"])
-            .groupBy("vec_id", "sub", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("vec_id", "sub", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
-        )
-
-    c0 = dims.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), "sub", "dim", F.col("q").alias("cq")
-    )
-    a1 = nearest(dims, c0).select("vec_id", "sub", "cid")
-    c1 = (
-        dims.join(a1, ["vec_id", "sub"])
-        .groupBy("sub", "cid", "dim")
-        .agg(F.expr("sum(q) div count(*)").alias("cq"))
-    )
-    codes = nearest(dims, c1).select("vec_id", "sub", "cid")
-    # the query's FULL M×k distance table (every code, not just arg-min)
-    lut_full = (
-        dims.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(c1), ["sub", "dim"])
-        .groupBy("sub", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("dist")
-        )
-    )
-    scored = (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut_full), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
-    )
-    return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
+    dims = _pq_dims(load(spark, sf_dir, "embeddings"))
+    codes, lut = _pq_train_encode_lut(dims)
+    return _adc_topk(codes, lut)
 
 
 _IVF_PQ_ORACLE = f"""
@@ -1127,56 +1151,29 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — candidate scoring cost is
     |probed cells| × M LUT adds per vector, the property that makes
     billion-vector serving tractable."""
-    emb = load(spark, sf_dir, "embeddings")
-    dims = _quantized_dims(emb).withColumn(
-        "sub", (F.col("dim") / PQ_SUB).cast("int")
-    )
+    dims = _pq_dims(load(spark, sf_dir, "embeddings"))
 
-    def argmin_cell(frame, codebook, keys, code_col):
-        d = (
-            frame.join(F.broadcast(codebook), keys)
-            .groupBy("vec_id", *(k for k in keys if k == "sub"), code_col)
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        grp = ["vec_id"] + (["sub"] if "sub" in keys else [])
-        return (
-            d.groupBy(*grp)
-            .agg(F.min(F.struct("dist", code_col)).alias("m"))
-            .select(*grp, F.col(f"m.{code_col}").alias(code_col),
-                    F.col("m.dist").alias("dist"))
-        )
-
-    # coarse quantizer → buckets
+    # coarse quantizer → buckets (first-k init + one Lloyd step)
     k0 = dims.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
     )
-    ka1 = argmin_cell(dims, k0, ["dim"], "cid").select("vec_id", "cid")
+    ka1 = _argmin_code(dims, k0, ["dim"], "cid")
     k1 = (
         dims.join(ka1, "vec_id")
         .groupBy("cid", "dim")
         .agg(F.expr("sum(q) div count(*)").alias("cq"))
     )
-    # full distance table under the trained coarse book (buckets + probes)
-    kd2 = (
-        dims.join(F.broadcast(k1), "dim")
-        .groupBy("vec_id", "cid")
+    buckets = _argmin_code(dims, k1, ["dim"], "cid")
+    # the query's nprobe=2 nearest coarse cells
+    probes = (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(k1), "dim")
+        .groupBy("cid")
         .agg(
             F.sum(
                 (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
             ).alias("dist")
         )
-    )
-    buckets = (
-        kd2.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
-    )
-    probes = (
-        kd2.filter(F.col("vec_id") == 0)
         .orderBy("dist", "cid")
         .limit(2)
         .select("cid")
@@ -1186,36 +1183,6 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id")
     )
-
-    # product quantizer (the ann_pq_adc construction)
-    c0 = dims.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("pid"), "sub", "dim", F.col("q").alias("cq")
-    )
-    pa1 = argmin_cell(dims, c0, ["sub", "dim"], "pid").select(
-        "vec_id", "sub", "pid"
-    )
-    c1 = (
-        dims.join(pa1, ["vec_id", "sub"])
-        .groupBy("sub", "pid", "dim")
-        .agg(F.expr("sum(q) div count(*)").alias("cq"))
-    )
-    codes = argmin_cell(dims, c1, ["sub", "dim"], "pid").select(
-        "vec_id", "sub", "pid"
-    )
-    lut = (
-        dims.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(c1), ["sub", "dim"])
-        .groupBy("sub", "pid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("dist")
-        )
-    )
-    scored = (
-        codes.join(cand, "vec_id", "left_semi")
-        .join(F.broadcast(lut), ["sub", "pid"])
-        .groupBy("vec_id")
-        .agg(F.sum("dist").cast("long").alias("adc_dist_q"))
-    )
-    return scored.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
+    # the shared product quantizer, scored over the probed cells only
+    codes, lut = _pq_train_encode_lut(dims)
+    return _adc_topk(codes, lut, cand=cand)

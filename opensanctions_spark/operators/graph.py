@@ -292,10 +292,18 @@ def propagate_risk_topics_converged(
 
 
 def risk_propagation_statements(
-    statements: DataFrame, analyzer_dataset: str
+    statements: DataFrame,
+    analyzer_dataset: str,
+    seed_topics: DataFrame | None = None,
 ) -> DataFrame:
     """The whole analyzer as ONE plan: canonical statements IR in, patch
     statements out (one hop).
+
+    ``seed_topics`` (entity_id, topic) optionally REPLACES the derived
+    seed side — the frontier hook for convergence drivers (the
+    ``analyze`` CLI verb passes only the previous hop's fresh patches,
+    the same bound :func:`propagate_risk_topics_converged` uses);
+    suppression always derives from the statements.
 
     Everything ``datasets/_analysis/ann_graph_topics/analyzer.py`` does
     around the rules, distributed: the graph inputs (entity schemata,
@@ -337,11 +345,16 @@ def risk_propagation_statements(
     # patches (get_type_values has no dataset filter — the
     # self-observing descent that lets nightly runs advance one hop);
     # SUPPRESSION side: other-dataset topics only (non_graph_topics)
-    all_topics = (
-        st.filter(F.col("prop") == "topics")
-        .select(F.col("canonical_id").alias("entity_id"), F.col("value").alias("topic"))
-        .distinct()
-    )
+    all_topics = seed_topics
+    if all_topics is None:
+        all_topics = (
+            st.filter(F.col("prop") == "topics")
+            .select(
+                F.col("canonical_id").alias("entity_id"),
+                F.col("value").alias("topic"),
+            )
+            .distinct()
+        )
     topics = (
         st.filter(
             (F.col("prop") == "topics")

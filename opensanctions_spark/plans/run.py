@@ -332,7 +332,12 @@ def crawl_dataset(
 
         statements = apply_statement_lookups(statements, lookups)
     prev_version = archive.latest(name)
-    prev = archive.read(name) if prev_version else None
+    # the first_seen index must cover EXTERNAL statements too: an
+    # analyzer/enricher re-run would otherwise reset first_seen on every
+    # external row each night (the internal-only read would drop their
+    # ids from the index and propagate_first_seen would coalesce to the
+    # new run_time)
+    prev = archive.read(name, external=True) if prev_version else None
     statements = statements.drop("first_seen").withColumn(
         "last_seen", F.lit(run_time)
     )

@@ -835,3 +835,36 @@ def test_cli_clear_verb(tmp_path, monkeypatch, capsys):
     assert not p.exists()
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["cleared"] == "wipe_me"
+
+
+def test_crawl_preserves_first_seen_on_external_statements(spark, tmp_path):
+    """Re-crawling must keep first_seen for EXTERNAL statements too: the
+    previous-version first_seen index reads the external view, so an
+    analyzer/enricher re-run can't reset timestamps on the rows it
+    routinely emits external."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.plans.run import crawl_dataset
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    rows = [("e1", "Person", "name", "Jane", False),
+            ("e2", "Person", "topics", "sanction.linked", True)]
+    stmts = finish_statements(
+        spark.createDataFrame(
+            rows,
+            "entity_id string, schema string, prop string, value string,"
+            " external boolean",
+        ),
+        dataset="ts_ext",
+    )
+    archive = StatementArchive(spark, str(tmp_path))
+    crawl_dataset(spark, stmts, "ts_ext", archive, run_time="2026-01-01T00:00:00")
+    crawl_dataset(spark, stmts, "ts_ext", archive, run_time="2026-02-01T00:00:00")
+    out = {
+        r["entity_id"]: (r["first_seen"], r["last_seen"])
+        for r in archive.read("ts_ext", external=True).collect()
+    }
+    assert out["e1"] == ("2026-01-01T00:00:00", "2026-02-01T00:00:00")
+    # the external row keeps its original first_seen across re-runs
+    assert out["e2"] == ("2026-01-01T00:00:00", "2026-02-01T00:00:00")
