@@ -705,3 +705,14 @@ def test_dedup_substring_spans_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 6
+
+
+def test_pq_adc_plans_broadcast_codebooks(spark, sf_dir):
+    """Both PQ exhibits must keep the scale contract: codebooks/LUT
+    broadcast (no shuffle of the corpus for them), no cartesian
+    product, no Python in the row path."""
+    for name in ("ann_pq_adc", "ann_ivf_pq"):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
