@@ -107,11 +107,13 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     if args.canonical_map:
         mapping = spark.read.parquet(args.canonical_map)
         stmts = canonicalize_values(apply_canonical(stmts, mapping), mapping)
+    if args.max_hops < 1:
+        raise SystemExit("analyze: --max-hops must be >= 1")
     emitted = None
     frontier = None  # hop 1 derives seeds from the statements themselves
     hops = 0
     converged = False
-    for _ in range(args.max_hops + 1):
+    for hop_i in range(args.max_hops + 1):
         patch = risk_propagation_statements(
             stmts, analyzer_dataset=args.dataset, seed_topics=frontier
         )
@@ -124,21 +126,27 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
                 "left_anti",
             )
         )
+        if hop_i == args.max_hops:
+            # budget exhausted: this last pass is a convergence PROBE
+            # only — an emptiness check on the plan, never a checkpoint
+            # of a patch that would be discarded
+            if fresh.limit(1).count() == 0:
+                converged = True
+            else:
+                # patches still flowing: keep what converged so far but
+                # say so loudly (the operator raises in this case; the
+                # CLI records the truncation in the manifest)
+                print(
+                    f"# WARNING: not converged within --max-hops"
+                    f" {args.max_hops}; the written patch set is truncated",
+                    file=sys.stderr,
+                )
+            break
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.limit(1).count() == 0:
             converged = True
             if emitted is None:
                 emitted = fresh  # checkpointed empty frame, right schema
-            break
-        if hops == args.max_hops:
-            # hop budget exhausted with patches still flowing: keep what
-            # converged so far but say so loudly (the operator raises in
-            # this case; the CLI records the truncation in the manifest)
-            print(
-                f"# WARNING: not converged within --max-hops {args.max_hops};"
-                " the written patch set is truncated",
-                file=sys.stderr,
-            )
             break
         hops += 1
         emitted = fresh if emitted is None else emitted.unionByName(fresh)

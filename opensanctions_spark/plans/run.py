@@ -163,7 +163,10 @@ def run_dataset(
     # "previous" = last SUCCESSFUL run — a version written by a run that
     # later failed validation must not feed timestamps or deltas.
     prev_version = archive.last_successful(config.name)
-    prev = archive.read(config.name) if prev_version else None
+    # external=True: the first_seen index must cover external statements
+    # too (see crawl_dataset — an internal-only read resets external
+    # rows' first_seen every run)
+    prev = archive.read(config.name, external=True) if prev_version else None
     # 0. datapatch cleaning: the dataset's prop.* lookup tables rewrite
     # values before anything downstream sees them (the reference cleans at
     # emit time — zavod/zavod/runtime/lookups.py:52-83); map-only stage

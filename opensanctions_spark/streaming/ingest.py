@@ -36,7 +36,9 @@ def ingest_statement_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         latest = archive.latest(dataset)
         if latest is not None:
-            prev = archive.read(dataset, version=latest)
+            # external=True: the first_seen index covers external rows
+            # (see plans/run.py crawl_dataset)
+            prev = archive.read(dataset, version=latest, external=True)
             batch = propagate_first_seen(batch, prev, run_time)
         archive.write(batch, dataset)
 

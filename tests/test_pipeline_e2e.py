@@ -868,3 +868,35 @@ def test_crawl_preserves_first_seen_on_external_statements(spark, tmp_path):
     assert out["e1"] == ("2026-01-01T00:00:00", "2026-02-01T00:00:00")
     # the external row keeps its original first_seen across re-runs
     assert out["e2"] == ("2026-01-01T00:00:00", "2026-02-01T00:00:00")
+
+
+def test_run_dataset_preserves_first_seen_on_external_statements(spark, tmp_path):
+    """The fused-run path keeps external statements' first_seen across
+    re-runs, same as crawl_dataset (the first_seen index reads the
+    external view)."""
+    from opensanctions_spark.model.melt import finish_statements
+    from opensanctions_spark.plans.run import DatasetConfig, run_dataset
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    rows = [("e1", "Person", "name", "Jane", False),
+            ("e2", "Person", "topics", "sanction.linked", True)]
+    stmts = finish_statements(
+        spark.createDataFrame(
+            rows,
+            "entity_id string, schema string, prop string, value string,"
+            " external boolean",
+        ),
+        dataset="run_ext",
+    )
+    archive = StatementArchive(spark, str(tmp_path / "arch"))
+    cfg = DatasetConfig(name="run_ext")
+    run_dataset(spark, stmts, cfg, archive, out_dir=str(tmp_path / "o1"),
+                run_time="2026-01-01T00:00:00", version="20260101-000000")
+    run_dataset(spark, stmts, cfg, archive, out_dir=str(tmp_path / "o2"),
+                run_time="2026-02-01T00:00:00", version="20260201-000000")
+    out = {
+        r["entity_id"]: r["first_seen"]
+        for r in archive.read("run_ext", external=True).collect()
+    }
+    assert out["e2"] == "2026-01-01T00:00:00"
+    assert out["e1"] == "2026-01-01T00:00:00"
