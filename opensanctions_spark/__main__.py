@@ -98,6 +98,8 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     from opensanctions_spark.session import get_session
     from opensanctions_spark.sources.archive import StatementArchive
 
+    if args.max_hops < 1:
+        raise SystemExit("analyze: --max-hops must be >= 1")
     spark = get_session(f"osp-analyze-{args.dataset}")
     spark.sparkContext.setLogLevel("WARN")
     archive = StatementArchive(spark, args.archive)
@@ -107,8 +109,6 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     if args.canonical_map:
         mapping = spark.read.parquet(args.canonical_map)
         stmts = canonicalize_values(apply_canonical(stmts, mapping), mapping)
-    if args.max_hops < 1:
-        raise SystemExit("analyze: --max-hops must be >= 1")
     emitted = None
     frontier = None  # hop 1 derives seeds from the statements themselves
     hops = 0

@@ -1103,3 +1103,17 @@ def test_analyze_cli_verb_e2e(spark, tmp_path):
     # patches reduced to LegalEntity and stamped as the analyzer dataset
     row = out.filter(F.col("entity_id") == "t2").first()
     assert row["schema"] == "LegalEntity" and row["dataset"] == "ann_graph_topics"
+
+
+def test_analyze_cli_rejects_non_positive_hop_budget(spark, tmp_path):
+    """--max-hops < 1 fails loudly instead of crashing later on an
+    unset patch frame."""
+    import pytest as _pytest
+
+    from opensanctions_spark.__main__ import main
+
+    with _pytest.raises(SystemExit, match="max-hops"):
+        main([
+            "analyze", "--inputs", "x", "--archive", str(tmp_path),
+            "--max-hops", "0",
+        ])
