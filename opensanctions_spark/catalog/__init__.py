@@ -125,78 +125,42 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()``. Lifetime coverage: every query present through round 6
-#: has at least one green driver row across rounds 1-6 (196/196).
-#: ROUND-9 ROTATION (VERDICT r8 task 2 — the r7 staging put the stale
-#: cohort BELOW the 50-slot budget line and nothing rotated): positions
-#: 1-49 are the round-9 addition plus ALL 48 driver-stale queries (13
-#: last checked r3, 35 last checked r4 — computed from the
-#: CORRECTNESS_r0*.json history); slot 50 takes the head of the r5
-#: cohort. The rest of the r5 cohort queues below the line for round 10.
+#: ``queries()``. Lifetime coverage: every query present through round 9
+#: has at least one green driver row (199/199 across rounds 1-9); the six
+#: round-9 additions get their FIRST driver rows this round (r10).
+#:
+#: ROUND-10 ROTATION (VERDICT r9 tasks 1-2): head-50 = the two round-10
+#: additions + the six never-driver-checked round-9 additions + the first
+#: 42 of the round-5 cohort (stalest, last checked r5). Cohorts computed
+#: from the CORRECTNESS_r0*.json history.
+#:
+#: PRE-STAGED ROTATION FOR FUTURE ROUNDS (VERDICT r9 task 2 — written now
+#: so a short round cannot silently skip it; promote mechanically, new
+#: round-N additions go first):
+#:   ROUND 11 head-50 = the 7 round-5 leftovers (s13_compaction_plan,
+#:     s9_p2_statement_filters, scd2_entity_history, skew_salted_agg,
+#:     skew_salted_join, t2_t3_facet_topk, t6_key_skew_profile) + the
+#:     first 43 of the round-6 cohort — i.e. the "ROUND 11" section below
+#:     moves to the top verbatim.
+#:   ROUND 12 head-50 = the 7 round-6 leftovers (s7_pdf_tables,
+#:     s8_cache_ttl, sketch_merge_distinct, w1_running_total,
+#:     w2_rolling_sum, w3_rank_family, s6_excel_scan... see the "ROUND 12"
+#:     section) + the first 43 of the round-8 cohort.
+#:   ROUND 13 onward: continue cycling (r8 leftovers, then the r9/r10
+#:     cohorts as they age past two rounds).
 DRIVER_PRIORITY: list[str] = [
-    # -- round-9 addition (store shim, non-identity linker) -----------------
-    "store_view_adjacency",
-    # -- stale since ROUND 3 (13) -------------------------------------------
-    "a2_facets_grouping_sets",
-    "ann_cosine_fast",
-    "ann_recall_meta",
-    "dedup_minhash_capped",
-    "dedup_near_cluster",
-    "dedup_semantic_semdedup",
-    "dedup_url_canonical",
-    "graph_degree_centrality",
-    "pipeline_xref_resolve",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "text_repetition",
-    "text_tfidf_topk",
-    # -- stale since ROUND 4 (35) -------------------------------------------
-    "ann_kmeans_loop",
-    "ann_lsh_hyperplane",
-    "chunk_documents",
-    "contamination_bloom",
-    "dedup_lsh_recall",
-    "dedup_near_cluster_star",
-    "dedup_paragraph_exact",
-    "f16_make_security",
-    "f17_make_identification",
-    "graph_component_histogram",
-    "graph_pagerank",
-    "j13_lookup_module",
-    "j5_custom_scorer_udf",
-    "j5_min_score_ratio",
-    "j5_reference_scorer",
-    "mm_audio_energy",
-    "mm_phash_dedup",
-    "pipeline_enrich_expand",
-    "q12_shipmode_priority",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "s6_excel_distributed",
-    "s7_pdf_scanned",
-    "sample_quality_weighted",
-    "sample_token_budget",
-    "search_bm25",
-    "search_inverted_index",
-    "stream_curate_corpus",
-    "stream_stateful_totals",
-    "text_bigram_lm_score",
-    "text_bpe_train",
-    "text_oov_rate",
-    "text_quality_classifier",
-    "text_vocab_coverage",
-    # -- slot 50: head of the ROUND-5 cohort ---------------------------------
-    "a12_assertions",
-    # --- the driver's 50-row budget ends here. Round 10 head: first the
-    # round-9 additions below (never driver-checked), then the round-5
-    # cohort (stalest remaining) --------------------------------------------
+    # ==== ROUND 10 head-50 ===================================================
+    # -- round-10 additions (first driver check) ------------------------------
+    "text_bpe_encode",
+    "ann_ivfpq_recall",
+    # -- round-9 additions: NEVER driver-checked, must be in head-50 ----------
     "graph_risk_propagation",
     "graph_risk_propagation_converged",
     "dedup_substring_spans",
     "dedup_substring_cut",
     "ann_pq_adc",
     "ann_ivf_pq",
+    # -- round-5 cohort, first 42 (stalest; last driver-checked r5) -----------
     "a1_entity_assembly",
     "a2_entity_counts",
     "a3_fill_rate",
@@ -239,6 +203,9 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q8_market_share",
     "s11_name_extraction",
+    # ==== the driver's 50-row budget ends here ===============================
+    # ==== ROUND 11 head-50 (promote this section to the top in round 11) =====
+    # -- round-5 cohort leftovers (7) ------------------------------------------
     "s13_compaction_plan",
     "s9_p2_statement_filters",
     "scd2_entity_history",
@@ -246,6 +213,111 @@ DRIVER_PRIORITY: list[str] = [
     "skew_salted_join",
     "t2_t3_facet_topk",
     "t6_key_skew_profile",
+    # -- round-6 cohort, first 43 ----------------------------------------------
+    "a10_edge_cleanup",
+    "a4_program_facets",
+    "a9_name_reduction",
+    "approx_distinct_users",
+    "approx_quantile_contract",
+    "audit_source_columns",
+    "d4_change_detection",
+    "dedup_exact",
+    "events_json_extract",
+    "events_variant_extract",
+    "f10_address_compose",
+    "f11_crypto_wallets",
+    "f13_occupancy_status",
+    "f7_identifier_checksums",
+    "funnel_view_click_purchase",
+    "j11_self_reference",
+    "j4_recursive_expansion",
+    "j5_t1_blocking_topk",
+    "j7_edge_dedupe_merge",
+    "j9_match_rules",
+    "mm_decode_ppm_real",
+    "mm_decode_wav_real",
+    "p7_person_cutoff",
+    "pivot_status_counts",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_revenue",
+    "s10_archive_backfill",
+    "s11_llm_extraction",
+    "s12_review_workflow",
+    "s12_reviewed_names_emit",
+    "s14_un_sc_parse",
+    "s1_csv_scan",
+    "s2_xml_scan",
+    "s3_json_scan",
+    "s4_html_dom",
+    "s5_html_table",
+    # ==== ROUND 12 head-50 (promote in round 12) ==============================
+    # -- round-6 cohort leftovers (7) ------------------------------------------
+    "s6_excel_scan",
+    "s7_pdf_tables",
+    "s8_cache_ttl",
+    "sketch_merge_distinct",
+    "w1_running_total",
+    "w2_rolling_sum",
+    "w3_rank_family",
+    # -- round-8 cohort, first 43 ----------------------------------------------
+    "ann_centroid_step",
+    "ann_cosine_topk",
+    "ann_ivf_bucketed",
+    "ann_ivf_nprobe2",
+    "asof_last_view_before_click",
+    "contamination_overlap",
+    "dedup_chunk_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_fast",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_source_priority",
+    "docs_length_histogram",
+    "docs_length_quantiles",
+    "j7_interval_overlap",
+    "mixture_cap_per_source",
+    "mixture_temperature",
+    "mm_byte_features",
+    "mm_decode_bmp_real",
+    "mm_frame_sample",
+    "mm_resize",
+    "pack_sequences",
+    "pipeline_quality_filter",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "rollup_time_hierarchy",
+    "s14_fsf_parse",
+    "s6_xls_scan",
+    "s7_pdf_distributed",
+    "sample_stratified",
+    "sample_train_split",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_windowed_agg",
+    "text_fingerprint",
+    "text_gopher_rules",
+    "text_langid",
+    # -- round-8 cohort leftovers (round 13) ------------------------------------
+    "text_mojibake_scan",
+    "text_pii_redact",
+    "text_pii_scan",
+    "text_quality",
+    "text_token_count",
+    "text_top_bigrams",
+    "wikidata_deref",
 ]
 
 

@@ -2756,10 +2756,14 @@ def duplicate_spans(
     ``(doc_id, span_start, span_end)`` with 1-based token positions,
     end exclusive — the ranges a cleaning pass would cut.
 
-    Scale note: the gram shuffle carries ~w tokens of text per corpus
-    token; at 100 TB swap the join key for ``xxhash64(g)`` (8 bytes) —
-    same plan, collision risk ~n²/2⁶⁴, acceptable for a cut list. The
-    string key here keeps the catalog oracle bit-exact.
+    Scale note (round 10): the corpus-wide exchange keys on a 128-bit
+    hash of the gram — ``xxhash64(1, g), xxhash64(2, g)`` (16 bytes) —
+    not the raw w-token string (~w tokens of text per corpus token),
+    cutting shuffle key bytes ~5-10× at 100 TB. Collision risk is the
+    birthday bound n²/2¹²⁸ on corpus w-gram count — negligible for a
+    cut list (and the DuckDB oracle, which groups on the raw string,
+    stays byte-identical: the hash is internal to the dup-count; the
+    spans output is unchanged).
     """
     toks = docs.select(
         F.col(id_col),
@@ -2779,14 +2783,21 @@ def duplicate_spans(
                 ),
             )
         ).alias("x"),
-    ).select(id_col, "x.pos", "x.g")
+    ).select(
+        id_col,
+        "x.pos",
+        # 128-bit gram key computed map-side, BEFORE the exchange: the
+        # shuffle never carries gram text, only two longs
+        F.xxhash64(F.lit(1), "x.g").alias("h1"),
+        F.xxhash64(F.lit(2), "x.g").alias("h2"),
+    )
     dup = (
-        grams.groupBy("g")
+        grams.groupBy("h1", "h2")
         .count()
         .filter(F.col("count") >= min_count)
-        .select("g")
+        .select("h1", "h2")
     )
-    marked = grams.join(dup, "g", "left_semi").select(id_col, "pos")
+    marked = grams.join(dup, ["h1", "h2"], "left_semi").select(id_col, "pos")
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         marked.withColumn("prev", F.lag("pos").over(by_doc))
