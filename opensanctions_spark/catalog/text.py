@@ -1508,6 +1508,42 @@ SELECT * FROM (
 )
 
 
+def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round over the (word, count, seq) table: weighted
+    adjacent-pair counts, argmax pair (count desc, pair asc), and the
+    merged sequences. The winning 1-row pair broadcasts into the merge
+    via a column-argument replace — fully declarative, zero driver
+    round-trips. Shared by the trainer (``text_bpe_train``) and the
+    apply pass (``text_bpe_encode``)."""
+    toks = F.split(F.col("seq"), " ")
+    pairs = (
+        s.filter(F.size(toks) > 1)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    top = pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
+    merged = s.crossJoin(F.broadcast(top)).select(
+        "w",
+        "c",
+        F.replace(
+            F.col("seq"),
+            F.col("pair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+        ).alias("seq"),
+    )
+    return merged, top
+
+
 @register("text_bpe_train", oracle=_BPE_ORACLE)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of BPE merge training over the corpus vocabulary —
@@ -1533,39 +1569,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
     )
 
-    def merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
-        toks = F.split(F.col("seq"), " ")
-        pairs = (
-            s.filter(F.size(toks) > 1)
-            .select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(toks, 1, F.size(toks) - 1),
-                        F.slice(toks, 2, F.size(toks) - 1),
-                        lambda a, b: F.concat_ws(" ", a, b),
-                    )
-                ).alias("pair"),
-                "c",
-            )
-            .groupBy("pair")
-            .agg(F.sum("c").cast("long").alias("n"))
-        )
-        top = pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
-        merged = s.crossJoin(F.broadcast(top)).select(
-            "w",
-            "c",
-            F.replace(
-                F.col("seq"),
-                F.col("pair"),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-            ).alias("seq"),
-        )
-        return merged, top
-
     out = None
     s = seq
     for rnd in (1, 2, 3):
-        s, top = merge_round(s)
+        s, top = _bpe_merge_round(s)
         row = top.select(
             F.lit(rnd).cast("long").alias("round"),
             "pair",
@@ -1574,6 +1581,71 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_BPE_ENCODE_ORACLE = (
+    "WITH wc AS (" + _BPE_WORDS_SQL + "),\n"
+    "s0 AS (SELECT w, c, array_to_string(list_transform(range(length(w)), "
+    "i -> w[i+1]), ' ') AS seq FROM wc),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """,
+enc AS (
+  SELECT w, len(string_split(seq, ' ')) AS nt FROM s3
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(enc.nt) AS BIGINT) AS n_tokens
+FROM dw JOIN enc USING (w)
+GROUP BY dw.doc_id
+"""
+)
+
+
+@register("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE merge table to tokenize the corpus — the
+    pass an LLM data pipeline actually runs at 100 TB once the
+    tokenizer is trained (``text_bpe_train`` produces the merges; this
+    spends them). Per document: ``n_words`` (pre-BPE word occurrences)
+    and ``n_tokens`` (post-merge subword count) — the corpus token
+    accounting that sizes training runs and drives token-budget
+    sampling (``sample_token_budget``).
+
+    Count-level discipline end-to-end: the corpus's words reduce to the
+    DISTINCT-word table once, the three training rounds replay over
+    that vocabulary (identical plan to the trainer —
+    :func:`_bpe_merge_round`, each winning pair a broadcast 1-row
+    replace), and the ENCODE is vocabulary-sized too: each distinct
+    word's final symbol sequence is computed exactly once, then joined
+    back to the (doc_id, word) stream. The corpus-sized side does one
+    explode + one hash join on the word + one per-doc aggregation —
+    no per-occurrence merge scanning, no Python. Real tokenizers apply
+    ~30k merges the same way: encode the vocab, join back by word."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    s = wc.select(
+        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+    )
+    for _ in (1, 2, 3):
+        s, _top = _bpe_merge_round(s)
+    enc = s.select(
+        "w", F.size(F.split(F.col("seq"), " ")).alias("nt")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    return dw.join(enc, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
 
 
 @register(

@@ -1152,28 +1152,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     |probed cells| × M LUT adds per vector, the property that makes
     billion-vector serving tractable."""
     dims = _pq_dims(load(spark, sf_dir, "embeddings"))
-
-    # coarse quantizer → buckets (first-k init + one Lloyd step)
-    k0 = dims.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
-    )
-    ka1 = _argmin_code(dims, k0, ["dim"], "cid")
-    k1 = (
-        dims.join(ka1, "vec_id")
-        .groupBy("cid", "dim")
-        .agg(F.expr("sum(q) div count(*)").alias("cq"))
-    )
-    buckets = _argmin_code(dims, k1, ["dim"], "cid")
+    k1, buckets = _coarse_quantizer(dims)
     # the query's nprobe=2 nearest coarse cells
     probes = (
-        dims.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(k1), "dim")
-        .groupBy("cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("dist")
-        )
+        _query_cell_dists(dims, k1)
         .orderBy("dist", "cid")
         .limit(2)
         .select("cid")
@@ -1186,3 +1168,203 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared product quantizer, scored over the probed cells only
     codes, lut = _pq_train_encode_lut(dims)
     return _adc_topk(codes, lut, cand=cand)
+
+
+def _coarse_quantizer(dims):
+    """The IVF coarse quantizer both IVF-PQ exhibits share: k=8
+    full-dimension centroids (first-k init + one Lloyd step, the
+    ``ann_kmeans_loop`` discipline) and every vector's cell
+    assignment. Returns (trained centroids k1, (vec_id, cid) buckets)."""
+    k0 = dims.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+    )
+    ka1 = _argmin_code(dims, k0, ["dim"], "cid")
+    k1 = (
+        dims.join(ka1, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.expr("sum(q) div count(*)").alias("cq"))
+    )
+    return k1, _argmin_code(dims, k1, ["dim"], "cid")
+
+
+def _query_cell_dists(dims, k1):
+    """The query's (cid, dist) table under the trained coarse
+    centroids — 8 rows, the probe-ordering substrate."""
+    return (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(k1), "dim")
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, g.i AS dim, g.i // {PQ_SUB} AS sub,
+         CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+),
+k0 AS (SELECT vec_id AS cid, dim, q AS cq FROM dims WHERE vec_id < 8),
+kd1 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN k0 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+),
+ka1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM kd1) WHERE rn = 1
+),
+k1 AS (
+  SELECT ka1.cid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN ka1 ON d.vec_id = ka1.vec_id GROUP BY ka1.cid, d.dim
+),
+kd2 AS (
+  SELECT d.vec_id, c.cid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN k1 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+),
+buckets AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM kd2) WHERE rn = 1
+),
+pranks AS (  -- the query's coarse cells ranked by distance
+  SELECT cid, row_number() OVER (ORDER BY dist, cid) AS prank
+  FROM kd2 WHERE vec_id = 0
+),
+c0 AS (SELECT vec_id AS pid, sub, dim, q AS cq FROM dims WHERE vec_id < {PQ_K}),
+pd1 AS (
+  SELECT d.vec_id, d.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c0 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.pid
+),
+pa1 AS (
+  SELECT vec_id, sub, pid FROM (
+    SELECT vec_id, sub, pid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pid) AS rn
+    FROM pd1) WHERE rn = 1
+),
+c1 AS (
+  SELECT pa1.sub, pa1.pid, d.dim, SUM(d.q) // COUNT(*) AS cq
+  FROM dims d JOIN pa1 ON d.vec_id = pa1.vec_id AND d.sub = pa1.sub
+  GROUP BY pa1.sub, pa1.pid, d.dim
+),
+pd2 AS (
+  SELECT d.vec_id, d.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  GROUP BY d.vec_id, d.sub, c.pid
+),
+codes AS (
+  SELECT vec_id, sub, pid FROM (
+    SELECT vec_id, sub, pid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pid) AS rn
+    FROM pd2) WHERE rn = 1
+),
+lut AS (
+  SELECT c.sub, c.pid, SUM((d.q - c.cq) * (d.q - c.cq)) AS dist
+  FROM dims d JOIN c1 c ON d.dim = c.dim AND d.sub = c.sub
+  WHERE d.vec_id = 0 GROUP BY c.sub, c.pid
+),
+adc AS (  -- every non-query vector's ADC distance
+  SELECT codes.vec_id, SUM(lut.dist) AS adc
+  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.pid = lut.pid
+  WHERE codes.vec_id <> 0 GROUP BY codes.vec_id
+),
+exact AS (  -- ground truth: true L2 top-10 over the quantized dims
+  SELECT d.vec_id FROM dims d JOIN dims q ON d.dim = q.dim AND q.vec_id = 0
+  WHERE d.vec_id <> 0 GROUP BY d.vec_id
+  ORDER BY SUM((d.q - q.q) * (d.q - q.q)), d.vec_id LIMIT 10
+),
+cand AS (
+  SELECT np.nprobe, a.vec_id, a.adc
+  FROM adc a
+  JOIN buckets b ON a.vec_id = b.vec_id
+  JOIN pranks p ON b.cid = p.cid
+  JOIN (VALUES (1), (2), (4)) np(nprobe) ON p.prank <= np.nprobe
+),
+topk AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT nprobe, vec_id,
+           row_number() OVER (PARTITION BY nprobe ORDER BY adc, vec_id) AS rn
+    FROM cand) WHERE rn <= {PQ_TOPK}
+)
+SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_topk,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recalled
+FROM topk t LEFT JOIN exact e ON t.vec_id = e.vec_id
+GROUP BY t.nprobe
+"""
+
+
+@register("ann_ivfpq_recall", oracle=_IVFPQ_RECALL_ORACLE)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ recall curve (Jégou et al., 2011, Table IV shape):
+    recall@10 of the ``ann_ivf_pq`` layout against the true-L2 top-10
+    at nprobe ∈ {1, 2, 4} — the quality dial every IVF deployment is
+    tuned with, now a value-checked catalog row rather than a plan
+    gate. Per nprobe: ``n_topk`` (how many candidates the probed cells
+    yielded, ≤10) and ``n_recalled`` (how many of the exact top-10 they
+    contain); recall@10 = n_recalled / 10.
+
+    Scale shape: everything the corpus-sized side touches broadcasts —
+    the trained coarse centroids, the 8-row probe-rank table, the M×k
+    LUT, and the 3-row nprobe dimension; corpus work is the shared
+    cell/code assignments plus ONE per-nprobe top-k window over
+    ≤3× the probed candidates. The ground-truth brute-force side exists
+    only because this IS the quality probe — run on a sampled query
+    set at 100 TB, never the full corpus (same discipline as
+    ``ann_recall_meta``)."""
+    from pyspark.sql import Window
+
+    dims = _pq_dims(load(spark, sf_dir, "embeddings"))
+    k1, buckets = _coarse_quantizer(dims)
+    pranks_w = Window.orderBy("dist", "cid")
+    pranks = _query_cell_dists(dims, k1).select(
+        "cid", F.row_number().over(pranks_w).alias("prank")
+    )
+    codes, lut = _pq_train_encode_lut(dims)
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "pid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").alias("adc"))
+    )
+    qdims = dims.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("q").alias("qq")
+    )
+    exact = (
+        dims.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qdims), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("qq")) * (F.col("q") - F.col("qq"))
+                  ).alias("edist")
+        )
+        .orderBy("edist", "vec_id")
+        .limit(PQ_TOPK)
+        .select(F.col("vec_id").alias("evid"))
+    )
+    nprobes = spark.createDataFrame([(1,), (2,), (4,)], "nprobe long")
+    cand = (
+        adc.join(buckets, "vec_id")
+        .join(F.broadcast(pranks), "cid")
+        .join(F.broadcast(nprobes), F.col("prank") <= F.col("nprobe"))
+    )
+    by_probe = Window.partitionBy("nprobe").orderBy("adc", "vec_id")
+    topk = cand.select(
+        "nprobe", "vec_id", F.row_number().over(by_probe).alias("rn")
+    ).filter(F.col("rn") <= PQ_TOPK)
+    return (
+        topk.join(F.broadcast(exact), topk["vec_id"] == F.col("evid"), "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum(F.col("evid").isNotNull().cast("long")).alias("n_recalled"),
+        )
+    )

@@ -716,3 +716,40 @@ def test_pq_adc_plans_broadcast_codebooks(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bpe_encode_plan_is_jvm_only(spark, sf_dir):
+    """BPE-encode (the apply pass) keeps the count-level contract: zero
+    Python in any row path, no cartesian product (the per-round winning
+    pair is a broadcast 1-row replace, which prints as a broadcast
+    nested-loop over ONE row, not a CartesianProduct), and the
+    gram-hash dedup discipline: the corpus-sized side contributes only
+    the word explode + one join + one aggregation."""
+    plan = _executed_plan(QUERIES["text_bpe_encode"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_substring_shuffle_key_is_hashed(spark, sf_dir):
+    """The substring-dedup corpus exchange must key on the 128-bit gram
+    hash (two xxhash64 longs), never the raw gram text: the gram string
+    must not appear as a shuffle output attribute."""
+    plan = _executed_plan(QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "xxhash64" in plan
+    # the exchanges hash-partition on h1/h2, not on a gram string column
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "g#" not in m.group(1), m.group(0)
+
+
+def test_ivfpq_recall_plan(spark, sf_dir):
+    """The recall probe keeps the IVF-PQ scale contract: centroids,
+    probe ranks, LUT and the 3-row nprobe dimension all broadcast, no
+    Python in the row path. (The nprobe expansion is a non-equi join
+    against a broadcast 3-row table — a broadcast nested-loop by
+    construction, never a CartesianProduct.)"""
+    plan = _executed_plan(QUERIES["ann_ivfpq_recall"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
