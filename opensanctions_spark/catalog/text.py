@@ -1532,14 +1532,22 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.sum("c").cast("long").alias("n"))
     )
     top = pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
-    merged = s.crossJoin(F.broadcast(top)).select(
+    # LEFT join (not crossJoin): when the vocabulary is already fully
+    # merged the round has NO pairs and ``top`` is empty — a crossJoin
+    # would silently drop every sequence; the left join keeps them and
+    # the null-guard makes the exhausted round a no-op.
+    merged = s.join(F.broadcast(top), F.lit(True), "left").select(
         "w",
         "c",
-        F.replace(
-            F.col("seq"),
-            F.col("pair"),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-        ).alias("seq"),
+        F.when(F.col("pair").isNull(), F.col("seq"))
+        .otherwise(
+            F.replace(
+                F.col("seq"),
+                F.col("pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            )
+        )
+        .alias("seq"),
     )
     return merged, top
 

@@ -279,3 +279,69 @@ def test_earliest_term_start_windows():
     assert earliest_term_start(["gov.muni"], "2026-08-13T00:00:00") == "2015-08-16"
     # unknown topic falls back to the default window
     assert earliest_term_start(["x"], "2026-08-13T00:00:00") == "2011-08-17"
+
+
+# -- round 10: BPE encode (apply pass) ---------------------------------------
+
+
+def test_bpe_encode_hand_computed(spark, tmp_path):
+    """The apply pass on a corpus tiny enough to run BPE by hand.
+
+    Corpus words: 'aab' ×3, 'ab' ×2  (vocab = {aab:3, ab:2}).
+    Round 1 pairs: 'a a'→3, 'a b'→5  → merge 'a b' → ab.
+    Round 2 seqs: 'a ab' (aab), 'ab' (ab); pairs: 'a ab'→3 → merge → aab.
+    Round 3: all seqs single-symbol → no pairs → no-op merge.
+    Final: aab → 1 token, ab → 1 token.
+    doc1 = 'aab ab aab' → 3 words, 3 tokens;
+    doc2 = 'aab ab'     → 2 words, 2 tokens.
+    """
+    from opensanctions_spark.catalog import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aab ab aab"), (2, "aab ab")], "doc_id long, text string"
+    )
+    wc = (
+        docs.select(F.explode(T._tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    s = wc.select(
+        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+    )
+    merges = []
+    for _ in (1, 2, 3):
+        s, top = T._bpe_merge_round(s)
+        merges.append([r["pair"] for r in top.collect()])
+    assert merges[0] == ["a b"]
+    assert merges[1] == ["a ab"]
+    assert merges[2] == []  # vocabulary fully merged: no pairs remain
+    enc = {r["w"]: r["seq"] for r in s.collect()}
+    assert enc == {"aab": "aab", "ab": "ab"}
+    dw = docs.select("doc_id", F.explode(T._tokens(F.col("text"))).alias("w"))
+    nt = s.select("w", F.size(F.split(F.col("seq"), " ")).alias("nt"))
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in dw.join(nt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert out == {1: (3, 3), 2: (2, 2)}
+
+
+def test_bpe_encode_counts_are_consistent_with_train(spark, sf_dir):
+    """text_bpe_encode's corpus token total must sit between the
+    single-symbol ceiling (sum of word lengths) and the word floor
+    (one token per word), and n_words must equal the raw token count."""
+    from opensanctions_spark.catalog import QUERIES
+    from pyspark.sql import functions as F
+
+    enc = QUERIES["text_bpe_encode"](spark, sf_dir)
+    tot = enc.agg(
+        F.sum("n_words").alias("w"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert 0 < tot["w"] <= tot["t"]  # merges never go below 1 token/word

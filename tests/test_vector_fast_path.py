@@ -83,3 +83,21 @@ def test_ann_fast_survives_many_partitions(spark):
     n_parts = emb.rdd.getNumPartitions()
     assert n_parts > 1  # the catalog loader repartitions embeddings
     assert len(base) > 0
+
+
+def test_ivfpq_recall_row_semantics(spark, sf_dir):
+    """Invariants of the recall probe: one row per nprobe in {1,2,4},
+    candidates never exceed the top-k budget, recalled never exceeds
+    candidates, and the candidate pool is non-decreasing in nprobe
+    (supersets — recall itself may legally dip under ADC)."""
+    from opensanctions_spark.catalog import QUERIES
+
+    rows = {
+        r["nprobe"]: (r["n_topk"], r["n_recalled"])
+        for r in QUERIES["ann_ivfpq_recall"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    for nprobe, (n_topk, n_recalled) in rows.items():
+        assert 0 < n_topk <= 10, nprobe
+        assert 0 <= n_recalled <= n_topk, nprobe
+    assert rows[1][0] <= rows[2][0] <= rows[4][0]
