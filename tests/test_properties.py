@@ -554,3 +554,87 @@ def test_qs_date_precision_matches_length(iso):
     # the date payload is always a full day timestamp
     assert out[1:].split("/")[0].endswith("T00:00:00Z")
     assert out[1:11].count("-") == 2
+
+
+# -- round 10: BPE merge + hashed-gram-key invariants -------------------------
+
+WORDS = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(WORDS)
+def test_bpe_merge_rounds_preserve_words_and_shrink(spark, words):
+    """Invariants of _bpe_merge_round on arbitrary tiny vocabularies:
+    (1) removing spaces from every seq always reconstructs the word,
+    (2) the vocabulary row set never changes size (the empty-round
+    crossJoin bug would drop it to zero), (3) per-word token count is
+    non-increasing round over round."""
+    from opensanctions_spark.catalog.text import _bpe_merge_round
+
+    wc = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(dict.fromkeys(words))],
+        "w string, c long",
+    )
+    s = wc.select(
+        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+    )
+    prev = {r["w"]: len(r["seq"].split(" ")) for r in s.collect()}
+    n_vocab = len(prev)
+    for _ in range(3):
+        s, _top = _bpe_merge_round(s)
+        rows = s.collect()
+        assert len(rows) == n_vocab  # no rows dropped, ever
+        for r in rows:
+            assert r["seq"].replace(" ", "") == r["w"]
+            n = len(r["seq"].split(" "))
+            assert n <= prev[r["w"]]
+            prev[r["w"]] = n
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from("xy"), min_size=0, max_size=20).map(" ".join),
+    min_size=1, max_size=6,
+))
+def test_duplicate_spans_hashed_key_matches_raw_string_key(spark, texts):
+    """The 128-bit hashed gram key must produce byte-identical spans to
+    the raw-string-key reference plan on arbitrary corpora (tiny
+    two-symbol alphabet maximizes gram collisions-by-equality, the case
+    that exercises the dup-count)."""
+    from pyspark.sql import Window
+    from opensanctions_spark.catalog.text import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w, mc = 3, 2
+    got = sorted(
+        tuple(r) for r in duplicate_spans(docs, w=w, min_count=mc).collect()
+    )
+    # reference: identical plan keyed on the raw gram string
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    idx = F.when(F.size("t") >= w, F.sequence(F.lit(1), F.size("t") - w + 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice("t", i, w)).alias("g")
+        ))).alias("x"),
+    ).select("doc_id", "x.pos", "x.g")
+    dup = grams.groupBy("g").count().filter(F.col("count") >= mc).select("g")
+    marked = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    bd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (marked.withColumn("prev", F.lag("pos").over(bd))
+        .withColumn("brk", F.when(
+            F.col("pos") - F.coalesce(F.col("prev"), F.col("pos")) > w,
+            F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("island", F.sum("brk").over(bd)))
+    want = sorted(tuple(r) for r in isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + w).cast("long").alias("span_end"),
+    ).drop("island").collect())
+    assert got == want
