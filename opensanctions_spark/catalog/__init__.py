@@ -318,6 +318,57 @@ DRIVER_PRIORITY: list[str] = [
     "text_token_count",
     "text_top_bigrams",
     "wikidata_deref",
+    # -- round-9 cohort (freshest, checked r9; due again ~round 13/14) --------
+    "a12_assertions",
+    "a2_facets_grouping_sets",
+    "ann_cosine_fast",
+    "ann_kmeans_loop",
+    "ann_lsh_hyperplane",
+    "ann_recall_meta",
+    "chunk_documents",
+    "contamination_bloom",
+    "dedup_lsh_recall",
+    "dedup_minhash_capped",
+    "dedup_near_cluster",
+    "dedup_near_cluster_star",
+    "dedup_paragraph_exact",
+    "dedup_semantic_semdedup",
+    "dedup_url_canonical",
+    "f16_make_security",
+    "f17_make_identification",
+    "graph_component_histogram",
+    "graph_degree_centrality",
+    "graph_pagerank",
+    "j13_lookup_module",
+    "j5_custom_scorer_udf",
+    "j5_min_score_ratio",
+    "j5_reference_scorer",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "pipeline_enrich_expand",
+    "pipeline_xref_resolve",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "s6_excel_distributed",
+    "s7_pdf_scanned",
+    "sample_quality_weighted",
+    "sample_token_budget",
+    "search_bm25",
+    "search_inverted_index",
+    "store_view_adjacency",
+    "stream_curate_corpus",
+    "stream_stateful_totals",
+    "text_bigram_lm_score",
+    "text_bpe_train",
+    "text_oov_rate",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_vocab_coverage",
 ]
 
 
