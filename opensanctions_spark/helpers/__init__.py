@@ -150,38 +150,42 @@ class NamesSpec:
 
     def get_rule(self, schema: "Any") -> dict | None:
         """The rule of the MOST SPECIFIC schema the entity is_a
-        (``meta/names.py:128-140``); None when no rule matches."""
+        (``meta/names.py:128-140``). Dataset-supplied rules MERGE into
+        the built-in defaults (the reference's ``merge_schema_rules``
+        validator, meta/names.py:112-127) — a dataset that configures
+        only Organization must not lose the Person/LegalEntity/Vessel
+        baselines, so candidates come from the UNION of default and
+        supplied rule names. None when no rule matches."""
+        names = set(self.schema_rules) | set(_DEFAULT_SCHEMA_RULES)
         matches = [
-            name for name in self.schema_rules
+            name for name in names
             if getattr(schema, "is_a", lambda _o: False)(name)
         ]
         if not matches:
             return None
         matches.sort(key=lambda n: _SCHEMA_RANK.get(n, 0), reverse=True)
         merged = dict(_DEFAULT_SCHEMA_RULES.get(matches[0], {}))
-        merged.update(self.schema_rules[matches[0]])
+        merged.update(self.schema_rules.get(matches[0], {}))
         return merged
 
 
 #: reference ``meta/names.py:62-77``: the baseline per-schema cleaning
-#: rules every dataset starts from. min_length/single_token_min_length
-#: default 2 in the reference's CleaningSpec.
+#: rules every dataset starts from. The standard characters live under
+#: ``reject_chars_baseline`` (CleaningSpec) so a dataset's own
+#: ``reject_chars`` ADD to them instead of replacing them, and
+#: ``allow_chars`` subtracts from the consolidated set.
+#: min_length/single_token_min_length default 2 in the reference's
+#: CleaningSpec and are applied at check time for ANY matched rule.
 _DEFAULT_SCHEMA_RULES: dict[str, dict] = {
     "Person": {
-        "reject_chars": ";\\/()[]<>{}:",
+        "reject_chars_baseline": ";\\/()[]<>{}:",
         "require_space": True,
-        "min_length": 2,
-        "single_token_min_length": 2,
     },
     "LegalEntity": {
-        "reject_chars": "/;",
-        "min_length": 2,
-        "single_token_min_length": 2,
+        "reject_chars_baseline": "/;",
     },
     "Vessel": {
-        "reject_chars": "/;",
-        "min_length": 2,
-        "single_token_min_length": 2,
+        "reject_chars_baseline": "/;",
     },
 }
 
@@ -794,14 +798,27 @@ def check_name_regularity(entity: Entity, string: str | None) -> Regularity:
     if suggestion is not None:
         return suggestion
     # effective rule: the most specific matching per-schema rule
-    # (meta/names.py:62-77 defaults, dataset-mergeable) with the flat
-    # dataset-level fields applied additively on top
-    rule = spec.get_rule(entity.schema) or {}
-    reject_chars = set(rule.get("reject_chars", "")) | set(spec.reject_chars)
+    # (meta/names.py:62-77 defaults, dataset rules MERGED in) with the
+    # flat dataset-level fields applied additively on top (an engine
+    # extension; the reference keeps everything per-schema). When a rule
+    # matched, min_length/single_token_min_length default to the
+    # reference CleaningSpec's 2; with NO matching rule the reference
+    # skips the schema checks entirely, so the floors stay 0 and only
+    # the flat extension fields apply.
+    rule = spec.get_rule(entity.schema)
+    rule_floor = 2 if rule is not None else 0
+    rule = rule or {}
+    # consolidated chars (meta/names.py:54-59): (baseline | extra) - allowed
+    reject_chars = (
+        set(rule.get("reject_chars_baseline", ""))
+        | set(rule.get("reject_chars", ""))
+        | set(spec.reject_chars)
+    ) - set(rule.get("allow_chars", ""))
     reject_strings = list(rule.get("reject_strings", [])) + list(spec.reject_strings)
-    min_length = max(int(rule.get("min_length", 0)), spec.min_length)
+    min_length = max(int(rule.get("min_length", rule_floor)), spec.min_length)
     single_min = max(
-        int(rule.get("single_token_min_length", 0)), spec.single_token_min_length
+        int(rule.get("single_token_min_length", rule_floor)),
+        spec.single_token_min_length,
     )
     require_space = bool(rule.get("require_space", False)) or spec.require_space
     reject_digit = (
