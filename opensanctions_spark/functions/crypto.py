@@ -8,11 +8,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: full reference address-shape table (crypto.py:9-26): ordered so a
+#: string matching two shapes takes the LATER currency (last-write-wins,
+#: mirrored by the driver-side ``helpers.extract_cryptos`` twin). BTC
+#: covers bech32/bech32m (taproot) + legacy base58 incl. "3..." P2SH;
+#: XMR covers "4..." standard and "8..." subaddress; XRP restricts to
+#: the base58 alphabet so prose words starting with "r" don't match.
 WALLET_PATTERNS: dict[str, str] = {
-    "BTC": r"\b(bc1[a-zA-HJ-NP-Z0-9]{25,62}|[13][a-km-zA-HJ-NP-Z1-9]{25,34})\b",
     "ETH": r"\b(0x[0-9a-fA-F]{40})\b",
-    "XMR": r"\b(4[0-9AB][1-9A-HJ-NP-Za-km-z]{93})\b",
-    "TRX": r"\b(T[1-9A-HJ-NP-Za-km-z]{33})\b",
+    "BTC": r"\b(bc1[a-zA-HJ-NP-Z0-9]{11,71}|[13][a-km-zA-HJ-NP-Z1-9]{25,39})\b",
+    "DASH": r"\b(X[1-9A-HJ-NP-Za-km-z]{33})\b",
+    "XMR": r"\b([48][0-9ABC][1-9A-HJ-NP-Za-km-z]{93})\b",
+    "XRP": r"\b(r[1-9A-HJ-NP-Za-km-z]{24,34})\b",
+    "LTC": r"\b(ltc1[a-zA-HJ-NP-Z0-9]{25,39}|[LM][a-km-zA-HJ-NP-Z1-9]{25,39})\b",
+    "BCH": r"\b(bitcoincash:q[a-z0-9]{41})\b",
+    "DOGE": r"\b(D[5-9A-HJ-NP-U][1-9A-HJ-NP-Za-km-z]{32})\b",
+    "TRON": r"\b(T[1-9A-HJ-NP-Za-km-z]{33})\b",
 }
 
 

@@ -2015,23 +2015,40 @@ def apply_number(
 # crypto (zavod/zavod/helpers/crypto.py) — driver twin of the column
 # ``functions/crypto.py`` wallet extraction
 
+#: address-shape table (crypto.py:9-26, itself credited to a public
+#: gist): word-bounded so partial addresses inside longer alphanumeric
+#: runs never match. Iteration ORDER is semantic — a string matching two
+#: shapes takes the LATER currency, mirroring the reference's
+#: last-write-wins dict build. "3..." base58 is attributed to BTC (LTC
+#: deprecated the shared version byte for "M..."); XMR covers standard
+#: "4..." and subaddress "8..." forms; XRP restricts to the base58
+#: alphabet so prose words starting with "r" don't match.
 _CRYPTO_RES: dict[str, re.Pattern] = {
-    "BTC": re.compile(r"\b(bc1[a-z0-9]{20,60}|[13][a-km-zA-HJ-NP-Z1-9]{25,34})\b"),
-    "ETH": re.compile(r"\b(0x[a-fA-F0-9]{40})\b"),
-    "XMR": re.compile(r"\b(4[0-9AB][1-9A-HJ-NP-Za-km-z]{93})\b"),
-    "TRX": re.compile(r"\b(T[1-9A-HJ-NP-Za-km-z]{33})\b"),
+    "ETH": re.compile(r"\b0x[a-fA-F0-9]{40}\b"),
+    "BTC": re.compile(
+        r"\b(?:bc1[a-zA-HJ-NP-Z0-9]{11,71}|[13][a-km-zA-HJ-NP-Z1-9]{25,39})\b"
+    ),
+    "DASH": re.compile(r"\bX[1-9A-HJ-NP-Za-km-z]{33}\b"),
+    "XMR": re.compile(r"\b[48][0-9ABC][1-9A-HJ-NP-Za-km-z]{93}\b"),
+    "XRP": re.compile(r"\br[1-9A-HJ-NP-Za-km-z]{24,34}\b"),
+    "LTC": re.compile(
+        r"\b(?:ltc1[a-zA-HJ-NP-Z0-9]{25,39}|[LM][a-km-zA-HJ-NP-Z1-9]{25,39})\b"
+    ),
+    "BCH": re.compile(r"\bbitcoincash:q[a-z0-9]{41}\b"),
+    "DOGE": re.compile(r"\bD{1}[5-9A-HJ-NP-U]{1}[1-9A-HJ-NP-Za-km-z]{32}\b"),
+    "TRON": re.compile(r"\bT[1-9A-HJ-NP-Za-km-z]{33}\b"),
 }
 
 
 def extract_cryptos(text: str | None) -> dict[str, str]:
     """Crypto wallet ids in free text → {address: currency}
-    (crypto.py)."""
+    (crypto.py:30-45); last matching currency wins on overlap."""
     out: dict[str, str] = {}
     if text is None:
         return out
     for currency, pattern in _CRYPTO_RES.items():
-        for m in pattern.finditer(text):
-            out.setdefault(m.group(1), currency)
+        for key in pattern.findall(text):
+            out[key] = currency
     return out
 
 

@@ -345,3 +345,29 @@ def test_bpe_encode_counts_are_consistent_with_train(spark, sf_dir):
         F.sum("n_words").alias("w"), F.sum("n_tokens").alias("t")
     ).collect()[0]
     assert 0 < tot["w"] <= tot["t"]  # merges never go below 1 token/word
+
+
+def test_wallets_full_currency_table(spark):
+    """Round 10: the column table carries the reference's full shape set
+    (crypto.py:9-26) and matches the driver-side twin currency-for-
+    currency on one address of each kind."""
+    from opensanctions_spark.helpers import extract_cryptos
+
+    samples = {
+        "0x8145D05037d1778E232ACE2FaF9731a6E5b19538": "ETH",
+        "bc1p0xlxvlhemja6c4dqv22uapctqupfhlxm9h8z3k2e72q4k9hcz7vqzk5jj0": "BTC",
+        "35hK24tcLEWcgNA4JxpvbkNkoAcDGqQPsP": "BTC",
+        "XyARKoupuArYtToA2S6yMdnoquDCDaBsaT": "DASH",
+        "rnXyVQzgxZe7TR1EPzTkGj2jxH4LMJYh66": "XRP",
+        "MJRSgZ3UUFcTBTBAaN38XAXvZLwRe8WVw7": "LTC",
+        "bitcoincash:qqyuc9s700plhzr6awzru7g5z2d2p906uyrm6ht0r0": "BCH",
+        "DNmxLVUn5AuzoDo2CSc7P13wcMSvZ4nsYY": "DOGE",
+        "TXEsK1sEsKjZ1xtHitnyAAoqw3WLdYdRNW": "TRON",
+    }
+    text = " then ".join(samples)
+    col_result = {
+        w["address"]: w["currency"]
+        for w in _one(spark, extract_all_wallets(F.lit(text)))
+    }
+    assert col_result == samples
+    assert extract_cryptos(text) == samples
