@@ -34,7 +34,7 @@ def _tokens(col):
 SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
   length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_len,
-  regexp_matches(text, '(?i)(<\s*script|javascript:|on\w+\s*=|<\s*iframe|<\s*img)') AS has_xss,
+  regexp_matches(text, '(?i)(<[^>]*>|\b(?:javascript|data|vbscript):|\bon\w+\s*=|&#[a-zA-Z])') AS has_xss,
   length(text) > 400 AS too_long
 FROM documents
 """,

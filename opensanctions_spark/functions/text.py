@@ -46,13 +46,28 @@ def clean_note(col: Column) -> Column:
     return F.when(F.length(cleaned) > 0, cleaned)
 
 
-XSS_PATTERN = r"(?i)(<\s*script|javascript:|on\w+\s*=|<\s*iframe|<\s*img)"
+#: the reference's XSS_SUSPECT_PATTERN (``zavod/zavod/runtime/
+#: safety.py:27-37``): closed tags, URI schemes with a required word
+#: boundary (so "MANDATA:" does not match the "data:" alternative),
+#: word-boundary event handlers, and "&#x"-style entity references.
+#: One pattern string, valid in Java regex (rlike), Python re, and
+#: DuckDB RE2 — the oracle uses it verbatim.
+XSS_PATTERN = r"(?i)(<[^>]*>|\b(?:javascript|data|vbscript):|\bon\w+\s*=|&#[a-zA-Z])"
+
+#: decimal/hex HTML entity references (safety.py:18-25; the named-entity
+#: alternative stays disabled there for false-positive reasons)
+HTML_ENTITY_PATTERN = r"&(#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};)"
 
 
 def looks_unsafe(col: Column) -> Column:
-    """HTML/XSS smell check (F14, ``zavod/zavod/runtime/safety.py`` via
-    ``zavod/zavod/runtime/cleaning.py:101-104``)."""
+    """HTML/XSS smell check (F14, ``zavod/zavod/runtime/safety.py``
+    XSS_SUSPECT_PATTERN via ``zavod/zavod/runtime/cleaning.py:101-104``)."""
     return col.rlike(XSS_PATTERN)
+
+
+def has_html_entities(col: Column) -> Column:
+    """Decimal/hex entity-reference smell (safety.py HTML_ENTITY_PATTERN)."""
+    return col.rlike(HTML_ENTITY_PATTERN)
 
 
 def exceeds_max_length(col: Column, max_length: int) -> Column:
