@@ -214,7 +214,54 @@ def dates_spec(dataset: Any) -> DatesSpec:
     return _spec(dataset, "dates", DatesSpec)
 
 
+#: keys a per-schema cleaning rule may carry (the reference CleaningSpec
+#: model, ``meta/names.py:12-52`` — extra keys are FORBIDDEN so a typo
+#: in dataset config fails loudly instead of silently not cleaning)
+_CLEANING_RULE_KEYS = {
+    "reject_chars_baseline", "reject_chars", "reject_strings",
+    "allow_chars", "min_length", "single_token_min_length",
+    "require_space", "allow_nullwords", "reject_leading_digit",
+}
+
+
+def _validate_names_config(raw: Any) -> None:
+    """Reference ``NamesSpec``/``CleaningSpec`` validation
+    (meta/names.py: pydantic ``extra="forbid"`` + typed fields): unknown
+    keys and wrong-typed values raise instead of being dropped."""
+    if not isinstance(raw, dict):
+        return
+    known = set(NamesSpec.__dataclass_fields__)
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"Unknown names-spec keys: {sorted(unknown)}")
+    rules = raw.get("schema_rules")
+    if rules is None:
+        return
+    if not isinstance(rules, dict):
+        raise ValueError("names.schema_rules must be a mapping")
+    for schema_name, rule in rules.items():
+        if not isinstance(rule, dict):
+            raise ValueError(
+                f"names.schema_rules[{schema_name!r}] must be a mapping"
+            )
+        bad = set(rule) - _CLEANING_RULE_KEYS
+        if bad:
+            raise ValueError(
+                f"Unknown cleaning-rule keys for {schema_name!r}: {sorted(bad)}"
+            )
+        for key in ("reject_chars", "reject_chars_baseline", "allow_chars"):
+            if key in rule and not isinstance(rule[key], str):
+                raise ValueError(f"{schema_name!r}.{key} must be a string")
+        if "reject_strings" in rule and not isinstance(rule["reject_strings"], list):
+            raise ValueError(f"{schema_name!r}.reject_strings must be a list")
+
+
 def names_spec(dataset: Any) -> NamesSpec:
+    raw = getattr(dataset, "names", None)
+    if raw is None:
+        meta = getattr(dataset, "metadata", None) or {}
+        raw = meta.get("names")
+    _validate_names_config(raw)
     return _spec(dataset, "names", NamesSpec)
 
 

@@ -177,3 +177,79 @@ def test_supplied_rule_defaults_floor_to_two():
     org = _entity(ctx, "Organization", "o")
     assert h.is_name_irregular(org, "a")          # min_length 2
     assert not h.is_name_irregular(org, "ab")     # single token, len 2
+
+
+# -- NamesSpec validation (reference test_names_spec.py) ---------------------
+
+
+def _spec_from(metadata):
+    ctx = _ctx(metadata=metadata)
+    return h.names_spec(ctx.dataset)
+
+
+def test_typo_in_default_schema_override_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _spec_from({"names": {
+            "schema_rules": {"Person": {"rejct_strings": ["and"]}}
+        }})
+
+
+def test_wrong_type_in_default_schema_override_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _spec_from({"names": {
+            "schema_rules": {"Person": {"reject_chars": [",", ";"]}}
+        }})
+
+
+def test_non_dict_default_schema_override_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _spec_from({"names": {"schema_rules": {"Person": None}}})
+
+
+def test_typo_in_new_schema_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _spec_from({"names": {
+            "schema_rules": {"Organization": {"rejct_strings": ["and"]}}
+        }})
+
+
+def test_typo_in_top_level_key_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _spec_from({"names": {"prefixes_stripp": ["Hon "]}})
+
+
+def test_default_schema_override_merges_with_defaults():
+    spec = _spec_from({"names": {
+        "schema_rules": {"Person": {"reject_strings": [" and "]}}
+    }})
+    rule = spec.get_rule(SimpleNamespace(is_a=lambda n: n == "Person"))
+    # the override applies; default baseline and require_space retained
+    assert rule["reject_strings"] == [" and "]
+    assert ";" in rule["reject_chars_baseline"]
+    assert rule["require_space"] is True
+    # other default schemata untouched
+    vessel = spec.get_rule(SimpleNamespace(is_a=lambda n: n == "Vessel"))
+    assert vessel is not None and ";" in vessel["reject_chars_baseline"]
+
+
+def test_input_dict_is_not_mutated():
+    meta = {"names": {"schema_rules": {"Person": {"reject_strings": [" and "]}}}}
+    first = _spec_from(meta)
+    assert meta == {
+        "names": {"schema_rules": {"Person": {"reject_strings": [" and "]}}}
+    }
+    second = _spec_from(meta)
+    p1 = first.get_rule(SimpleNamespace(is_a=lambda n: n == "Person"))
+    p2 = second.get_rule(SimpleNamespace(is_a=lambda n: n == "Person"))
+    assert p1 == p2
+    assert p2["reject_strings"] == [" and "]
