@@ -37,9 +37,10 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import re
 from dataclasses import dataclass, field
-from datetime import date, datetime, timedelta
+from datetime import date, datetime, timedelta, timezone
 from typing import Any, Iterable
 
 from opensanctions_spark.crawler import CrawlerContext, Entity
@@ -115,7 +116,10 @@ class DatesSpec:
         if not mapping:
             return None
         alts = sorted(mapping, key=len, reverse=True)
-        return re.compile("|".join(re.escape(a) for a in alts), re.IGNORECASE)
+        # word-bounded like the reference (meta/dates.py:38-40): a month
+        # form glued to digits ("März2021") must NOT be rewritten
+        pattern = "\\b(" + "|".join(re.escape(a) for a in alts) + ")\\b"
+        return re.compile(pattern, re.IGNORECASE | re.UNICODE)
 
 
 @dataclass
@@ -336,6 +340,15 @@ def remove_bracketed(text: str | None) -> str | None:
 
 #: ISO prefix formats always accepted (dates.py:22)
 ALWAYS_FORMATS = ["%Y-%m-%d", "%Y-%m", "%Y"]
+
+#: what the followthemoney date registry type accepts: an ISO prefix
+#: (year / year-month / full date), optionally carrying a time part —
+#: the shape gate ``apply_date`` uses in place of the reference's
+#: add-side type cleaning
+_DATE_SHAPE_RE = re.compile(
+    r"^\d{4}(-\d{2}(-\d{2}([T ]\d{2}(:\d{2}(:\d{2})?)?)?)?)?$"
+)
+_log = logging.getLogger(__name__)
 #: two-digit birth years denote the most recent 100 years (dates.py:27)
 TWO_DIGIT_BIRTH_YEAR_BASE = int(RUN_TIME[:4]) - 100
 MAX_ENFORCEMENT_DAYS = 365 * 5
@@ -418,6 +431,10 @@ def extract_date(
     if text is None:
         return []
     if isinstance(text, datetime):
+        # tz-aware datetimes are normalized to the UTC date
+        # (dates.py:106-109); naive ones keep their wall-clock date
+        if text.tzinfo is not None:
+            text = text.astimezone(timezone.utc)
         return [text.date().isoformat()]
     if isinstance(text, date):
         return [text.isoformat()]
@@ -468,8 +485,19 @@ def apply_date(
     if original_value is None:
         original_value = text_str
     # original_value only when it differs from what is stored — the
-    # statement IR treats equal original values as noise
+    # statement IR treats equal original values as noise.
+    # Only date-shaped values reach the entity: in the reference the
+    # followthemoney date type cleaning inside ``Entity.add`` rejects
+    # unparseable fallbacks ("banana", stray integers) with a warning
+    # (tests/helpers/test_dates.py:104-141); this compat layer's add is
+    # schema-less, so the same gate lives here.
     for d in dates:
+        if _DATE_SHAPE_RE.match(d) is None:
+            _log.warning(
+                "Unparseable date not applied: %r", d,
+                extra={"prop": prop},
+            )
+            continue
         entity.add(
             prop, d,
             original_value=original_value if original_value != d else None,
