@@ -2053,6 +2053,28 @@ def _float_str(value: float) -> str:
     return f"{value:.2f}"
 
 
+#: unit-synonym table (the reference normalizes unit SPELLINGS through
+#: ``rigour.units.normalize_unit`` — "tons" → "t" — without converting
+#: the amount; the engine's FACTOR-converting normalization is the
+#: separate column path ``functions/numbers.py normalize_unit``)
+_UNIT_SYNONYMS: dict[str, str] = {
+    "ton": "t", "tons": "t", "tonne": "t", "tonnes": "t", "mt": "t",
+    "kilogram": "kg", "kilograms": "kg", "kgs": "kg",
+    "gram": "g", "grams": "g",
+    "kilometer": "km", "kilometers": "km",
+    "kilometre": "km", "kilometres": "km",
+    "meter": "m", "meters": "m", "metre": "m", "metres": "m",
+    "centimeter": "cm", "centimeters": "cm",
+    "centimetre": "cm", "centimetres": "cm",
+    "pound": "lb", "pounds": "lb", "lbs": "lb",
+    "mile": "mi", "miles": "mi",
+    "foot": "ft", "feet": "ft",
+    "inch": "in", "inches": "in",
+    "liter": "l", "liters": "l", "litre": "l", "litres": "l",
+    "percent": "%", "pct": "%",
+}
+
+
 def apply_number(
     entity: Entity,
     prop: str,
@@ -2060,9 +2082,9 @@ def apply_number(
     origin: str | None = None,
 ) -> None:
     """Parse/round/unit-normalise a numeric value (numbers.py:19-66);
-    unparseable strings warn and emit nothing."""
-    from opensanctions_spark.functions.numbers import UNIT_FACTORS
-
+    unparseable strings warn and emit nothing. Units are normalized by
+    NAME ("2000tons" → "2000 t"), never factor-converted — matching the
+    reference's rigour-based behavior (tests/helpers/test_numbers.py)."""
     if isinstance(value, str):
         if not value.strip():
             return
@@ -2072,11 +2094,9 @@ def apply_number(
         num = float(m.group(1).replace(",", ""))
         unit_m = _UNIT_RE.search(value)
         unit = unit_m.group(2).lower() if unit_m else None
-        if unit in UNIT_FACTORS:
-            canonical, factor = UNIT_FACTORS[unit]
-            text = f"{_float_str(num * factor)} {canonical}"
-        elif unit:
-            text = f"{_float_str(num)} {unit}"
+        if unit:
+            canonical = _UNIT_SYNONYMS.get(unit, unit)
+            text = f"{_float_str(num)} {canonical}"
         else:
             text = _float_str(num)
     elif isinstance(value, float):

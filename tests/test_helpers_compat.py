@@ -238,7 +238,9 @@ def test_apply_number_rendering():
     h.apply_number(e, "amount", "1,250.00")
     assert e.get("amount") == ["1250"]
     h.apply_number(e, "weight", "2.5 kg")
-    assert e.get("weight") == ["2500 g"]
+    # units are normalized by NAME, never factor-converted (reference
+    # rigour semantics; the factor table is the separate column path)
+    assert e.get("weight") == ["2.50 kg"]
     h.apply_number(e, "height", 1.255)
     assert e.get("height") == ["1.25"] or e.get("height") == ["1.26"]
 

@@ -140,3 +140,35 @@ def test_extract_cryptos_boundaries():
     assert len(extract_cryptos(
         "prefix0x1234567890123456789012345678901234567890suffix"
     )) == 0
+
+
+# -- numbers (reference test_numbers.py) -------------------------------------
+
+
+def test_apply_number_reference_cases():
+    from types import SimpleNamespace
+
+    from opensanctions_spark.crawler import CrawlerContext
+
+    ctx = CrawlerContext(
+        None, SimpleNamespace(name="t", metadata={}, lookups={})
+    )
+    e = ctx.make("Vessel")
+    e.id = "ship"
+
+    def pop(prop):
+        vals = [s[1] for s in e._stmts if s[0] == prop]
+        e._stmts = [s for s in e._stmts if s[0] != prop]
+        return vals
+
+    from opensanctions_spark import helpers as h
+
+    h.apply_number(e, "tonnage", "1000")
+    assert pop("tonnage") == ["1000"]
+    h.apply_number(e, "tonnage", 999)
+    assert pop("tonnage") == ["999"]
+    h.apply_number(e, "tonnage", 999.791)
+    assert pop("tonnage") == ["999.79"]
+    # unit synonym normalized by name, amount untouched
+    h.apply_number(e, "tonnage", "2000tons")
+    assert pop("tonnage") == ["2000 t"]
