@@ -1019,7 +1019,9 @@ class Names:
                     v.text if isinstance(v, LangText) and v.lang is None else v
                     for v in value
                 ]
-                if len(simp) == 1 and isinstance(simp[0], str):
+                if not simp:
+                    data[key] = None  # empty list simplifies to absent
+                elif len(simp) == 1 and isinstance(simp[0], str):
                     data[key] = simp[0]
                 else:
                     data[key] = list(simp)
@@ -1065,6 +1067,17 @@ class Names:
                 for v in vals
             ]
         return cls(**kwargs)
+
+    # pydantic-shaped aliases (the reference model's API —
+    # extract/names/clean.py): validation tolerates unknown keys because
+    # stored review payloads are re-validated with the CURRENT model and
+    # reviewer-edited or legacy payloads may carry stale fields.
+    @classmethod
+    def model_validate(cls, data: dict[str, Any]) -> "Names":
+        return cls.from_payload(data)
+
+    def model_dump(self) -> dict[str, Any]:
+        return self.to_payload()
 
 
 def check_names_regularity(
