@@ -2465,21 +2465,22 @@ _EXCEL_EPOCH = datetime(1899, 12, 30)
 
 
 def convert_excel_date(value: Any) -> str | None:
-    """Excel serial number → ISO date(time) string (excel.py
-    ``convert_excel_date``; the 1899-12-30 epoch with the Lotus leap-year
-    bug folded in)."""
+    """Excel serial number → naive ISO datetime string (excel.py:47-69,
+    the column twin ``functions/dates.py convert_excel_date`` is
+    identical): fractional serials truncate to the integer day, values
+    outside the plausible [4000, 100000] window (≈1910–2173) null out —
+    the reference's guard against row numbers and phone-number-looking
+    cells — and the output always carries the T00:00:00 seconds part."""
     if value is None:
         return None
     try:
-        serial = float(str(value).strip())
+        serial = int(float(str(value).strip()))
     except ValueError:
         return None
-    if serial <= 0 or serial > 200_000:
+    if serial < 4_000 or serial > 100_000:
         return None
     dt = _EXCEL_EPOCH + timedelta(days=serial)
-    if dt.hour == 0 and dt.minute == 0 and dt.second == 0:
-        return dt.date().isoformat()
-    return dt.replace(microsecond=0).isoformat()
+    return dt.isoformat(sep="T", timespec="seconds")
 
 
 def convert_excel_cell(value: Any) -> str | None:

@@ -603,11 +603,19 @@ def test_html_url_hash(tmp_path):
 
 
 def test_convert_excel_date_and_cell():
-    # 2020-03-15 is serial 43905 from the 1899-12-30 epoch
-    assert h.convert_excel_date(43905) == "2020-03-15"
-    assert h.convert_excel_date("43905.5") == "2020-03-15T12:00:00"
+    # 2020-03-15 is serial 43905 from the 1899-12-30 epoch; the output
+    # always carries T00:00:00 and fractional serials truncate to the
+    # day, matching the reference (excel.py:47-69)
+    assert h.convert_excel_date(43905) == "2020-03-15T00:00:00"
+    assert h.convert_excel_date("43905.5") == "2020-03-15T00:00:00"
     assert h.convert_excel_date("not a number") is None
     assert h.convert_excel_date(None) is None
+    # the reference's plausibility window: serials below 4000 or above
+    # 100000 (row numbers, phone-ish cells) null out
+    assert h.convert_excel_date(44876) == "2022-11-11T00:00:00"
+    assert h.convert_excel_date("44876.0") == "2022-11-11T00:00:00"
+    for bad in (0, 1, 3_999, 100_001):
+        assert h.convert_excel_date(bad) is None
     assert h.convert_excel_cell(5.0) == "5"
     assert h.convert_excel_cell(" x ") == "x"
     assert h.convert_excel_cell("") is None
