@@ -26,6 +26,7 @@ indent-2 JSON with ``ensure_ascii=False`` so non-Latin names survive
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -141,3 +142,72 @@ def names_to_statements(
         )
     )
     return finish_statements(stacked, dataset=dataset)
+
+
+# --------------------------------------------------------------------------
+# extraction-quality metric (zavod/zavod/extract/names/dspy/optimise.py
+# metric_with_feedback_dict — the prompt-tuning LOOP around it is a
+# maintenance script and stays out of engine scope; the METRIC is the
+# evaluation an extraction pipeline runs against a gold set)
+
+#: the fields the reference metric scores (example_data.FIELDS)
+METRIC_FIELDS = ("name", "alias", "weakAlias", "previousName")
+
+
+@dataclass
+class Evaluation:
+    """Score + natural-language feedback for one extraction."""
+
+    score: float
+    feedback: str
+
+
+def metric_with_feedback_dict(
+    example: dict[str, list[str]],
+    pred: dict[str, list[str]],
+) -> Evaluation:
+    """Per-name extraction scoring (optimise.py:27-58): +1 for an exact
+    hit, +0.7 for casing- or punctuation-level near-hits (slug match),
+    a multiplicative 0.8 penalty per hallucinated extra, normalized by
+    the gold name count. The feedback strings feed the prompt-tuning
+    loop in the reference and double as a human-readable error report
+    here."""
+    from opensanctions_spark.helpers import _slugify
+
+    feedback = ""
+    score = 0.0
+    for field in METRIC_FIELDS:
+        gold = example[field]
+        gold_lower = {n.lower() for n in gold}
+        pred_vals = list(pred.get(field, []))
+        pred_set = set(pred_vals)
+        pred_lower = {n.lower() for n in pred_vals}
+        pred_slugs = {_slugify(n) for n in pred_vals}
+        extra = pred_set - set(gold)
+        for name in gold:
+            if name in pred_set:
+                feedback += f"You correctly extracted the {field} '{name}'. "
+                score += 1
+            elif name.lower() in pred_lower:
+                feedback += (
+                    f"You extracted the {field} '{name}' correctly, "
+                    "but with incorrect casing. "
+                )
+                score += 0.7
+            elif _slugify(name) in pred_slugs:
+                feedback += (
+                    f"You extracted the {field} '{name}' correctly, but "
+                    "with minor differences - perhaps in punctuation or "
+                    "spacing. "
+                )
+                score += 0.7
+            else:
+                feedback += f"You missed the {field} '{name}'. "
+        for name in extra:
+            if name.lower() not in gold_lower:
+                feedback += (
+                    f"You incorrectly added '{name}' to the {field} field. "
+                )
+                score = score * 0.8
+    score = score / sum(len(example[f]) for f in METRIC_FIELDS)
+    return Evaluation(score=score, feedback=feedback)

@@ -269,3 +269,76 @@ def test_names_extraction_pack(spark):
     }
     schemas = {r["entity_id"]: r["schema"] for r in stmts}
     assert schemas == {"e1": "Person", "e2": "Company"}
+
+
+# -- extraction-quality metric (reference extract/test_names.py) -------------
+
+
+def test_metric_with_feedback_partial():
+    from opensanctions_spark.sources.names_extract import (
+        metric_with_feedback_dict,
+    )
+
+    example = {
+        "string": "Jonathan (Jonno) Doe",
+        "name": ["Jonathan Doe"],
+        "alias": ["Jono Doe"],
+        "weakAlias": [],
+        "previousName": [],
+    }
+    prediction = {
+        "name": ["Jonathan Doe"],
+        "alias": ["Jonno"],
+        "weakAlias": [],
+        "previousName": [],
+    }
+    evaluation = metric_with_feedback_dict(example, prediction)
+    assert 0 < evaluation.score < 0.5
+    assert "correctly extracted the name 'Jonathan Doe'" in evaluation.feedback
+    assert "missed the alias 'Jono Doe'" in evaluation.feedback
+    assert "incorrectly added 'Jonno'" in evaluation.feedback
+
+
+def test_metric_with_feedback_perfect():
+    from opensanctions_spark.sources.names_extract import (
+        metric_with_feedback_dict,
+    )
+
+    example = {
+        "string": "Jonathan (Jonno) Doe",
+        "name": ["Jonathan Doe"],
+        "alias": ["Jono Doe"],
+        "weakAlias": [],
+        "previousName": [],
+    }
+    prediction = {
+        "name": ["Jonathan Doe"],
+        "alias": ["Jono Doe"],
+        "weakAlias": [],
+        "previousName": [],
+    }
+    evaluation = metric_with_feedback_dict(example, prediction)
+    assert evaluation.score == 1.0
+    assert "correctly extracted the name 'Jonathan Doe'" in evaluation.feedback
+    assert "correctly extracted the alias 'Jono Doe'" in evaluation.feedback
+
+
+def test_metric_casing_and_slug_partial_credit():
+    from opensanctions_spark.sources.names_extract import (
+        metric_with_feedback_dict,
+    )
+
+    example = {
+        "name": ["Jonathan Doe"], "alias": [], "weakAlias": [],
+        "previousName": [],
+    }
+    ev = metric_with_feedback_dict(example, {"name": ["jonathan doe"]})
+    assert ev.score == 0.7
+    assert "incorrect casing" in ev.feedback
+    # a slug-level near-hit earns 0.7 but is ALSO penalized as an extra
+    # (the reference only exempts casing-level extras from the 0.8
+    # multiplier: its guard is lower-case membership, not slug match)
+    ev = metric_with_feedback_dict(example, {"name": ["Jonathan, Doe"]})
+    assert abs(ev.score - 0.7 * 0.8) < 1e-9
+    assert "minor differences" in ev.feedback
+    assert "incorrectly added" in ev.feedback
