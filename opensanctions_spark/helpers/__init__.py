@@ -2229,10 +2229,20 @@ def element_text(el: Any | None, squash: bool = True) -> str:
     return _squash(text) if squash else text
 
 
+def text_hash(text: str | None) -> str:
+    """sha1 of NORMALIZED text (the ``rigour.text.text_hash`` contract
+    the reference's html.py:7 imports): lowercase, punctuation stripped
+    to alphanumeric tokens, whitespace squashed — so "Hello, World!"
+    and "HELLO, WORLD" hash identically (pinned by the reference's own
+    test_html.py:113-122); empty input hashes to sha1('')."""
+    tokens = re.findall(r"[0-9a-z]+", (text or "").lower())
+    return hashlib.sha1(" ".join(tokens).encode("utf-8")).hexdigest()
+
+
 def element_text_hash(el: Any) -> str:
-    """sha1 of the squashed text content; empty elements hash to
-    sha1('') (html.py:43-55)."""
-    return hashlib.sha1(element_text(el).encode("utf-8")).hexdigest()
+    """Normalized-text sha1 of an element's content; empty elements hash
+    to sha1('') (html.py:43-55)."""
+    return text_hash(element_text(el))
 
 
 def parse_html_table(
