@@ -2633,3 +2633,94 @@ def deref_wikidata_id(
         context.log.info(f"Wikidata ID {qid} is a redirect to {target}")
         return str(target)
     return qid
+
+
+# --------------------------------------------------------------------------
+# export-consolidation twins (zavod/zavod/exporters/consolidate.py) — the
+# driver-side forms of the DataFrame operators in operators/consolidate.py
+# (drop_prefix_values is the distributed A8; collapse_undirected_edges is
+# the J7 bucket-key normalization, a DIFFERENT op from the endpoint fix
+# below)
+
+#: provenance date props reduced to a single min/max value
+#: (consolidate.py:11-12)
+PROV_MIN_DATES = ("createdAt", "authoredAt", "publishedAt")
+PROV_MAX_DATES = ("modifiedAt", "retrievedAt")
+
+
+def _remove_prefix_date_values(values: tuple[str, ...]) -> tuple[str, ...]:
+    """consolidate.py:48-60: drop values that are proper prefixes of a
+    longer value (descending sort makes the immediate predecessor the
+    only candidate extension)."""
+    kept: list[str] = []
+    ordered = sorted(values, reverse=True)
+    for index, value in enumerate(ordered):
+        if index > 0 and ordered[index - 1].startswith(value):
+            continue
+        kept.append(value)
+    return tuple(kept)
+
+
+def simplify_dates(entity: Entity) -> Entity:
+    """consolidate.py:62-90 ``_simplify_dates``: per date prop, drop
+    prefix-redundant values ("1972" when "1972-04-12" is present), then
+    reduce provenance props to their min (createdAt family) or max
+    (modifiedAt family)."""
+    from opensanctions_spark.model.registry import TYPE_PROPS
+
+    date_props = set(TYPE_PROPS["date"]) | set(PROV_MIN_DATES) | set(PROV_MAX_DATES)
+    for prop in {s[0] for s in entity._stmts}:
+        if prop not in date_props:
+            continue
+        values = tuple({s[1] for s in entity._stmts if s[0] == prop})
+        if len(values) < 2:
+            continue
+        kept = _remove_prefix_date_values(values)
+        if prop in PROV_MAX_DATES:
+            kept = (max(kept),)
+        elif prop in PROV_MIN_DATES:
+            kept = (min(kept),)
+        keep_set = set(kept)
+        entity._stmts = [
+            s for s in entity._stmts if s[0] != prop or s[1] in keep_set
+        ]
+    return entity
+
+
+_QID_VALUE_RE = re.compile(r"^Q(\d+)$")
+
+
+def _identifier_key(value: str) -> tuple[int, int, str]:
+    """The nomenklatura ``Identifier`` ordering the reference's
+    ``_simplify_undirected`` relies on (consolidate.py:112-113): QIDs
+    outrank all other ids and compare numerically among themselves."""
+    m = _QID_VALUE_RE.match(value)
+    if m is not None:
+        return (1, int(m.group(1)), value)
+    return (0, 0, value)
+
+
+def simplify_undirected(entity: Entity) -> Entity:
+    """consolidate.py:93-120 ``_simplify_undirected``: an UNDIRECTED
+    edge whose two endpoint ids appear on BOTH ends keeps the stronger
+    id (max Identifier — QIDs win) as the source and the weaker as the
+    target; anything else passes through unchanged."""
+    from opensanctions_spark.model.registry import EDGE_SCHEMATA
+
+    spec = EDGE_SCHEMATA.get(entity.schema.name)
+    if spec is None or spec[2]:  # not an edge schema, or directed
+        return entity
+    src_prop, tgt_prop, _directed = spec
+    sources = set(entity.get(src_prop))
+    targets = set(entity.get(tgt_prop))
+    common = sources & targets
+    if len(common) != 2:
+        return entity
+    source_id = max(common, key=_identifier_key)
+    target_id = min(common, key=_identifier_key)
+    entity._stmts = [
+        s for s in entity._stmts
+        if not (s[0] == src_prop and s[1] == target_id)
+        and not (s[0] == tgt_prop and s[1] == source_id)
+    ]
+    return entity
