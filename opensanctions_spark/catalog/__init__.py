@@ -129,83 +129,30 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: has at least one green driver row (199/199 across rounds 1-9); the six
 #: round-9 additions get their FIRST driver rows this round (r10).
 #:
-#: ROUND-10 ROTATION (VERDICT r9 tasks 1-2): head-50 = the two round-10
-#: additions + the six never-driver-checked round-9 additions + the first
-#: 42 of the round-5 cohort (stalest, last checked r5). Cohorts computed
-#: from the CORRECTNESS_r0*.json history.
+#: ROUND-11 ROTATION (VERDICT r10 task 1, promoted verbatim from the
+#: pre-staged section): head-50 = the 1 round-11 addition
+#: (text_bpe_apply, the production-shape merge-table BPE encode) + the
+#: 7 round-5 cohort leftovers + the first 42 of the round-6 cohort.
+#: Per the standing mechanical rule "new round-N additions go first",
+#: the new row displaces exactly one pre-staged name: s5_html_table
+#: slips to the top of the ROUND 12 section below.
 #:
-#: PRE-STAGED ROTATION FOR FUTURE ROUNDS (VERDICT r9 task 2 — written now
-#: so a short round cannot silently skip it; promote mechanically, new
-#: round-N additions go first):
-#:   ROUND 11 head-50 = the 7 round-5 leftovers (s13_compaction_plan,
-#:     s9_p2_statement_filters, scd2_entity_history, skew_salted_agg,
-#:     skew_salted_join, t2_t3_facet_topk, t6_key_skew_profile) + the
-#:     first 43 of the round-6 cohort — i.e. the "ROUND 11" section below
-#:     moves to the top verbatim.
-#:   ROUND 12 head-50 = the 7 round-6 leftovers (s7_pdf_tables,
-#:     s8_cache_ttl, sketch_merge_distinct, w1_running_total,
-#:     w2_rolling_sum, w3_rank_family, s6_excel_scan... see the "ROUND 12"
-#:     section) + the first 43 of the round-8 cohort.
-#:   ROUND 13 onward: continue cycling (r8 leftovers, then the r9/r10
-#:     cohorts as they age past two rounds).
+#: PRE-STAGED ROTATION FOR FUTURE ROUNDS (promote mechanically, new
+#: round-N additions go first; each slip cascades one name into the
+#: next section):
+#:   ROUND 12 head-50 = s5_html_table (r11 slip) + the 7 round-6
+#:     leftovers (s6_excel_scan ... w3_rank_family) + the first 42 of
+#:     the round-8 cohort — the "ROUND 12" section below, verbatim.
+#:   ROUND 13 head-50 = text_langid (r12 slip) + the 7 round-8
+#:     leftovers + the first 42 of the round-9 cohort — the "ROUND 13"
+#:     section below, verbatim.
+#:   ROUND 14 onward: the round-9 leftovers (8) then the round-10
+#:     head-50 (freshest), as they age past two rounds.
 DRIVER_PRIORITY: list[str] = [
-    # ==== ROUND 10 head-50 ===================================================
-    # -- round-10 additions (first driver check) ------------------------------
-    "text_bpe_encode",
-    "ann_ivfpq_recall",
-    # -- round-9 additions: NEVER driver-checked, must be in head-50 ----------
-    "graph_risk_propagation",
-    "graph_risk_propagation_converged",
-    "dedup_substring_spans",
-    "dedup_substring_cut",
-    "ann_pq_adc",
-    "ann_ivf_pq",
-    # -- round-5 cohort, first 42 (stalest; last driver-checked r5) -----------
-    "a1_entity_assembly",
-    "a2_entity_counts",
-    "a3_fill_rate",
-    "a5_last_change",
-    "a7_issue_counts",
-    "a8_t4_prefix_date_dedup",
-    "d0_d1_version_delta",
-    "d2_d3_union_dedupe",
-    "f12_t5_active_status",
-    "f18_make_sanction",
-    "f19_make_occupancy",
-    "f1_f2_date_parse",
-    "f20_make_address",
-    "f3_f14_f15_text_guards",
-    "f5_name_cleaning",
-    "f6_number_parse",
-    "f8_deterministic_ids",
-    "j10_dangling_anti_join",
-    "j12_semi_join_gate",
-    "j13_lookup_join",
-    "j1_timestamp_join",
-    "j2_canonical_rekey",
-    "j3_adjacency_region_revenue",
-    "j6_canonical_map",
-    "j6_incremental_resolver",
-    "j8_same_id_equijoin",
-    "k10_maritime",
-    "k11_sql_load_prep",
-    "k2_statements_csv",
-    "k3_simple_csv",
-    "k4_nested_json",
-    "k5_senzing",
-    "k6_names_txt",
-    "k7_statistics",
-    "k9_securities",
-    "p1_target_filter",
-    "pipeline_curate_corpus",
-    "pipeline_curate_increment",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "s11_name_extraction",
-    # ==== the driver's 50-row budget ends here ===============================
-    # ==== ROUND 11 head-50 (promote this section to the top in round 11) =====
-    # -- round-5 cohort leftovers (7) ------------------------------------------
+    # ==== ROUND 11 head-50 ==========================================================
+    # -- round-11 addition (first driver check) -----------------------------------
+    "text_bpe_apply",
+    # -- round-5 cohort leftovers (7; last driver-checked r5) ---------------------
     "s13_compaction_plan",
     "s9_p2_statement_filters",
     "scd2_entity_history",
@@ -213,7 +160,7 @@ DRIVER_PRIORITY: list[str] = [
     "skew_salted_join",
     "t2_t3_facet_topk",
     "t6_key_skew_profile",
-    # -- round-6 cohort, first 43 ----------------------------------------------
+    # -- round-6 cohort, first 42 (s5_html_table slips to round 12) ---------------
     "a10_edge_cleanup",
     "a4_program_facets",
     "a9_name_reduction",
@@ -256,9 +203,10 @@ DRIVER_PRIORITY: list[str] = [
     "s2_xml_scan",
     "s3_json_scan",
     "s4_html_dom",
+    # ==== the driver's 50-row budget ends here ================================
+    # ==== ROUND 12 head-50 (promote in round 12) ====================================
+    # -- round-6 cohort leftovers (8, incl. the r11 slip) -------------------------
     "s5_html_table",
-    # ==== ROUND 12 head-50 (promote in round 12) ==============================
-    # -- round-6 cohort leftovers (7) ------------------------------------------
     "s6_excel_scan",
     "s7_pdf_tables",
     "s8_cache_ttl",
@@ -266,7 +214,7 @@ DRIVER_PRIORITY: list[str] = [
     "w1_running_total",
     "w2_rolling_sum",
     "w3_rank_family",
-    # -- round-8 cohort, first 43 ----------------------------------------------
+    # -- round-8 cohort, first 42 (text_langid slips to round 13) -----------------
     "ann_centroid_step",
     "ann_cosine_topk",
     "ann_ivf_bucketed",
@@ -309,8 +257,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_windowed_agg",
     "text_fingerprint",
     "text_gopher_rules",
+    # ==== ROUND 13 head-50 (promote in round 13) ====================================
+    # -- round-8 cohort leftovers (8, incl. the r12 slip) -------------------------
     "text_langid",
-    # -- round-8 cohort leftovers (round 13) ------------------------------------
     "text_mojibake_scan",
     "text_pii_redact",
     "text_pii_scan",
@@ -318,7 +267,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_token_count",
     "text_top_bigrams",
     "wikidata_deref",
-    # -- round-9 cohort (freshest, checked r9; due again ~round 13/14) --------
+    # -- round-9 cohort, first 42 -------------------------------------------------
     "a12_assertions",
     "a2_facets_grouping_sets",
     "ann_cosine_fast",
@@ -361,6 +310,8 @@ DRIVER_PRIORITY: list[str] = [
     "search_inverted_index",
     "store_view_adjacency",
     "stream_curate_corpus",
+    # ==== ROUND 14+ tail (freshest: checked r10; cycle after r13) ===================
+    # -- round-9 cohort leftovers (8) ---------------------------------------------
     "stream_stateful_totals",
     "text_bigram_lm_score",
     "text_bpe_train",
@@ -369,6 +320,57 @@ DRIVER_PRIORITY: list[str] = [
     "text_repetition",
     "text_tfidf_topk",
     "text_vocab_coverage",
+    # -- round-10 head-50 (checked r10: r10+r9 additions, then r5 cohort) ---------
+    "text_bpe_encode",
+    "ann_ivfpq_recall",
+    "graph_risk_propagation",
+    "graph_risk_propagation_converged",
+    "dedup_substring_spans",
+    "dedup_substring_cut",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "a1_entity_assembly",
+    "a2_entity_counts",
+    "a3_fill_rate",
+    "a5_last_change",
+    "a7_issue_counts",
+    "a8_t4_prefix_date_dedup",
+    "d0_d1_version_delta",
+    "d2_d3_union_dedupe",
+    "f12_t5_active_status",
+    "f18_make_sanction",
+    "f19_make_occupancy",
+    "f1_f2_date_parse",
+    "f20_make_address",
+    "f3_f14_f15_text_guards",
+    "f5_name_cleaning",
+    "f6_number_parse",
+    "f8_deterministic_ids",
+    "j10_dangling_anti_join",
+    "j12_semi_join_gate",
+    "j13_lookup_join",
+    "j1_timestamp_join",
+    "j2_canonical_rekey",
+    "j3_adjacency_region_revenue",
+    "j6_canonical_map",
+    "j6_incremental_resolver",
+    "j8_same_id_equijoin",
+    "k10_maritime",
+    "k11_sql_load_prep",
+    "k2_statements_csv",
+    "k3_simple_csv",
+    "k4_nested_json",
+    "k5_senzing",
+    "k6_names_txt",
+    "k7_statistics",
+    "k9_securities",
+    "p1_target_filter",
+    "pipeline_curate_corpus",
+    "pipeline_curate_increment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "s11_name_extraction",
 ]
 
 

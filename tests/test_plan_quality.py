@@ -753,3 +753,20 @@ def test_ivfpq_recall_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_apply_plan_depth_is_bounded(spark, sf_dir):
+    """The production-shape BPE apply (round 11) must pay for its merge
+    budget on the VOCABULARY side only, at constant plan depth: exactly
+    one ArrowEvalPython stage (the 128-merge closure over distinct
+    words), no Python anywhere else, no cartesian product, and a
+    bounded number of exchanges regardless of merge count — the
+    property ``text_bpe_encode``'s per-round plan layers cannot have."""
+    plan = _executed_plan(QUERIES["text_bpe_apply"](spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # vocab agg + pair agg + vocab-encode join + per-doc agg: the corpus
+    # side contributes one explode + one join + one aggregation, same
+    # budget as text_bpe_encode's corpus side
+    assert plan.count("Exchange") <= 6
