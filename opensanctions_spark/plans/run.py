@@ -191,11 +191,20 @@ def run_dataset(
     version = archive.write(statements, config.name, version, success=False)
     statements = archive.read(config.name, version=version, external=True)
 
-    # 2b. resolver rekey (J2) at read time, like the reference's linker
+    # 2b. resolver rekey (J2) at read time, like the reference's linker.
+    # The linker applies to EVERY store read (zavod/zavod/store.py:36-47)
+    # — including the delta's previous-version view below: a raw prev
+    # side would diff old entity ids against rekeyed ones and emit a
+    # spurious DEL for every merged id (found by the round-11 e2e
+    # rehearsal, tools/rehearse_e2e.py). J1 above is unaffected by
+    # ordering: first_seen propagation joins on the statement id, which
+    # rekeying never touches.
     if canonical_map is not None:
         from opensanctions_spark.operators.resolve import apply_canonical
 
         statements = apply_canonical(statements, canonical_map)
+        if prev is not None:
+            prev = apply_canonical(prev, canonical_map)
 
     # 3. assembly — one shuffle, persisted for validators + exporters.
     # With bucketed statement storage the scan is already clustered on

@@ -160,6 +160,41 @@ def test_run_with_resolver_map(spark, paths):
     assert "p2" in ents and "p4" in ents
 
 
+def test_resolver_map_delta_has_no_spurious_dels(spark, paths):
+    """The delta must see the canonical map on BOTH sides: the linker
+    applies to every store read in the reference
+    (``zavod/zavod/store.py:36-47``), so a merged id (p3 → p1) that is
+    unchanged between versions produces NO delta op. Before the
+    round-11 fix the previous-version side was diffed raw, emitting a
+    spurious DEL p3 + MOD p1 on every incremental run under a resolver
+    (found by ``tools/rehearse_e2e.py``)."""
+    from opensanctions_spark.operators.resolve import canonical_map
+
+    v1_csv, v2_csv, archive_dir, out_dir = paths
+    archive = StatementArchive(spark, archive_dir)
+    decisions = spark.createDataFrame(
+        [("p1", "p3", "POSITIVE")], "left_id STRING, right_id STRING, judgement STRING"
+    )
+    mapping = canonical_map(decisions)
+    config = DatasetConfig(name="fixture")
+
+    run_dataset(
+        spark, crawl(spark, v1_csv), config, archive,
+        out_dir=os.path.join(out_dir, "rm1"),
+        run_time="2026-08-01T00:00:00", version="20260801-000000",
+        canonical_map=mapping,
+    )
+    r2 = run_dataset(
+        spark, crawl(spark, v2_csv), config, archive,
+        out_dir=os.path.join(out_dir, "rm2"),
+        run_time="2026-08-13T00:00:00", version="20260813-000000",
+        canonical_map=mapping,
+    )
+    # v2 drift: p8 DEL, o1 MOD, p9 ADD — and nothing for p1/p3, whose
+    # merged canonical entity is identical in both versions
+    assert r2.delta_ops == {"ADD": 1, "DEL": 1, "MOD": 1}
+
+
 def test_fatal_assertion_aborts(spark, paths):
     v1_csv, _, archive_dir, out_dir = paths
     archive = StatementArchive(spark, archive_dir)

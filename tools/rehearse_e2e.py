@@ -1,0 +1,320 @@
+"""Round-11 production rehearsal: the full `zavod run` shape, end to end.
+
+One measured job chaining every stage the reference's ETL executes
+(``zavod/zavod/cli/etl.py:95-154``), at sf1 vs sf10, with per-stage
+wall, shuffle-write bytes (Spark UI REST, same numbers as the stage
+table) and peak JVM heap (executor peakMemoryMetrics):
+
+  1. MELT       crawl analogue: customers + suppliers + a duplicated
+                customer shard (every 10th customer re-emitted under a
+                'd-' id — the cross-dataset duplicate universe) + edge
+                entities (every 10th order joined to its first
+                lineitem → subject/object statements linking customer
+                and supplier, the relationship schema).
+  2. XREF       J5 blocking → T1 top-k → J9 match rules → J6
+                union-find → canonical map (plans/xref.py): the 'd-'
+                duplicates score 1.0 on exact names and auto-merge
+                into their 'c-' originals.
+  3. RUN 1      run_dataset: J1 first_seen propagation, versioned
+                archive write, J2 canonical rekey at read time, A1
+                assembly (one shuffle), shared-scan validators
+                (GROUPING SETS + J10 dangling anti-join), ALL sinks
+                K1-K10 + K12 metadata off one persisted entity view
+                (single_file=False — the range-ordered cluster path).
+  4. CONSOLIDATE the A8/A9/A10 export-time consolidation pass over the
+                run-1 entity view: prefix-value drop per
+                (canonical_id, prop) window, name reduction, and
+                undirected-edge normalization + dedupe.
+  5. RUN 2      the incremental run: every 5th customer's balance
+                drifts → J1 carries first_seen, D0/D1 version delta
+                exports ADD/MOD/DEL ops.
+
+Usage: python tools/rehearse_e2e.py [sf_dir]
+Prints one JSON line with per-stage {wall_sec, shuffle_mb} plus
+peak_jvm_heap_mb and row counts. SCALE.md §21 records the sf1-vs-sf10
+pair — the gate is ~linear growth in wall and shuffle bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _get_json(url: str):
+    """REST fetch with retries: the embedded UI server can refuse
+    connections for a moment under driver GC pressure — a metrics
+    hiccup must not kill a multi-minute rehearsal run."""
+    for attempt in range(5):
+        try:
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                return json.load(resp)
+        except Exception:
+            if attempt == 4:
+                return None
+            time.sleep(2 * (attempt + 1))
+
+
+def _stages_total(ui: str, app_id: str) -> int | None:
+    stages = _get_json(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    if stages is None:
+        return None
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def _peak_heap_mb(ui: str, app_id: str) -> float | None:
+    execs = _get_json(f"{ui}/api/v1/applications/{app_id}/executors")
+    if execs is None:
+        return None
+    peak = 0
+    for e in execs:
+        m = e.get("peakMemoryMetrics") or {}
+        peak = max(peak, m.get("JVMHeapMemory", 0))
+    return round(peak / 1e6, 1)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.benchdata/sf1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog import load
+    from opensanctions_spark.model.melt import (
+        finish_statements,
+        melt_customers,
+        melt_suppliers,
+    )
+    from opensanctions_spark.plans.run import DatasetConfig, run_dataset
+    from opensanctions_spark.plans.xref import XrefConfig, xref_and_resolve
+    from opensanctions_spark.session import configure
+    from opensanctions_spark.sources.archive import StatementArchive
+
+    builder = SparkSession.builder.appName("rehearse-e2e").master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
+    spark = configure(builder).config("spark.ui.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    report: dict[str, dict] = {}
+
+    def measure(name: str):
+        class _M:
+            def __enter__(self):
+                self.sw0 = _stages_total(ui, app_id)
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *exc):
+                sw1 = _stages_total(ui, app_id)
+                shuffle = (
+                    round((sw1 - self.sw0) / 1e6, 1)
+                    if sw1 is not None and self.sw0 is not None
+                    else None
+                )
+                report[name] = {
+                    "wall_sec": round(time.time() - self.t0, 2),
+                    "shuffle_mb": shuffle,
+                }
+
+        return _M()
+
+    work = tempfile.mkdtemp(prefix="rehearse_")
+    archive = StatementArchive(spark, os.path.join(work, "archive"))
+    config = DatasetConfig(name="default")
+
+    # ---- 1. MELT -----------------------------------------------------------
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def statements_for(cust_df):
+        from opensanctions_spark.model.melt import statement_id
+
+        dup = cust_df.filter(F.col("c_custkey") % 10 == 0)
+        # relabel the duplicate shard AFTER melt: new entity_id, new
+        # canonical_id, and a RECOMPUTED statement id (the provenance
+        # hash encodes the entity_id — keeping the original's hash would
+        # collide in the archive and dedupe the shard away)
+        dup_stmts = (
+            melt_customers(dup)
+            .withColumn("entity_id", F.regexp_replace("entity_id", "^c-", "d-"))
+            .withColumn("canonical_id", F.col("entity_id"))
+            .withColumn(
+                "id",
+                statement_id(
+                    F.col("dataset"),
+                    F.col("entity_id"),
+                    F.col("prop"),
+                    F.col("value"),
+                ),
+            )
+        )
+        edges = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .join(
+                lineitem.filter(F.col("l_linenumber") == 1).select(
+                    "l_orderkey", "l_suppkey"
+                ),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select(
+                F.concat(F.lit("e-"), F.col("o_orderkey")).alias("entity_id"),
+                F.expr(
+                    "stack(3, "
+                    "'subject', 'c-' || o_custkey, "
+                    "'object', 's-' || l_suppkey, "
+                    "'role', o_orderpriority) as (prop, value)"
+                ),
+            )
+        )
+        edge_stmts = finish_statements(
+            edges, dataset="links", schema_name="UnknownLink"
+        )
+        return (
+            melt_customers(cust_df)
+            .unionByName(melt_suppliers(supp))
+            .unionByName(dup_stmts)
+            .unionByName(edge_stmts)
+        )
+
+    with measure("melt"):
+        stmts1 = statements_for(cust)
+        n_stmts = stmts1.count()
+
+    # ---- 2. XREF -----------------------------------------------------------
+    with measure("xref"):
+        # xref universe: the customer dataset only (originals + 'd-'
+        # duplicates). Suppliers are excluded — their zero-padded number
+        # tokens collide with customer numbers, and cross-schema merges
+        # are not the lifecycle under rehearsal. max_token_freq keeps the
+        # skew cap ON: the "Customer" word token appears in every name
+        # and would otherwise expand one quadratic blocking bucket.
+        subjects = (
+            stmts1.filter(
+                (F.col("prop") == "name") & (F.col("dataset") == "customers")
+            )
+            .select(
+                F.col("entity_id").alias("id"),
+                F.col("value").alias("name"),
+                # the name doubles as a registration-style strong id: the
+                # J9 perfect-strong-id rule then FORCES the duplicate
+                # merges the blocking stage proposes — the reference's
+                # strong-identifier path, and robust against the Jaccard
+                # denominator counting the capped-away "Customer" token
+                # (an exact-dup pair scores only 1/3 post-cap)
+                F.array(F.col("value")).alias("strong_ids"),
+                F.array().cast("array<string>").alias("id_numbers"),
+            )
+            .distinct()
+        )
+        xcfg = XrefConfig(threshold=0.7, top_k=3, limit=None, max_token_freq=100)
+        _decisions, mapping = xref_and_resolve(subjects, xcfg)
+        mapping = mapping.persist()
+        n_merged = mapping.filter(F.col("entity_id") != F.col("canonical_id")).count()
+
+    # ---- 3. RUN 1 (J1 + J2 + A1 + validators + K1-K12) --------------------
+    with measure("run1"):
+        r1 = run_dataset(
+            spark,
+            stmts1,
+            config,
+            archive,
+            os.path.join(work, "out1"),
+            run_time="2026-08-01T00:00:00",
+            canonical_map=mapping,
+            single_file=False,
+        )
+
+    # ---- 4. CONSOLIDATE (A8 / A9 / A10) -----------------------------------
+    from opensanctions_spark.operators.assembly import assemble_entities
+    from opensanctions_spark.operators.consolidate import (
+        collapse_undirected_edges,
+        drop_prefix_values,
+        reduce_names,
+    )
+
+    with measure("consolidate"):
+        stmts_v1 = archive.read(config.name)
+        # A8: per-(entity, prop) prefix-value drop over the full value set
+        # (the reference restricts it to date props; running it over every
+        # prop is the identical window plan on more rows)
+        a8 = drop_prefix_values(
+            stmts_v1.select("canonical_id", "prop", "value"),
+            ["canonical_id", "prop"],
+        ).count()
+        # A9: name reduction over the entity name universe
+        names = stmts_v1.filter(F.col("prop") == "name").select(
+            "canonical_id",
+            F.col("value").alias("name"),
+            F.lit("name").alias("kind"),
+        )
+        a9 = reduce_names(names).count()
+        # A10: undirected-edge normalization + dedupe over the link schema
+        edges_v = (
+            stmts_v1.filter(F.col("schema") == "UnknownLink")
+            .groupBy("canonical_id")
+            .pivot("prop", ["subject", "object"])
+            .agg(F.first("value"))
+        )
+        a10 = (
+            collapse_undirected_edges(edges_v, "subject", "object")
+            .select("subject", "object")
+            .distinct()
+            .count()
+        )
+
+    # ---- 5. RUN 2 (incremental: drift → D0/D1 delta) ----------------------
+    with measure("run2"):
+        drifted = cust.withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1
+            ).otherwise(F.col("c_acctbal")),
+        )
+        r2 = run_dataset(
+            spark,
+            statements_for(drifted),
+            config,
+            archive,
+            os.path.join(work, "out2"),
+            run_time="2026-08-13T00:00:00",
+            canonical_map=mapping,
+            single_file=False,
+        )
+
+    peak = _peak_heap_mb(ui, app_id)
+    total_wall = round(sum(s["wall_sec"] for s in report.values()), 2)
+    shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "rehearse_e2e",
+                "sf_dir": sf_dir,
+                "statements": n_stmts,
+                "merged_ids": n_merged,
+                "entities_run1": r1.entity_count,
+                "delta_ops_run2": r2.delta_ops,
+                "consolidate_counts": {"a8": a8, "a9": a9, "a10": a10},
+                "sinks": sorted(r1.export_counts),
+                "stages": report,
+                "total_wall_sec": total_wall,
+                "peak_jvm_heap_mb": peak,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
