@@ -1889,11 +1889,18 @@ def make_occupancy(
     is_pep: bool | None = None,
     status: str | None = None,
     key_prefix: str | None = None,
+    two_digit_year_base: int | None = None,
 ) -> Entity | None:
     """Occupancy entity factory (positions.py:132-248) — id parity with
     the column ``make_occupancy_id``; returns None (emitting nothing)
     for non-PEP categorisations and no-longer-relevant statuses, and
-    adds the inferred ``role.pep`` topic to the person otherwise."""
+    adds the inferred ``role.pep`` topic to the person otherwise.
+
+    Date props go through ``apply_date`` (dataset formats + month
+    replacements + ``two_digit_year_base``), AFTER the id is derived
+    from the date strings AS GIVEN — the reference's documented
+    contract (positions.py:182-185): adopting a base year must not
+    renumber a dataset's occupancies."""
     assert person.schema.is_a("Person")
     assert position.schema.is_a("Position")
     current_time = current_time or RUN_TIME
@@ -1913,11 +1920,18 @@ def make_occupancy(
     occupancy.id = "osp-" + hashlib.md5(joined.encode("utf-8")).hexdigest()
     occupancy.add("holder", person)
     occupancy.add("post", position)
-    occupancy.add("startDate", start_date)
-    occupancy.add("endDate", end_date)
-    occupancy.add("periodStart", period_start)
-    occupancy.add("periodEnd", period_end)
-    occupancy.add("electionDate", election_date)
+    for prop, value in (
+        ("startDate", start_date),
+        ("endDate", end_date),
+        ("periodStart", period_start),
+        ("periodEnd", period_end),
+        ("electionDate", election_date),
+    ):
+        apply_date(
+            occupancy, prop, value,
+            two_digit_year_base=two_digit_year_base,
+            dataset=getattr(context, "dataset", None),
+        )
 
     if is_pep is not None and not is_pep:
         context.log.warning(
@@ -1928,12 +1942,28 @@ def make_occupancy(
         return None
 
     if status is None:
-        status = _occupancy_status(
-            start_date, end_date, period_start, period_end, election_date,
-            topics=position.get("topics"),
-            no_end_implies_current=no_end_implies_current,
-            current_time=current_time,
+        # the full reference decision order, computed from the PARSED
+        # occupancy dates and the person's birth/death — exactly the
+        # reference's call (positions.py:228-240): status sees what the
+        # entity stores, not the raw crawler strings
+        from opensanctions_spark.stateful.positions import occupancy_status
+
+        ct = (
+            datetime.fromisoformat(current_time)
+            if isinstance(current_time, str)
+            else current_time
         )
+        status_enum = occupancy_status(
+            context,
+            person=person,
+            position=position,
+            occupancy=occupancy,
+            no_end_implies_current=no_end_implies_current,
+            current_time=ct,
+            birth_date=max(person.get("birthDate"), default=None),
+            death_date=max(person.get("deathDate"), default=None),
+        )
+        status = status_enum.value if status_enum is not None else None
     if status is None:
         return None
     if status != "unknown":
@@ -2528,52 +2558,114 @@ def convert_excel_cell(value: Any) -> str | None:
     return text or None
 
 
+def _assert_unique_headers(headers: list[str]) -> None:
+    """Records are built by zipping headers with cells, so a duplicate
+    header would silently drop the earlier column's cell
+    (excel.py:128-134 — the reference raises the same AssertionError)."""
+    duplicates = {hdr for hdr in headers if headers.count(hdr) > 1}
+    assert not duplicates, f"Duplicate headers: {sorted(duplicates)}"
+
+
 def parse_xlsx_sheet(
     context: CrawlerContext, path: str, sheet: str | int = 0,
     skiprows: int = 0, header_lookup: str | None = None,
+    extract_links: bool = False,
 ) -> Iterable[dict[str, str | None]]:
     """xlsx sheet → dict rows keyed by slugified headers (excel.py
     ``parse_xlsx_sheet``), read by the engine's stdlib xlsx reader.
-    ``header_lookup`` maps raw header text through a dataset lookup."""
-    from opensanctions_spark.sources import _xlsx_rows
 
-    rows = _xlsx_rows(path, sheet)[skiprows:]
+    Reference semantics end-to-end: blank or unslugifiable headers
+    become ``column_{idx}`` (the Google-Sheets blank-fallback-heading
+    case in the reference's fixture), ``header_lookup`` maps raw header
+    text through a dataset lookup, duplicate headers raise, all-None
+    rows are skipped, missing trailing cells fill as None, and
+    ``extract_links=True`` adds a ``<header>_url`` key for every
+    hyperlinked cell."""
+    from opensanctions_spark.sources import _xlsx_rows_links
+
+    all_rows, links = _xlsx_rows_links(path, sheet)
+    rows = all_rows[skiprows:]
     if not rows:
         return
+    # openpyxl iterates uniform-width rows (sheet dimensions); the
+    # engine's reader returns ragged rows — pad the header row to the
+    # widest data row so trailing blank-header columns get named
+    width = max(len(r) for r in rows)
+    header_cells = list(rows[0]) + [None] * (width - len(rows[0]))
     headers = []
-    for raw in rows[0]:
-        text = (raw or "").strip()
+    for idx, raw in enumerate(header_cells):
+        text = (raw or "").strip() or f"column_{idx}"
         if header_lookup:
             res = context.lookup(header_lookup, text)
             if res is not None and res.values:
                 text = res.values[0]
-        headers.append((_slugify(text) or "").replace("-", "_"))
-    for row in rows[1:]:
+        slug = (_slugify(text) or "").replace("-", "_")
+        headers.append(slug or f"column_{idx}")
+    _assert_unique_headers(headers)
+    for rix, row in enumerate(rows[1:], start=skiprows + 1):
         padded = list(row) + [None] * (len(headers) - len(row))
-        yield {
+        record: dict[str, str | None] = {
             h: (str(v).strip() or None if v is not None else None)
             for h, v in zip(headers, padded)
         }
+        if extract_links:
+            for cix, h in enumerate(headers):
+                url = links.get((rix, cix))
+                if url:
+                    record[f"{h}_url"] = url
+        if all(v is None for v in record.values()):
+            continue
+        yield record
 
 
 def parse_xls_sheet(
-    context: CrawlerContext, path: str, sheet: int = 0, skiprows: int = 0
+    context: CrawlerContext, path: str, sheet: int = 0, skiprows: int = 0,
+    join_header_rows: int = 0,
 ) -> Iterable[dict[str, str | None]]:
     """Legacy .xls sheet → dict rows (excel.py ``parse_xls_sheet``),
-    read by the engine's stdlib OLE2/BIFF reader."""
-    from opensanctions_spark.sources.xls import xls_rows
+    read by the engine's stdlib OLE2/BIFF reader.
+
+    Reference semantics end-to-end: blank headers become
+    ``column_{idx}``; ``join_header_rows`` extra rows append their
+    non-empty cells to the headers with ``_`` (the split-header form);
+    duplicate headers raise at the first data row; hyperlinked cells
+    always add a ``<header>_url`` key (the xlrd ``hyperlink_map`` path
+    — HLINK records in the engine's BIFF reader); all-None rows are
+    skipped."""
+    from opensanctions_spark.sources.xls import xls_rows_links
 
     with open(path, "rb") as fh:
-        rows = xls_rows(fh.read(), sheet=sheet)[skiprows:]
+        all_rows, links = xls_rows_links(fh.read(), sheet=sheet)
+    rows = all_rows[skiprows:]
     if not rows:
         return
-    headers = [(_slugify((h or "").strip()) or "").replace("-", "_") for h in rows[0]]
-    for row in rows[1:]:
+    headers = []
+    for idx, raw in enumerate(rows[0]):
+        text = (raw or "").strip() or f"column_{idx}"
+        headers.append((_slugify(text) or "").replace("-", "_") or f"column_{idx}")
+    for join_ix in range(join_header_rows):
+        extra = rows[1 + join_ix]
+        for idx, raw in enumerate(extra):
+            cell = (raw or "").strip() if raw is not None else ""
+            if not cell or idx >= len(headers):
+                continue
+            headers[idx] += "_" + ((_slugify(cell) or "").replace("-", "_"))
+    _assert_unique_headers(headers)
+    for rix, row in enumerate(
+        rows[1 + join_header_rows :], start=skiprows + 1 + join_header_rows
+    ):
         padded = list(row) + [None] * (len(headers) - len(row))
-        yield {
+        record: dict[str, str | None] = {
             h: (str(v).strip() or None if v is not None else None)
             for h, v in zip(headers, padded)
         }
+        for cix, h in enumerate(headers):
+            url = links.get((rix, cix))
+            if url:
+                record[f"{h}_url"] = url
+        if all(v is None for v in record.values()):
+            continue
+        yield record
 
 
 def parse_pdf_table(

@@ -215,6 +215,17 @@ def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str | None]]:
     missing cells are None. Handles shared strings, inline strings, rich
     -text runs, and sparse rows (gaps from the ``r`` cell references).
     """
+    return _xlsx_rows_links(path, sheet)[0]
+
+
+def _xlsx_rows_links(
+    path: str, sheet: str | int = 0
+) -> tuple[list[list[str | None]], dict[tuple[int, int], str]]:
+    """Like ``_xlsx_rows`` but also returns the sheet's hyperlink map
+    {(row, col): url} — ``<hyperlinks>`` elements resolved through the
+    worksheet's relationship part, the openpyxl ``cell.hyperlink``
+    analogue the reference's ``parse_xlsx_sheet(extract_links=True)``
+    consumes (``zavod/zavod/helpers/excel.py:198-203``)."""
     import xml.etree.ElementTree as ET
     import zipfile
 
@@ -242,8 +253,11 @@ def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str | None]]:
             for si in sst:
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
 
+        ws = ET.fromstring(zf.read(member))
         rows: list[list[str | None]] = []
-        for row in ET.fromstring(zf.read(member)).iter(f"{_SSML}row"):
+        for rpos, row in enumerate(ws.iter(f"{_SSML}row")):
+            while len(rows) < int(row.get("r", rpos + 1)) - 1:
+                rows.append([])  # sparse row gaps
             cells: list[str | None] = []
             for pos, c in enumerate(row):
                 idx = _col_index(c.get("r", "")) if c.get("r") else pos
@@ -263,26 +277,76 @@ def _xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str | None]]:
                     else:  # n / str / b — keep the raw stored text
                         cells[idx] = v.text
             rows.append(cells)
-    return rows
+
+        # hyperlinks: <hyperlink ref=... r:id=...> resolved through the
+        # worksheet's own relationship part
+        links: dict[tuple[int, int], str] = {}
+        hls = list(ws.iter(f"{_SSML}hyperlink"))
+        if hls:
+            base = member.rsplit("/", 1)
+            rels_member = f"{base[0]}/_rels/{base[1]}.rels"
+            targets: dict[str, str] = {}
+            if rels_member in zf.namelist():
+                for r in ET.fromstring(zf.read(rels_member)):
+                    if r.tag.endswith("Relationship"):
+                        targets[r.get("Id", "")] = r.get("Target", "")
+            for hl in hls:
+                ref = hl.get("ref", "")
+                rid = hl.get(f"{_RELNS}id")
+                url = targets.get(rid, "") if rid else hl.get("location", "")
+                digits = "".join(ch for ch in ref if ch.isdigit())
+                if url and digits:
+                    links[(int(digits) - 1, _col_index(ref))] = url
+    return rows, links
 
 
 def write_xlsx(path: str, header: list[str], rows: list[list[object]],
-               sheet_name: str = "Sheet1") -> None:
+               sheet_name: str = "Sheet1",
+               links: dict[tuple[int, int], str] | None = None) -> None:
     """Write a minimal single-sheet .xlsx (inline strings) with the stdlib —
-    the fixture/serialize side of the S6 round-trip."""
+    the fixture/serialize side of the S6 round-trip. ``links`` maps
+    (row, col) — header row = 0 — to URL hyperlinks (``<hyperlinks>``
+    elements + a worksheet relationship part, the shape
+    ``_xlsx_rows_links`` reads back)."""
     import zipfile
     from xml.sax.saxutils import escape
 
+    def _ref(r: int, c: int) -> str:
+        col = ""
+        c += 1
+        while c:
+            c, rem = divmod(c - 1, 26)
+            col = chr(ord("A") + rem) + col
+        return f"{col}{r + 1}"
+
     def row_xml(i: int, vals: list[object]) -> str:
         cells = "".join(
-            f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
-            for v in vals
+            f'<c r="{_ref(i - 1, ci)}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            if v is not None else ""
+            for ci, v in enumerate(vals)
         )
         return f'<row r="{i}">{cells}</row>'
 
     body = row_xml(1, list(header)) + "".join(
         row_xml(i + 2, list(r)) for i, r in enumerate(rows)
     )
+    link_items = sorted((links or {}).items())
+    hyperlinks_xml = ""
+    sheet_rels = ""
+    if link_items:
+        hyperlinks_xml = "<hyperlinks>" + "".join(
+            f'<hyperlink ref="{_ref(r, c)}" r:id="rIdL{i}"/>'
+            for i, ((r, c), _) in enumerate(link_items)
+        ) + "</hyperlinks>"
+        sheet_rels = (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rIdL{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" '
+                f'Target="{escape(url)}" TargetMode="External"/>'
+                for i, (_, url) in enumerate(link_items)
+            )
+            + "</Relationships>"
+        )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(
             "[Content_Types].xml",
@@ -313,9 +377,12 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
         )
         zf.writestr(
             "xl/worksheets/sheet1.xml",
-            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-            f"<sheetData>{body}</sheetData></worksheet>",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheetData>{body}</sheetData>{hyperlinks_xml}</worksheet>",
         )
+        if sheet_rels:
+            zf.writestr("xl/worksheets/_rels/sheet1.xml.rels", sheet_rels)
 
 
 def read_excel_source(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:

@@ -189,6 +189,61 @@ _BOOLERR = 0x0205
 _BOUNDSHEET = 0x0085
 _CODEPAGE = 0x0042
 _DIMENSIONS = 0x0200
+_HLINK = 0x01B8
+
+#: HLINK stream CLSID (StdHlink) and the URL moniker CLSID — the two
+#: GUIDs that frame a BIFF8 hyperlink record ([MS-XLS] 2.4.140).
+_HLINK_CLSID = bytes.fromhex("d0c9ea79f9bace118c8200aa004ba90b")
+_URL_MONIKER = bytes.fromhex("e0c9ea79f9bace118c8200aa004ba90b")
+
+
+def _parse_hlink(payload: bytes) -> tuple[int, int, int, int, str] | None:
+    """One HLINK record → (rwFirst, rwLast, colFirst, colLast, url), or
+    None for non-URL links (file monikers, UNC paths, intra-book
+    anchors). Follows [MS-XLS] HyperlinkObject: optional display-name
+    and target-frame strings come before the moniker."""
+    try:
+        rw_first, rw_last, col_first, col_last = struct.unpack_from(
+            "<HHHH", payload, 0
+        )
+        pos = 8
+        if payload[pos : pos + 16] != _HLINK_CLSID:
+            return None
+        pos += 16
+        (_version, flags) = struct.unpack_from("<II", payload, pos)
+        pos += 8
+        if flags & 0x10:  # hlstmfHasDisplayName
+            (n,) = struct.unpack_from("<I", payload, pos)
+            pos += 4 + 2 * n
+        if flags & 0x80:  # hlstmfHasFrameName
+            (n,) = struct.unpack_from("<I", payload, pos)
+            pos += 4 + 2 * n
+        if not flags & 0x01 or flags & 0x100:  # no moniker / UNC path
+            return None
+        if payload[pos : pos + 16] != _URL_MONIKER:
+            return None
+        pos += 16
+        (nbytes,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        url = payload[pos : pos + nbytes].decode("utf-16-le").rstrip("\x00")
+        return rw_first, rw_last, col_first, col_last, url
+    except (struct.error, UnicodeDecodeError):
+        return None
+
+
+def _hlink_record(row: int, col: int, url: str) -> bytes:
+    """Serialize one URL hyperlink for (row, col) — the writer twin of
+    ``_parse_hlink`` (flags: hlstmfHasMoniker | hlstmfIsAbsolute)."""
+    raw = url.encode("utf-16-le") + b"\x00\x00"
+    payload = (
+        struct.pack("<HHHH", row, row, col, col)
+        + _HLINK_CLSID
+        + struct.pack("<II", 2, 0x03)
+        + _URL_MONIKER
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+    return payload
 
 
 def _records(stream: bytes):
@@ -300,6 +355,16 @@ def _fmt_number(v: float) -> str:
 def xls_rows(data: bytes, sheet: int = 0) -> list[list[str | None]]:
     """Parse one worksheet of a .xls byte string into rows of cell
     strings (None for gaps) — same contract as ``_xlsx_rows``."""
+    return xls_rows_links(data, sheet)[0]
+
+
+def xls_rows_links(
+    data: bytes, sheet: int = 0
+) -> tuple[list[list[str | None]], dict[tuple[int, int], str]]:
+    """Like ``xls_rows`` but also returns the sheet's hyperlink map
+    {(row, col): url} from HLINK records — the xlrd ``hyperlink_map``
+    analogue the reference's ``parse_xls_sheet`` consumes
+    (``zavod/zavod/helpers/excel.py:104-109``)."""
     streams = ole2_streams(data)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
@@ -328,6 +393,7 @@ def xls_rows(data: bytes, sheet: int = 0) -> list[list[str | None]]:
         raise ValueError(f"sheet {sheet} out of range")
 
     cells: dict[tuple[int, int], str | None] = {}
+    links: dict[tuple[int, int], str] = {}
     substream = wb[sheet_offsets[sheet] :]
     depth = 0
     for pos, rid, payload in _records(substream):
@@ -337,6 +403,13 @@ def xls_rows(data: bytes, sheet: int = 0) -> list[list[str | None]]:
             depth -= 1
             if depth <= 0:
                 break
+        elif rid == _HLINK:
+            parsed = _parse_hlink(payload)
+            if parsed is not None:
+                rw0, rw1, c0_, c1_, url = parsed
+                for r in range(rw0, rw1 + 1):
+                    for c in range(c0_, c1_ + 1):
+                        links[(r, c)] = url
         elif rid == _LABELSST:
             r, c, _xf, isst = struct.unpack_from("<HHHI", payload, 0)
             cells[(r, c)] = sst[isst] if isst < len(sst) else None
@@ -362,12 +435,12 @@ def xls_rows(data: bytes, sheet: int = 0) -> list[list[str | None]]:
                 None if is_err else ("TRUE" if val else "FALSE")
             )
     if not cells:
-        return []
+        return [], links
     n_rows = max(r for r, _ in cells) + 1
     n_cols = max(c for _, c in cells) + 1
     return [
         [cells.get((r, c)) for c in range(n_cols)] for r in range(n_rows)
-    ]
+    ], links
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +461,12 @@ def _ustr(s: str) -> bytes:
 
 
 def write_xls(path: str, header: list[str], rows: list[list[object]],
-              sheet_name: str = "Sheet1") -> None:
+              sheet_name: str = "Sheet1",
+              links: dict[tuple[int, int], str] | None = None) -> None:
     """Write a real single-sheet BIFF8 .xls: OLE2 container, globals
     substream (CODEPAGE, BOUNDSHEET, SST), worksheet substream with
-    LABELSST string cells and NUMBER numeric cells."""
+    LABELSST string cells and NUMBER numeric cells. ``links`` maps
+    (row, col) — header row = 0 — to URL hyperlinks (HLINK records)."""
     all_rows = [list(header)] + [list(r) for r in rows]
     strings: list[str] = []
     index: dict[str, int] = {}
@@ -436,7 +511,11 @@ def write_xls(path: str, header: list[str], rows: list[list[object]],
         struct.pack("<IIHHH", 0, len(all_rows), 0,
                     max(len(r) for r in all_rows), 0),
     )
-    sheet_sub = bof_sheet + dims + b"".join(sheet_cells) + _rec(_EOF, b"")
+    link_recs = b"".join(
+        _rec(_HLINK, _hlink_record(r, c, url))
+        for (r, c), url in sorted((links or {}).items())
+    )
+    sheet_sub = bof_sheet + dims + b"".join(sheet_cells) + link_recs + _rec(_EOF, b"")
 
     # BOUNDSHEET needs the sheet substream's absolute offset: build the
     # globals with a placeholder, then patch (fixed-length field)
