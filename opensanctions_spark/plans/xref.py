@@ -130,8 +130,44 @@ def review_queue(decisions: DataFrame) -> DataFrame:
     )
 
 
+def strong_id_edges(subjects: DataFrame) -> DataFrame:
+    """LINEAR exact-duplicate resolution for shared strong identifiers:
+    explode ``strong_ids``, group by identifier, and emit one spanning
+    edge per member to the group's min-id anchor — (d−1) edges for a
+    d-way duplicate group instead of the d(d−1)/2 pairs the blocking
+    path would expand.
+
+    Semantically identical to the J9 perfect-strong-id force rule (a
+    shared strong id is POSITIVE regardless of score, logic.py:11-107),
+    because union-find closes over the spanning edges exactly as it
+    would over the full clique. The cost difference is the point at
+    scale: a corpus whose duplication factor grows with its size (the
+    replicated-names shape) makes Σ d² per group quadratic while Σ d
+    stays linear — measured at sf10 in SCALE.md §21. One explode + one
+    groupBy(strong_id) shuffle, no pair expansion anywhere.
+
+    Returns (left_id, right_id, score=1.0, judgement='POSITIVE') rows,
+    union-compatible with ``xref_pairs`` decisions."""
+    exploded = subjects.select(
+        "id", F.explode(F.col("strong_ids")).alias("sid")
+    )
+    anchors = exploded.groupBy("sid").agg(F.min("id").alias("anchor"))
+    return (
+        exploded.join(anchors, "sid")
+        .filter(F.col("id") != F.col("anchor"))
+        .select(
+            F.least(F.col("anchor"), F.col("id")).alias("left_id"),
+            F.greatest(F.col("anchor"), F.col("id")).alias("right_id"),
+            F.lit(1.0).alias("score"),
+            F.lit("POSITIVE").alias("judgement"),
+        )
+        .distinct()
+    )
+
+
 def xref_and_resolve(
-    subjects: DataFrame, config: XrefConfig | None = None
+    subjects: DataFrame, config: XrefConfig | None = None,
+    exact_strong_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.3 lifecycle: subjects → decisions → canonical map.
 
@@ -139,9 +175,18 @@ def xref_and_resolve(
     ``run_dataset(..., canonical_map=mapping)`` / ``apply_canonical``.
     The decisions frame is consumed twice (resolve + persistence /
     review) — callers writing both should persist it.
+
+    ``exact_strong_ids=True`` adds the linear :func:`strong_id_edges`
+    path: exact strong-identifier groups resolve through one groupBy
+    instead of the blocking pair expansion, letting the blocking cap
+    (``max_token_freq``) be tuned for the FUZZY candidate budget alone.
     """
     config = config or XrefConfig()
     decisions = xref_pairs(subjects, config)
+    if exact_strong_ids:
+        decisions = decisions.unionByName(
+            strong_id_edges(subjects)
+        ).dropDuplicates(["left_id", "right_id"])
     mapping = canonical_map(decisions)
     return decisions, mapping
 

@@ -258,3 +258,35 @@ def test_cli_dedupe_interactive(spark, tmp_path, subjects, capsys,
         updated.filter(F.col("judgement") == "UNSURE").count()
         == n_unsure - 1
     )
+
+
+def test_strong_id_edges_linear_path(spark, subjects):
+    """The round-11 linear exact-duplicate path: strong-id groups emit
+    (d-1) spanning edges to the min-id anchor, and xref_and_resolve
+    (exact_strong_ids=True) reaches the same canonical map as the
+    pairwise J9 force rule — even when the blocking cap is so tight
+    that the fuzzy path proposes NO candidates for the group."""
+    from opensanctions_spark.plans.xref import strong_id_edges
+
+    edges = strong_id_edges(subjects).collect()
+    assert [(e["left_id"], e["right_id"], e["judgement"]) for e in edges] == [
+        ("b1", "b2", "POSITIVE")
+    ]
+
+    # a 4-way group resolves with 3 spanning edges, never 6 pairs
+    four = spark.createDataFrame(
+        [(f"x{i}", f"name {i}", ["REG:9"], []) for i in range(4)],
+        "id string, name string, strong_ids array<string>, id_numbers array<string>",
+    )
+    es = strong_id_edges(four).collect()
+    assert len(es) == 3
+    assert {e["left_id"] for e in es} == {"x0"}
+
+    # with a blocking cap of 0 candidates the strong-id path still merges
+    cfg = XrefConfig(threshold=0.7, top_k=3, limit=0, max_token_freq=None)
+    _dec, mapping = xref_and_resolve(four, cfg, exact_strong_ids=True)
+    got = {
+        (r["entity_id"], r["canonical_id"]) for r in mapping.collect()
+    }
+    # the anchor carries its identity row; every member maps to it
+    assert got == {("x0", "x0"), ("x1", "x0"), ("x2", "x0"), ("x3", "x0")}

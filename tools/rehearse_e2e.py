@@ -218,8 +218,17 @@ def main() -> int:
             )
             .distinct()
         )
-        xcfg = XrefConfig(threshold=0.7, top_k=3, limit=None, max_token_freq=100)
-        _decisions, mapping = xref_and_resolve(subjects, xcfg)
+        # production split (round 11): exact strong-id groups resolve
+        # through the LINEAR strong_id_edges path (one groupBy, (d-1)
+        # spanning edges per d-way duplicate group), so the blocking cap
+        # budgets the FUZZY candidate path alone — at sf10 the
+        # replicated-name corpus carries 100-way exact groups whose
+        # pairwise expansion would shuffle 7.2 GB (measured, SCALE.md
+        # §21) for merges the linear path finds in one exchange
+        xcfg = XrefConfig(threshold=0.7, top_k=3, limit=None, max_token_freq=20)
+        _decisions, mapping = xref_and_resolve(
+            subjects, xcfg, exact_strong_ids=True
+        )
         mapping = mapping.persist()
         n_merged = mapping.filter(F.col("entity_id") != F.col("canonical_id")).count()
 
