@@ -37,10 +37,93 @@ from opensanctions_spark.sources.archive import StatementArchive
 
 @dataclass
 class Assertion:
-    metric: str          # e.g. "entity_count", "schema:Person"
+    metric: str          # e.g. "entity_count", "schema:Person", "country:de",
+                         # "countries", "prop:Company.name", "fill:Person.name"
     op: str              # "min" | "max"
-    threshold: int
+    threshold: float     # int for counts, float for fill rates
     level: str = "error"  # "error" (fatal) | "warning"
+
+
+#: Baseline assertions merged into every dict-form dataset config, leaf-
+#: overridable by the dataset's own block (the reference's
+#: DEFAULT_ASSERTIONS, ``zavod/zavod/meta/dataset.py:40-53``).
+#: ``property_fill_rate`` only applies to schemata the dataset actually
+#: emits — check_assertions skips absent schemata.
+DEFAULT_ASSERTIONS: dict = {
+    "min": {
+        "property_fill_rate": {
+            "Person": {"name": 0.95},
+            "LegalEntity": {"name": 0.95},
+            "Organization": {"name": 0.95},
+            "Company": {"name": 0.95},
+        }
+    }
+}
+
+#: Reference metric vocabulary (``zavod/zavod/meta/assertion.py``) → the
+#: flat metric-string families check_assertions evaluates.
+_ASSERTION_METRICS = {
+    "entity_count", "schema_entities", "country_entities", "countries",
+    "entities_with_prop", "property_fill_rate",
+}
+
+
+def merge_assertions_config(base: dict, override: dict) -> dict:
+    """Deep-merge two assertion config dicts, override winning at the
+    leaf (``zavod/zavod/meta/assertion.py merge_assertions_config``)."""
+    from copy import deepcopy
+
+    result = deepcopy(base)
+    for key, value in override.items():
+        existing = result.get(key)
+        if isinstance(existing, dict) and isinstance(value, dict):
+            result[key] = merge_assertions_config(existing, value)
+        else:
+            result[key] = deepcopy(value)
+    return result
+
+
+def parse_assertions(config: dict) -> list[Assertion]:
+    """Reference YAML assertion block → flat Assertion rows
+    (``zavod/zavod/meta/assertion.py parse_assertions`` + the
+    validator's level rule: only min/GTE failures abort, max/LTE
+    failures warn — ``validators/assertions.py is_assertion_fatal``).
+    Unknown comparisons or metrics raise ValueError, like the
+    reference's Enum lookups."""
+    out: list[Assertion] = []
+    for key, metrics in config.items():
+        if key == "min":
+            level = "error"
+        elif key == "max":
+            level = "warning"
+        else:
+            raise ValueError(f"Unknown assertion: {key}")
+        for metric, mconf in metrics.items():
+            if metric not in _ASSERTION_METRICS:
+                raise ValueError(f"Unknown metric: {metric}")
+            if metric == "entity_count":
+                out.append(Assertion("entity_count", key, mconf, level))
+            elif metric == "countries":
+                out.append(Assertion("countries", key, mconf, level))
+            elif metric == "schema_entities":
+                for schema, t in mconf.items():
+                    out.append(Assertion(f"schema:{schema}", key, t, level))
+            elif metric == "country_entities":
+                for country, t in mconf.items():
+                    out.append(Assertion(f"country:{country}", key, t, level))
+            elif metric == "entities_with_prop":
+                for schema, props in mconf.items():
+                    for prop, t in props.items():
+                        out.append(
+                            Assertion(f"prop:{schema}.{prop}", key, t, level)
+                        )
+            elif metric == "property_fill_rate":
+                for schema, props in mconf.items():
+                    for prop, t in props.items():
+                        out.append(
+                            Assertion(f"fill:{schema}.{prop}", key, t, level)
+                        )
+    return out
 
 
 @dataclass
@@ -53,6 +136,12 @@ class DatasetConfig:
 
     name: str
     assertions: list[Assertion] = field(default_factory=list)
+    #: False when the dataset's own config declared no assertions (the
+    #: baseline defaults may still be merged in) — drives the
+    #: reference's "Dataset has no assertions." nudge, which is logged
+    #: as an error-level issue but never aborts
+    #: (``validators/assertions.py:166-177``).
+    has_user_assertions: bool = True
     metadata: dict = field(default_factory=dict)
     #: datapatch lookup tables (``lookups:`` in the dataset YAML —
     #: ``zavod/zavod/meta/dataset.py:117-120``); ``prop.<name>`` lookups
@@ -63,21 +152,36 @@ class DatasetConfig:
     def from_dict(cls, data: dict) -> "DatasetConfig":
         data = dict(data)
         name = data.pop("name")
-        assertions = []
-        for a in data.pop("assertions", []):
-            if isinstance(a, str):
-                metric, op, threshold = a.rsplit(":", 2)
-                assertions.append(
-                    Assertion(metric=metric, op=op, threshold=int(threshold))
-                )
-            else:
-                assertions.append(Assertion(**a))
+        raw = data.pop("assertions", None)
+        has_user = True
+        if isinstance(raw, dict) or raw is None:
+            # the reference's YAML shape: {min: {...}, max: {...}} —
+            # baseline defaults merge in, leaf-overridable; an absent
+            # or empty block sets the nudge flag
+            user = raw or {}
+            has_user = bool(parse_assertions(user))
+            assertions = parse_assertions(
+                merge_assertions_config(DEFAULT_ASSERTIONS, user)
+            )
+        else:
+            # legacy flat list form ("metric:op:threshold" strings or
+            # Assertion kwarg dicts) — used as given, no defaults
+            assertions = []
+            for a in raw:
+                if isinstance(a, str):
+                    metric, op, threshold = a.rsplit(":", 2)
+                    assertions.append(
+                        Assertion(metric=metric, op=op, threshold=int(threshold))
+                    )
+                else:
+                    assertions.append(Assertion(**a))
         lookups = {}
         if "lookups" in data:
             from opensanctions_spark.functions.lookups import load_lookups
 
             lookups = load_lookups({"lookups": data.pop("lookups")})
-        return cls(name=name, assertions=assertions, metadata=data,
+        return cls(name=name, assertions=assertions,
+                   has_user_assertions=has_user, metadata=data,
                    lookups=lookups)
 
     @classmethod
@@ -127,11 +231,94 @@ def dangling_references(entities: DataFrame) -> DataFrame:
     )
 
 
-def check_assertions(stats: dict[str, int], assertions: list[Assertion]) -> list[str]:
+def _extended_stats(
+    entities: DataFrame, assertions: list[Assertion]
+) -> dict[str, float]:
+    """Extra assertion metrics, computed ONLY when some assertion needs
+    them (the base GROUPING SETS pass covers entity/target/schema):
+
+    - ``country:<code>`` / ``countries``: one explode + groupBy over the
+      country property — output bounded by the country vocabulary,
+    - ``prop:<S>.<p>`` / ``fill:<S>.<p>``: per-schema filled-counts for
+      every asserted (schema, property) pair in ONE aggregation — one
+      flag column per pair, output bounded by the schemata.
+
+    Both are single-pass aggregations over the already-persisted entity
+    view, mirroring the reference's Statistics observer
+    (``zavod/zavod/validators/assertions.py`` stats shapes)."""
+    out: dict[str, float] = {}
+    need_country = any(
+        a.metric == "countries" or a.metric.startswith("country:")
+        for a in assertions
+    )
+    pairs = sorted(
+        {
+            a.metric.split(":", 1)[1]
+            for a in assertions
+            if a.metric.startswith(("prop:", "fill:"))
+        }
+    )
+    if need_country:
+        rows = (
+            entities.select(
+                F.explode(
+                    F.coalesce(F.col("properties")["country"], F.array())
+                ).alias("c")
+            )
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        out["countries"] = len(rows)
+        for r in rows:
+            out[f"country:{r['c']}"] = r["n"]
+    if pairs:
+        flags = [
+            (
+                F.size(
+                    F.coalesce(
+                        F.col("properties")[p.split(".", 1)[1]], F.array()
+                    )
+                )
+                > 0
+            )
+            .cast("long")
+            .alias(f"_f{i}")
+            for i, p in enumerate(pairs)
+        ]
+        rows = (
+            entities.select("schema", *flags)
+            .groupBy("schema")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_f{i}").alias(f"_s{i}") for i in range(len(pairs))],
+            )
+            .collect()
+        )
+        by_schema = {r["schema"]: r for r in rows}
+        for i, p in enumerate(pairs):
+            schema = p.split(".", 1)[0]
+            row = by_schema.get(schema)
+            filled = row[f"_s{i}"] if row is not None else 0
+            total = row["_n"] if row is not None else 0
+            out[f"prop:{p}"] = filled
+            out[f"fill:{p}"] = (filled / total) if total else 0.0
+    return out
+
+
+def check_assertions(stats: dict[str, float], assertions: list[Assertion]) -> list[str]:
     """Threshold checks over aggregate stats; returns violation messages.
-    ``min`` failures are fatal in the reference (the caller raises)."""
+    ``min`` failures are fatal in the reference (the caller raises).
+    ``fill:`` assertions skip schemata the dataset does not emit — the
+    reference's emitted-schemata guard (``validators/assertions.py:
+    129-140``): a fill-rate rule on an absent schema must not fail as
+    0.0."""
     out = []
     for a in assertions:
+        if a.metric.startswith("fill:"):
+            schema = a.metric[5:].split(".", 1)[0]
+            if not stats.get(f"schema:{schema}"):
+                continue
         actual = stats.get(a.metric, 0)
         if a.op == "min" and actual < a.threshold:
             out.append(f"{a.level}: {a.metric}={actual} < min {a.threshold}")
@@ -239,11 +426,12 @@ def run_dataset(
     total_row = next(r for r in stat_rows if r["g"] == 1)
     entity_count = total_row["n"]
     target_count = total_row["n_target"] or 0
-    stats: dict[str, int] = {
+    stats: dict[str, float] = {
         "entity_count": entity_count,
         "target_count": target_count,
         **{f"schema:{k}": v for k, v in schema_counts.items()},
     }
+    stats.update(_extended_stats(entities, config.assertions))
     violations = check_assertions(stats, config.assertions)
     if any(v.startswith("error") for v in violations):
         entities.unpersist()
@@ -262,6 +450,17 @@ def run_dataset(
         }
         for v in violations
     ]
+    if not config.has_user_assertions:
+        # the reference's maintainer nudge: error-LEVEL log, but never
+        # an abort (validators/assertions.py:166-177 sets no abort flag
+        # for it) — so it rides the issues channel, not the violations
+        issues.append(
+            {
+                "level": "error",
+                "message": "Dataset has no assertions.",
+                "dataset": config.name,
+            }
+        )
     if dangling:
         issues.append(
             {
@@ -431,6 +630,7 @@ def validate_dataset(
         "target_count": target_count,
         **{f"schema:{k}": v for k, v in schema_counts.items()},
     }
+    stats.update(_extended_stats(entities, assertions or []))
     violations = check_assertions(stats, assertions or [])
     dangling = dangling_references(entities).count()
     entities.unpersist()

@@ -205,6 +205,10 @@ def test_run_dataset_applies_prop_lookups(spark, tmp_path):
     config = DatasetConfig.from_dict(
         {
             "name": "lkds",
+            # e2 is deliberately nameless; relax the baseline fill-rate
+            # default (merged into every dict-form config since r11) at
+            # the leaf, the same way a reference dataset YAML would
+            "assertions": {"min": {"property_fill_rate": {"Person": {"name": 0.0}}}},
             "lookups": {
                 "prop.country": {
                     "lowercase": True,
