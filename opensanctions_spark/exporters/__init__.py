@@ -130,8 +130,43 @@ def reverse_adjacency(entities: DataFrame, props: list[str] | None = None) -> Da
 # K1: FtM entities JSON (zavod/zavod/exporters/ftm.py:7-21)
 
 
-def ftm_entities(entities: DataFrame) -> DataFrame:
-    """One JSON document per entity — map props stay multi-valued arrays."""
+def entity_referents(statements: DataFrame) -> DataFrame:
+    """(canonical_id, referents, datasets) from the statement IR — the
+    ``Entity.to_dict`` referent/dataset lists
+    (``zavod/zavod/entity.py:123-141``): every non-canonical source id
+    that resolved into the entity, and every dataset that stated it.
+    One aggregation on canonical_id — the key the statements are
+    already clustered on after assembly's repartition."""
+    return (
+        statements.groupBy("canonical_id")
+        .agg(
+            F.collect_set("entity_id").alias("_eids"),
+            F.array_sort(F.collect_set("dataset")).alias("datasets"),
+        )
+        .select(
+            "canonical_id",
+            F.array_sort(
+                F.filter("_eids", lambda x: x != F.col("canonical_id"))
+            ).alias("referents"),
+            "datasets",
+        )
+    )
+
+
+def ftm_entities(entities: DataFrame, refs: DataFrame | None = None) -> DataFrame:
+    """One JSON document per entity — map props stay multi-valued arrays.
+    ``refs`` (from :func:`entity_referents`) adds the reference
+    to_dict's ``referents`` and ``datasets`` lists to each document."""
+    if refs is not None:
+        entities = entities.join(refs, "canonical_id", "left")
+    ref_cols = (
+        [
+            F.coalesce(F.col("referents"), F.array()).alias("referents"),
+            F.coalesce(F.col("datasets"), F.array()).alias("datasets"),
+        ]
+        if refs is not None
+        else []
+    )
     return entities.select(
         F.col("canonical_id").alias("id"),
         F.to_json(
@@ -142,6 +177,7 @@ def ftm_entities(entities: DataFrame) -> DataFrame:
                 target_flag(F.col("properties")).alias("target"),
                 F.col("first_seen"),
                 F.col("last_seen"),
+                *ref_cols,
             )
         ).alias("entity"),
     )
@@ -478,7 +514,8 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
                version: str = "1",
                run_time: str = "1970-01-01T00:00:00",
                issue_levels: dict[str, int] | None = None,
-               dataset_meta: dict | None = None) -> dict[str, int]:
+               dataset_meta: dict | None = None,
+               consolidate: bool = True) -> dict[str, int]:
     """Run every file sink off one persisted entity scan; write the K12
     metadata artifacts (index.json / resources.json / statistics.json
     with the reference's published field set — see
@@ -492,12 +529,23 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     part files (part N < part N+1), so output stays deterministic while
     every partition writes in parallel."""
     os.makedirs(out_dir, exist_ok=True)
+    # every sink except the raw statements CSV consumes the CONSOLIDATED
+    # view (the reference's export loop: feed_unconsolidated for the
+    # statements sink, then consolidate_entity for everyone else —
+    # zavod/zavod/exporters/__init__.py:70-84)
+    if consolidate:
+        from opensanctions_spark.operators.consolidate import (
+            consolidate_entities,
+        )
+
+        entities = consolidate_entities(entities, statements)
     entities = entities.persist()
     adjacency = adjacent_entities(entities).persist()
     counts: dict[str, int] = {}
 
     sinks: dict[str, tuple[DataFrame, list[str]]] = {
-        "entities.ftm.json": (ftm_entities(entities), ["id"]),
+        "entities.ftm.json": (
+            ftm_entities(entities, entity_referents(statements)), ["id"]),
         "statements.csv": (statements_csv(statements), ["id"]),
         "targets.simple.csv": (simple_csv(entities, adjacency), ["id"]),
         "targets.nested.json": (

@@ -36,6 +36,8 @@ SCHEMA_PARENTS: dict[str, list[str]] = {
     "Security": ["Thing"],
     "Position": ["Thing"],
     "Sanction": [],
+    "Identification": [],
+    "Passport": ["Identification"],
     "Occupancy": [],
     # edge schemata: source/target props + directedness
     "Ownership": [],

@@ -174,3 +174,124 @@ def enrich_outputs(
     )
     internal = expand_subgraph(edges, seeds, depth=config.expand_depth)
     return candidates, internal
+
+
+# ---------------------------------------------------------------------------
+# Publishability + promotion (``zavod/zavod/runner/util.py:13-130``):
+# which expanded entities may be emitted as internal statements.
+
+#: runner/util.py:13-18 — schemata that carry no risk topics themselves
+#: but appear in expansion as context around risk targets
+SUPPORTING_SCHEMATA = ("Address", "Analyzable", "Identification", "Sanction")
+
+
+def supporting_schemata() -> frozenset[str]:
+    """All schema names in the engine's lattice that are (or descend
+    from) a supporting schema — ``is_supporting_schema`` resolved once
+    against the registry (the lattice is bounded, so this is a literal
+    set, never a join)."""
+    from opensanctions_spark.model.registry import SCHEMA_PARENTS
+
+    sup = set(SUPPORTING_SCHEMATA)
+    return frozenset(
+        name
+        for name, parents in SCHEMA_PARENTS.items()
+        if name in sup or sup.intersection(parents)
+    )
+
+
+def publishable_ids(entities: DataFrame, enrich_topics: list[str]) -> DataFrame:
+    """(id) — the publishable set (runner/util.py:52-63): a non-edge
+    entity is publishable when its schema is supporting, or when any of
+    its topics intersects the enrichment topics. One filter over the
+    entity view; the schema test is a literal ``isin`` against the
+    bounded supporting set."""
+    topics = F.coalesce(F.col("properties")["topics"], F.array())
+    cond = F.col("schema").isin(*sorted(supporting_schemata()))
+    if enrich_topics:
+        cond = cond | F.arrays_overlap(
+            topics, F.array(*[F.lit(t) for t in enrich_topics])
+        )
+    return entities.filter(cond).select(F.col("canonical_id").alias("id"))
+
+
+def promotable_edges(edges: DataFrame, publishable: DataFrame) -> DataFrame:
+    """Edges are promotable iff ALL endpoints are publishable
+    (``should_promote``, runner/util.py:100-111) — two semi-joins
+    against the publishable set, never a per-edge collect."""
+    pub_src = publishable.select(F.col("id").alias("src"))
+    pub_dst = publishable.select(F.col("id").alias("dst"))
+    return edges.join(pub_src, "src", "left_semi").join(
+        pub_dst, "dst", "left_semi"
+    )
+
+
+def prune_unpublishable_references(
+    entities: DataFrame, publishable: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Drop entity-typed references from NON-EDGE entities to ids that
+    will not be published (runner/util.py:114-160) so published
+    entities carry no dangling references. Returns (pruned_entities,
+    removed) where ``removed`` is (canonical_id, prop, ref) — the pairs
+    the caller re-emits as external statements so the relationship
+    stays visible to the analyzers.
+
+    Shape: explode the entity-typed props once, anti-join the refs
+    against the publishable set (one shuffle on the ref id), and
+    subtract the removed values from the properties map with a map-only
+    rewrite."""
+    from opensanctions_spark.model.registry import ENTITY_PROPS
+
+    props = sorted(ENTITY_PROPS)
+
+    def tag(p: str):
+        # single-arg closure factory: a default-arg lambda would bind the
+        # array INDEX as a second lambda parameter (the F.transform trap)
+        return lambda v: F.struct(F.lit(p).alias("prop"), v.alias("ref"))
+
+    refs = entities.select(
+        "canonical_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            F.coalesce(F.col("properties")[p], F.array()),
+                            tag(p),
+                        )
+                        for p in props
+                    ]
+                )
+            )
+        ).alias("r"),
+    ).select("canonical_id", "r.prop", "r.ref")
+    removed = refs.join(
+        publishable.select(F.col("id").alias("ref")), "ref", "left_anti"
+    )
+    removed_map = (
+        removed.groupBy("canonical_id", "prop")
+        .agg(F.collect_set("ref").alias("_rm"))
+        .groupBy("canonical_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("prop", "_rm"))
+            ).alias("_removed")
+        )
+    )
+    pruned = (
+        entities.join(removed_map, "canonical_id", "left")
+        .withColumn(
+            "properties",
+            F.when(F.col("_removed").isNull(), F.col("properties")).otherwise(
+                F.transform_values(
+                    "properties",
+                    lambda k, v: F.when(
+                        F.col("_removed")[k].isNotNull(),
+                        F.array_except(v, F.col("_removed")[k]),
+                    ).otherwise(v),
+                )
+            ),
+        )
+        .drop("_removed")
+    )
+    return pruned, removed
