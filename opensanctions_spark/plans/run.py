@@ -701,6 +701,12 @@ def export_dataset(
     delta_ops: dict[str, int] = {}
     if prior is not None:
         prev_stmts = archive.read(name, version=prior, external=True)
+        # the linker applies to EVERY store read (store.py:36-47) — the
+        # delta's prior side included, same fix as run_dataset (r11)
+        if canonical_map is not None:
+            from opensanctions_spark.operators.resolve import apply_canonical
+
+            prev_stmts = apply_canonical(prev_stmts, canonical_map)
         diff = version_diff(
             hashed_entities(prev_stmts), hashed_entities(statements)
         )
