@@ -34,7 +34,10 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opensanctions_spark.logs import get_logger
 from opensanctions_spark.model.registry import SCHEMA_PARENTS
+
+_log = get_logger(__name__)
 
 #: schemata in the Thing subtree (reference: ``schema.is_a("Thing")``)
 THING_SCHEMATA: list[str] = sorted(
@@ -281,7 +284,49 @@ def dataset_index(
             if k not in ("externals", "sources", "collections")
         }
         index.update(meta)
+    # ``resolve`` serializes ONLY when False (CatalogDatasetModel:
+    # implicit default True, "only serialized when False") — a True
+    # value coming in through dataset_meta is dropped
+    if index.get("resolve") is True:
+        index.pop("resolve")
     return index
+
+
+#: Required fields of the published index — the dependency-free mirror
+#: of the reference's CatalogDatasetModel output contract
+#: (``zavod/zavod/exporters/metadata/model.py:76-120``): version /
+#: updated_at / last_export tightened to required, each resource
+#: carrying name==path, url and mime_type; the statistics-derived
+#: counts required only for a SUCCESSFUL run (a failed run
+#: legitimately drops its statistics).
+_INDEX_REQUIRED = ("name", "version", "updated_at", "last_export", "resources")
+_INDEX_REQUIRED_SUCCESS = ("entity_count", "target_count", "last_change")
+_RESOURCE_REQUIRED = ("name", "path", "url", "mime_type")
+
+
+def validate_index(index: dict[str, Any]) -> list[str]:
+    """Validate a written index against the catalog output contract.
+    Returns problem strings (empty = conforming). The caller WARNS and
+    still writes — the reference's semantics
+    (``metadata/__init__.py:150-160``): a metadata defect must never
+    lose an otherwise-successful export."""
+    problems: list[str] = []
+    for f in _INDEX_REQUIRED:
+        if f not in index:
+            problems.append(f"missing required field: {f}")
+    if index.get("result", "success") == "success":
+        for f in _INDEX_REQUIRED_SUCCESS:
+            if f not in index:
+                problems.append(f"missing required field for success: {f}")
+    for res in index.get("resources", []):
+        for f in _RESOURCE_REQUIRED:
+            if f not in res:
+                problems.append(f"resource missing {f}: {res.get('name')}")
+        if res.get("name") != res.get("path"):
+            problems.append(
+                f"resource name {res.get('name')!r} != path {res.get('path')!r}"
+            )
+    return problems
 
 
 def write_metadata(
@@ -313,6 +358,15 @@ def write_metadata(
         has_delta="delta.json" in row_counts,
         dataset_meta=dataset_meta,
     )
+    problems = validate_index(index)
+    if problems:
+        # warn-but-write: metadata defects never lose a successful
+        # export (the reference logs "Dataset metadata does not conform
+        # to the catalog model" and proceeds)
+        _log.warning(
+            "Dataset metadata does not conform to the catalog model",
+            problems="; ".join(problems),
+        )
     with open(os.path.join(out_dir, "index.json"), "w") as fh:
         json.dump(index, fh, indent=2, sort_keys=True)
     with open(os.path.join(out_dir, "resources.json"), "w") as fh:

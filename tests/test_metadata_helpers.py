@@ -106,3 +106,78 @@ def test_facet_display_labels_resolve_through_registry():
     assert by_code["us"]["label"] == "United States"
     assert by_code["zz"]["label"] == "zz"  # fallback
     assert "plural" not in by_code["de"]
+
+
+def test_validate_index_catalog_contract():
+    """Ported from the reference's exporters/test_metadata.py: a
+    successful run whose metadata is missing a required field only
+    WARNS — the index is still written (warn-but-write); a failed run
+    legitimately lacks statistics, so the contract tolerates the
+    missing counts without a warning."""
+    from opensanctions_spark.exporters.metadata import validate_index
+
+    good = {
+        "name": "t", "version": "1", "updated_at": "2026-08-01T00:00:00",
+        "last_export": "2026-08-01T00:00:00",
+        "resources": [{"name": "names.txt", "path": "names.txt",
+                       "url": "artifacts:/t/1/names.txt",
+                       "mime_type": "text/plain"}],
+        "entity_count": 5, "target_count": 2,
+        "last_change": "2026-08-01T00:00:00", "result": "success",
+    }
+    assert validate_index(good) == []
+
+    # drop a required statistics-derived field: flagged on success...
+    broken = {k: v for k, v in good.items() if k != "entity_count"}
+    assert any("entity_count" in p for p in validate_index(broken))
+    # ...but tolerated on a failed run (statistics legitimately absent)
+    failed = dict(broken, result="failure")
+    failed.pop("target_count"); failed.pop("last_change")
+    assert validate_index(failed) == []
+
+    # resource name/path mismatch is the ResourceModel invariant
+    bad_res = dict(good)
+    bad_res["resources"] = [dict(good["resources"][0], path="other.txt")]
+    assert any("!= path" in p for p in validate_index(bad_res))
+
+
+def test_write_metadata_warns_but_writes(tmp_path, spark, caplog):
+    """The warn-but-write semantics end-to-end: a dataset_meta overlay
+    that breaks the contract still produces index.json."""
+    import json as _json
+    import os
+
+    from opensanctions_spark.exporters.metadata import write_metadata
+
+    entities = spark.createDataFrame(
+        [("e1", "Person", {"name": ["A"]}, "2026-01-01T00:00:00",
+          "2026-01-01T00:00:00")],
+        "canonical_id string, schema string, "
+        "properties map<string,array<string>>, first_seen string, "
+        "last_seen string",
+    )
+    out = str(tmp_path)
+    # 'resources' overlay of the wrong shape breaks the contract
+    write_metadata(
+        out, "t", entities, {"names.txt": 1},
+        dataset_meta={"resources": [{"title": "no name"}]},
+    )
+    assert os.path.isfile(os.path.join(out, "index.json"))
+    with open(os.path.join(out, "index.json")) as fh:
+        idx = _json.load(fh)
+    assert idx["name"] == "t"
+
+
+def test_index_resolve_only_serialized_when_false(tmp_path, spark):
+    """CatalogDatasetModel: ``resolve`` has implicit default True and is
+    only serialized when False (the maritime case)."""
+    from opensanctions_spark.exporters.metadata import dataset_index
+
+    stats = {"entity_count": 1, "target_count": 0,
+             "things": {"total": 1}, "last_change": None}
+    base = dict(dataset="t", stats=stats, resources=[], row_counts={},
+                version="1", run_time="2026-08-01T00:00:00")
+    with_true = dataset_index(**base, dataset_meta={"resolve": True})
+    assert "resolve" not in with_true
+    with_false = dataset_index(**base, dataset_meta={"resolve": False})
+    assert with_false["resolve"] is False
