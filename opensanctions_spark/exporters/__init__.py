@@ -142,6 +142,10 @@ def entity_referents(statements: DataFrame) -> DataFrame:
         .agg(
             F.collect_set("entity_id").alias("_eids"),
             F.array_sort(F.collect_set("dataset")).alias("datasets"),
+            # last_change = the newest FIRST_seen: the most recent time a
+            # statement VALUE first appeared (a re-sighting moves only
+            # last_seen) — the reference's per-entity last_change
+            F.max("first_seen").alias("last_change"),
         )
         .select(
             "canonical_id",
@@ -149,6 +153,7 @@ def entity_referents(statements: DataFrame) -> DataFrame:
                 F.filter("_eids", lambda x: x != F.col("canonical_id"))
             ).alias("referents"),
             "datasets",
+            "last_change",
         )
     )
 
@@ -163,6 +168,9 @@ def ftm_entities(entities: DataFrame, refs: DataFrame | None = None) -> DataFram
         [
             F.coalesce(F.col("referents"), F.array()).alias("referents"),
             F.coalesce(F.col("datasets"), F.array()).alias("datasets"),
+            F.coalesce(F.col("last_change"), F.col("last_seen")).alias(
+                "last_change"
+            ),
         ]
         if refs is not None
         else []
@@ -311,11 +319,15 @@ def simple_csv_fused(
 
 
 def nested_entities(entities: DataFrame, adjacency: DataFrame,
-                    reverse: DataFrame | None = None) -> DataFrame:
+                    reverse: DataFrame | None = None,
+                    refs: DataFrame | None = None) -> DataFrame:
     """Depth-1 graph embedding for target entities: collect adjacent
     entities (forward via entity props, reverse via pointing edges) into a
     sorted array — the bounded, cycle-free rendering of ``to_nested_dict``
-    (``zavod/zavod/entity.py:174-198``)."""
+    (``zavod/zavod/entity.py:174-198``). ``refs`` (from
+    :func:`entity_referents`) adds the reference document's per-entity
+    ``datasets``/``last_change`` plus the seen range (the
+    test_nested.py field set)."""
     fwd = adjacency.select(
         "canonical_id",
         F.concat_ws(":", F.col("prop"), F.col("adj_id")).alias("link"),
@@ -331,6 +343,17 @@ def nested_entities(entities: DataFrame, adjacency: DataFrame,
         F.array_sort(F.collect_set("link")).alias("links")
     )
     targets = entities.filter(target_flag(F.col("properties")))
+    extra = []
+    if refs is not None:
+        targets = targets.join(refs, "canonical_id", "left")
+        extra = [
+            F.coalesce(F.col("datasets"), F.array()).alias("datasets"),
+            F.col("first_seen"),
+            F.col("last_seen"),
+            F.coalesce(F.col("last_change"), F.col("last_seen")).alias(
+                "last_change"
+            ),
+        ]
     return (
         targets.join(nested, "canonical_id", "left")
         .select(
@@ -338,6 +361,7 @@ def nested_entities(entities: DataFrame, adjacency: DataFrame,
             F.col("schema").alias("entity_schema"),
             F.coalesce(F.size("links"), F.lit(0)).alias("n_adjacent"),
             F.array_join(F.coalesce(F.col("links"), F.array().cast("array<string>")), ";").alias("nested"),
+            *extra,
         )
     )
 
@@ -543,13 +567,16 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     adjacency = adjacent_entities(entities).persist()
     counts: dict[str, int] = {}
 
+    # persist: the referents aggregation feeds TWO sinks (ftm + nested);
+    # unpersisted each would re-shuffle the full statement table
+    refs = entity_referents(statements).persist()
     sinks: dict[str, tuple[DataFrame, list[str]]] = {
-        "entities.ftm.json": (
-            ftm_entities(entities, entity_referents(statements)), ["id"]),
+        "entities.ftm.json": (ftm_entities(entities, refs), ["id"]),
         "statements.csv": (statements_csv(statements), ["id"]),
         "targets.simple.csv": (simple_csv(entities, adjacency), ["id"]),
         "targets.nested.json": (
-            nested_entities(entities, adjacency, reverse_adjacency(entities)), ["id"]),
+            nested_entities(entities, adjacency, reverse_adjacency(entities),
+                            refs=refs), ["id"]),
         "senzing.json": (senzing_records(entities), ["RECORD_ID"]),
         "names.txt": (names_export(entities), ["name"]),
         "maritime.csv": (maritime_export(entities), ["imo"]),
@@ -597,4 +624,5 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
         json.dump(index, fh, indent=2, sort_keys=True)
     adjacency.unpersist()
     entities.unpersist()
+    refs.unpersist()
     return counts

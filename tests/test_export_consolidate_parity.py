@@ -150,3 +150,44 @@ def test_ftm_referents_and_datasets(spark, tmp_path):
     jane = entities["osv-jane"]
     assert jane["referents"] == []
     assert jane["datasets"] == ["testdataset1"]
+
+
+def test_nested_and_ftm_carry_datasets_and_last_change(spark, tmp_path):
+    """The reference's nested/ftm documents carry per-entity datasets,
+    the seen range, and last_change (= the newest statement
+    first_seen: a value's first appearance moves it, a re-sighting
+    moves only last_seen)."""
+    stmts = _stmts(
+        spark,
+        [("t1", "Person", "name", "Target One"),
+         ("t1", "Person", "topics", "sanction")],
+        "testdataset1",
+    )
+    out = str(tmp_path / "out")
+    arch = StatementArchive(spark, str(tmp_path / "arch"))
+    config = DatasetConfig(name="testdataset1")
+    run_dataset(spark, stmts, config, arch, out,
+                run_time="2026-08-01T00:00:00")
+    # run 2: a NEW value appears -> last_change moves to run 2's time
+    stmts2 = _stmts(
+        spark,
+        [("t1", "Person", "name", "Target One"),
+         ("t1", "Person", "name", "T. One"),
+         ("t1", "Person", "topics", "sanction")],
+        "testdataset1",
+    )
+    out2 = str(tmp_path / "out2")
+    run_dataset(spark, stmts2, config, arch, out2,
+                run_time="2026-08-13T00:00:00")
+
+    nested = {r["id"]: r for r in _read_json_sink(out2, "targets.nested.json")}
+    t1 = nested["t1"]
+    assert t1["datasets"] == ["testdataset1"]
+    assert t1["first_seen"] == "2026-08-01T00:00:00"
+    assert t1["last_seen"] == "2026-08-13T00:00:00"
+    assert t1["last_change"] == "2026-08-13T00:00:00"
+
+    ftm = {json.loads(e["entity"])["id"]: json.loads(e["entity"])
+           for e in _read_json_sink(out2, "entities.ftm.json")}
+    assert ftm["t1"]["datasets"] == ["testdataset1"]
+    assert ftm["t1"]["last_change"] == "2026-08-13T00:00:00"
