@@ -770,3 +770,21 @@ def test_bpe_apply_plan_depth_is_bounded(spark, sf_dir):
     # side contributes one explode + one join + one aggregation, same
     # budget as text_bpe_encode's corpus side
     assert plan.count("Exchange") <= 6
+
+
+def test_consolidate_entities_is_map_only(spark, sf_dir):
+    """The export-time consolidation pass (round 11) must add ZERO
+    exchanges when no protected-names side is supplied: prefix-date
+    drop, name reduction and the undirected-endpoint fix are all
+    per-row array logic on the properties map. (With statements, the
+    only additions are the bounded protected-names aggregation and its
+    canonical_id join.)"""
+    from opensanctions_spark.catalog.exporters import _export_entities
+    from opensanctions_spark.operators.consolidate import consolidate_entities
+
+    entities = _export_entities(spark, sf_dir)
+    base = _executed_plan(entities)
+    cons = _executed_plan(consolidate_entities(entities))
+    assert cons.count("Exchange") == base.count("Exchange")
+    assert "BatchEvalPython" not in cons and "ArrowEvalPython" not in cons
+    assert "CartesianProduct" not in cons
