@@ -212,15 +212,30 @@ def consolidate_entities(
         F.lower,
     )
 
+    # simplify_names runs ONLY on the LegalEntity subtree
+    # (consolidate.py:124-126: ``if not entity.schema.is_a("LegalEntity")``)
+    # — Position/Vessel/Security/Address names stay untouched.
+    from opensanctions_spark.model.registry import SCHEMA_PARENTS
+
+    legal_schemata = sorted(
+        n for n, parents in SCHEMA_PARENTS.items()
+        if n == "LegalEntity" or "LegalEntity" in parents
+    )
+    is_legal = F.col("schema").isin(*legal_schemata)
+
     def fix_value(k, v):
+        # _simplify_dates drops prefix values BEFORE the provenance
+        # min/max reduction (consolidate.py:71-81): for
+        # createdAt={'2023','2023-01-05'} the min is '2023-01-05'.
+        pruned = F.when(F.size(v) > 1, _consolidate_dates(v)).otherwise(v)
         dated = F.when(
-            k.isin(*PROV_MAX_DATES), F.array(F.array_max(v))
+            k.isin(*PROV_MAX_DATES), F.array(F.array_max(pruned))
         ).when(
-            k.isin(*PROV_MIN_DATES), F.array(F.array_min(v))
-        ).when(F.size(v) > 1, _consolidate_dates(v)).otherwise(v)
+            k.isin(*PROV_MIN_DATES), F.array(F.array_min(pruned))
+        ).otherwise(pruned)
         return (
             F.when(k.isin(*date_props), dated)
-            .when(k.isin(*NAME_PROPS), _consolidate_names(k, v, weak))
+            .when(k.isin(*NAME_PROPS) & is_legal, _consolidate_names(k, v, weak))
             .otherwise(v)
         )
 
@@ -274,7 +289,9 @@ def consolidate_entities(
         )
         out = out.join(prot, "canonical_id", "left").withColumn(
             "properties",
-            F.when(F.col("_protected").isNull(), F.col("properties")).otherwise(
+            F.when(
+                F.col("_protected").isNull() | ~is_legal, F.col("properties")
+            ).otherwise(
                 F.transform_values(
                     "properties",
                     lambda k, v: F.when(

@@ -259,12 +259,33 @@ def _extended_stats(
         }
     )
     if need_country:
-        rows = (
-            entities.select(
-                F.explode(
-                    F.coalesce(F.col("properties")["country"], F.array())
-                ).alias("c")
+        # The reference counts entity.countries — the DISTINCT values of
+        # every country-typed prop (country, jurisdiction, mainCountry,
+        # nationality, citizenship) — and only over Thing-subtree
+        # entities (``zavod/zavod/exporters/statistics.py:106-110``:
+        # ``if entity.schema.is_a("Thing"): for country in
+        # entity.countries``). A dataset whose country signal lives in
+        # nationality must not undercount and abort the run.
+        from opensanctions_spark.model.registry import SCHEMA_PARENTS, TYPE_PROPS
+
+        thing_schemata = sorted(
+            n for n, parents in SCHEMA_PARENTS.items()
+            if n == "Thing" or "Thing" in parents
+        )
+        props = F.col("properties")
+        all_countries = F.array_distinct(
+            F.flatten(
+                F.array(
+                    *[
+                        F.coalesce(props[p], F.array())
+                        for p in TYPE_PROPS["country"]
+                    ]
+                )
             )
+        )
+        rows = (
+            entities.filter(F.col("schema").isin(*thing_schemata))
+            .select(F.explode(all_countries).alias("c"))
             .groupBy("c")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

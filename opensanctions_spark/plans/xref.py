@@ -184,9 +184,27 @@ def xref_and_resolve(
     config = config or XrefConfig()
     decisions = xref_pairs(subjects, config)
     if exact_strong_ids:
-        decisions = decisions.unionByName(
-            strong_id_edges(subjects)
-        ).dropDuplicates(["left_id", "right_id"])
+        # Deterministic per-pair resolution: when a pair arrives from
+        # BOTH the blocking path and the spanning-edge path the
+        # judgement necessarily agrees (a spanning pair shares a strong
+        # id, so the blocking path force-judges it POSITIVE —
+        # force > veto in apply_match_rules, matching logic_decide),
+        # but the surviving score must not be partition-order
+        # dependent: keep the max score, breaking judgement ties by
+        # rank so persisted decisions are byte-stable across runs.
+        j_rank = F.when(F.col("judgement") == "POSITIVE", 2).when(
+            F.col("judgement") == "NEGATIVE", 1
+        ).otherwise(0)
+        decisions = (
+            decisions.unionByName(strong_id_edges(subjects))
+            .groupBy("left_id", "right_id")
+            .agg(
+                F.max("score").alias("score"),
+                F.max_by(
+                    "judgement", F.struct(j_rank.alias("r"), F.col("judgement"))
+                ).alias("judgement"),
+            )
+        )
     mapping = canonical_map(decisions)
     return decisions, mapping
 

@@ -56,3 +56,52 @@ def test_collapse_undirected_edges(spark):
     out = collapse_undirected_edges(df, "src", "dst")
     got = {(r["src"], r["dst"]) for r in out.collect()}
     assert got == {("a", "b")}
+
+
+def _view(spark, rows):
+    """(canonical_id, schema, {prop: [values]}) → entity view frame."""
+    return spark.createDataFrame(
+        rows,
+        "canonical_id string, schema string, properties map<string,array<string>>",
+    )
+
+
+def test_prov_min_dates_drop_prefixes_first(spark):
+    """_simplify_dates removes prefix date values BEFORE the provenance
+    min reduction (consolidate.py:71-81): createdAt={'2023','2023-01-05'}
+    exports '2023-01-05', not '2023'. max props are unaffected by
+    construction (a proper prefix sorts before its extension)."""
+    from opensanctions_spark.operators.consolidate import consolidate_entities
+
+    view = _view(
+        spark,
+        [
+            ("e1", "Person", {
+                "createdAt": ["2023", "2023-01-05"],
+                "modifiedAt": ["2024", "2024-02-01"],
+            }),
+        ],
+    )
+    row = consolidate_entities(view).collect()[0]
+    assert row["properties"]["createdAt"] == ["2023-01-05"]
+    assert row["properties"]["modifiedAt"] == ["2024-02-01"]
+
+
+def test_name_simplification_legal_entities_only(spark):
+    """simplify_names early-returns unless schema.is_a('LegalEntity')
+    (consolidate.py:124-126): case-duplicate names on a Position stay,
+    the same names on a Person collapse; weakAlias demotion likewise
+    only fires on the LegalEntity subtree."""
+    from opensanctions_spark.operators.consolidate import consolidate_entities
+
+    view = _view(
+        spark,
+        [
+            ("pos", "Position", {"name": ["JOHN DOE", "John Doe"],
+                                 "weakAlias": ["John Doe"]}),
+            ("per", "Person", {"name": ["JOHN DOE", "John Doe"]}),
+        ],
+    )
+    rows = {r["canonical_id"]: r for r in consolidate_entities(view).collect()}
+    assert sorted(rows["pos"]["properties"]["name"]) == ["JOHN DOE", "John Doe"]
+    assert rows["per"]["properties"]["name"] == ["John Doe"]

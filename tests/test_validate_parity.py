@@ -186,3 +186,30 @@ def test_run_dataset_no_assertions_nudge(spark, tmp_path):
             "dataset": "nudge"} in [
         {k: i[k] for k in ("level", "message", "dataset")} for i in issues
     ]
+
+
+def test_extended_stats_all_country_props_things_only(spark):
+    """entity.countries spans every country-typed prop (country,
+    jurisdiction, mainCountry, nationality, citizenship), DISTINCT per
+    entity, and only Thing-subtree entities count
+    (``zavod/zavod/exporters/statistics.py:106-110``) — a dataset whose
+    country signal lives in nationality must not undercount."""
+    entities = _entities(
+        spark,
+        [
+            ("e1", "Person", {"nationality": ["ru"], "citizenship": ["ru", "kz"]}),
+            ("e2", "Company", {"jurisdiction": ["vg"]}),
+            ("e3", "Sanction", {"country": ["us"]}),
+        ],
+    )
+    assertions = parse_assertions(
+        {"min": {"country_entities": {"ru": 1}, "countries": 3}}
+    )
+    stats = _extended_stats(entities, assertions)
+    assert stats["countries"] == 3          # ru, kz, vg; Sanction's us excluded
+    assert stats["country:ru"] == 1          # distinct per entity
+    assert stats["country:kz"] == 1
+    assert "country:us" not in stats
+    assert check_assertions(
+        {"schema:Person": 1, **stats}, assertions
+    ) == []

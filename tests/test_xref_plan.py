@@ -290,3 +290,27 @@ def test_strong_id_edges_linear_path(spark, subjects):
     }
     # the anchor carries its identity row; every member maps to it
     assert got == {("x0", "x0"), ("x1", "x0"), ("x2", "x0"), ("x3", "x0")}
+
+
+def test_strong_id_union_deterministic_scores(spark, subjects):
+    """When a pair arrives from BOTH the blocking path and the
+    strong-id spanning path, the persisted decision must be
+    deterministic — max score wins (not whichever partition landed
+    first). Two runs over differently-partitioned input produce
+    byte-identical decision rows."""
+    cfg = XrefConfig(threshold=0.5, top_k=5, max_token_freq=None)
+
+    def run(df):
+        dec, _ = xref_and_resolve(df, cfg, exact_strong_ids=True)
+        return sorted(
+            (r["left_id"], r["right_id"], r["score"], r["judgement"])
+            for r in dec.collect()
+        )
+
+    a = run(subjects.repartition(1))
+    b = run(subjects.repartition(7, "id"))
+    assert a == b
+    # the b1/b2 pair shares a strong id AND blocks on its name tokens:
+    # the surviving score is the max (the spanning edge's 1.0)
+    pair = [r for r in a if (r[0], r[1]) == ("b1", "b2")]
+    assert pair and pair[0][2] == 1.0 and pair[0][3] == "POSITIVE"
