@@ -125,87 +125,31 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The build driver records correctness rows for the FIRST 50 entries of
-#: ``queries()``. Lifetime coverage: every query present through round 9
-#: has at least one green driver row (199/199 across rounds 1-9); the six
-#: round-9 additions get their FIRST driver rows this round (r10).
+#: ``queries()``. Lifetime coverage: every catalog query has at least one
+#: green driver row and zero lifetime driver failures (rounds 1-11).
 #:
-#: ROUND-11 ROTATION (VERDICT r10 task 1, promoted verbatim from the
-#: pre-staged section): head-50 = the 1 round-11 addition
-#: (text_bpe_apply, the production-shape merge-table BPE encode) + the
-#: 7 round-5 cohort leftovers + the first 42 of the round-6 cohort.
-#: Per the standing mechanical rule "new round-N additions go first",
-#: the new row displaces exactly one pre-staged name: s5_html_table
-#: slips to the top of the ROUND 12 section below.
+#: ROUND-12 ROTATION (VERDICT r11 task 1, promoted VERBATIM from the
+#: pre-staged section): head-50 = s5_html_table (the r11 slip) + the 7
+#: round-6 cohort leftovers (s6_excel_scan ... w3_rank_family) + the
+#: first 42 of the round-8 cohort. No round-12 addition enters the
+#: head: the r11 verdict pinned this list verbatim (done-criterion:
+#: CORRECTNESS_r12.json keys set-equal to it), so round-12 catalog
+#: additions stage at the HEAD of the ROUND 13 section instead — the
+#: standing "new round-N additions go first" rule applied one
+#: promotion later.
 #:
-#: PRE-STAGED ROTATION FOR FUTURE ROUNDS (promote mechanically, new
-#: round-N additions go first; each slip cascades one name into the
-#: next section):
-#:   ROUND 12 head-50 = s5_html_table (r11 slip) + the 7 round-6
-#:     leftovers (s6_excel_scan ... w3_rank_family) + the first 42 of
-#:     the round-8 cohort — the "ROUND 12" section below, verbatim.
-#:   ROUND 13 head-50 = text_langid (r12 slip) + the 7 round-8
-#:     leftovers + the first 42 of the round-9 cohort — the "ROUND 13"
-#:     section below, verbatim.
-#:   ROUND 14 onward: the round-9 leftovers (8) then the round-10
+#: PRE-STAGED ROTATION FOR FUTURE ROUNDS (promote mechanically; each
+#: slip cascades one name into the next section):
+#:   ROUND 13 head-50 = the round-12 additions (first) + text_langid
+#:     (r12 slip) + the 7 round-8 leftovers + the round-9 cohort up to
+#:     the 50-row budget — the "ROUND 13" section below, verbatim.
+#:   ROUND 14 head-50 = the round-9 cohort leftovers + the first 42 of
+#:     the round-10 head — the "ROUND 14" section below, verbatim.
+#:   ROUND 15 onward: the rest of the round-10 head, then the round-11
 #:     head-50 (freshest), as they age past two rounds.
 DRIVER_PRIORITY: list[str] = [
-    # ==== ROUND 11 head-50 ==========================================================
-    # -- round-11 addition (first driver check) -----------------------------------
-    "text_bpe_apply",
-    # -- round-5 cohort leftovers (7; last driver-checked r5) ---------------------
-    "s13_compaction_plan",
-    "s9_p2_statement_filters",
-    "scd2_entity_history",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "t2_t3_facet_topk",
-    "t6_key_skew_profile",
-    # -- round-6 cohort, first 42 (s5_html_table slips to round 12) ---------------
-    "a10_edge_cleanup",
-    "a4_program_facets",
-    "a9_name_reduction",
-    "approx_distinct_users",
-    "approx_quantile_contract",
-    "audit_source_columns",
-    "d4_change_detection",
-    "dedup_exact",
-    "events_json_extract",
-    "events_variant_extract",
-    "f10_address_compose",
-    "f11_crypto_wallets",
-    "f13_occupancy_status",
-    "f7_identifier_checksums",
-    "funnel_view_click_purchase",
-    "j11_self_reference",
-    "j4_recursive_expansion",
-    "j5_t1_blocking_topk",
-    "j7_edge_dedupe_merge",
-    "j9_match_rules",
-    "mm_decode_ppm_real",
-    "mm_decode_wav_real",
-    "p7_person_cutoff",
-    "pivot_status_counts",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_revenue",
-    "s10_archive_backfill",
-    "s11_llm_extraction",
-    "s12_review_workflow",
-    "s12_reviewed_names_emit",
-    "s14_un_sc_parse",
-    "s1_csv_scan",
-    "s2_xml_scan",
-    "s3_json_scan",
-    "s4_html_dom",
-    # ==== the driver's 50-row budget ends here ================================
-    # ==== ROUND 12 head-50 (promote in round 12) ====================================
-    # -- round-6 cohort leftovers (8, incl. the r11 slip) -------------------------
+    # ==== ROUND 12 head-50 ==========================================================
+    # -- round-6 cohort leftovers (8, incl. the r11 slip; last checked r6) ---------
     "s5_html_table",
     "s6_excel_scan",
     "s7_pdf_tables",
@@ -257,7 +201,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_windowed_agg",
     "text_fingerprint",
     "text_gopher_rules",
+    # ==== the driver's 50-row budget ends here ================================
     # ==== ROUND 13 head-50 (promote in round 13) ====================================
+    # -- round-12 additions stage here, FIRST (see rotation note above) -----------
     # -- round-8 cohort leftovers (8, incl. the r12 slip) -------------------------
     "text_langid",
     "text_mojibake_scan",
@@ -310,8 +256,8 @@ DRIVER_PRIORITY: list[str] = [
     "search_inverted_index",
     "store_view_adjacency",
     "stream_curate_corpus",
-    # ==== ROUND 14+ tail (freshest: checked r10; cycle after r13) ===================
-    # -- round-9 cohort leftovers (8) ---------------------------------------------
+    # ==== ROUND 14 head-50 (promote in round 14) ====================================
+    # -- round-9 cohort leftovers (8) ----------------------------------------------
     "stream_stateful_totals",
     "text_bigram_lm_score",
     "text_bpe_train",
@@ -320,7 +266,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_repetition",
     "text_tfidf_topk",
     "text_vocab_coverage",
-    # -- round-10 head-50 (checked r10: r10+r9 additions, then r5 cohort) ---------
+    # -- round-10 head, first 42 (checked r10) --------------------------------------
     "text_bpe_encode",
     "ann_ivfpq_recall",
     "graph_risk_propagation",
@@ -363,6 +309,8 @@ DRIVER_PRIORITY: list[str] = [
     "k5_senzing",
     "k6_names_txt",
     "k7_statistics",
+    # ==== ROUND 15+ tail ============================================================
+    # -- round-10 head leftovers (8) -------------------------------------------------
     "k9_securities",
     "p1_target_filter",
     "pipeline_curate_corpus",
@@ -371,6 +319,58 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q8_market_share",
     "s11_name_extraction",
+    # -- round-11 head additions/leftovers (checked r11) --------------------------
+    "text_bpe_apply",
+    "s13_compaction_plan",
+    "s9_p2_statement_filters",
+    "scd2_entity_history",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "t2_t3_facet_topk",
+    "t6_key_skew_profile",
+    # -- round-6 cohort, first 42 (checked r11) ------------------------------------
+    "a10_edge_cleanup",
+    "a4_program_facets",
+    "a9_name_reduction",
+    "approx_distinct_users",
+    "approx_quantile_contract",
+    "audit_source_columns",
+    "d4_change_detection",
+    "dedup_exact",
+    "events_json_extract",
+    "events_variant_extract",
+    "f10_address_compose",
+    "f11_crypto_wallets",
+    "f13_occupancy_status",
+    "f7_identifier_checksums",
+    "funnel_view_click_purchase",
+    "j11_self_reference",
+    "j4_recursive_expansion",
+    "j5_t1_blocking_topk",
+    "j7_edge_dedupe_merge",
+    "j9_match_rules",
+    "mm_decode_ppm_real",
+    "mm_decode_wav_real",
+    "p7_person_cutoff",
+    "pivot_status_counts",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_revenue",
+    "s10_archive_backfill",
+    "s11_llm_extraction",
+    "s12_review_workflow",
+    "s12_reviewed_names_emit",
+    "s14_un_sc_parse",
+    "s1_csv_scan",
+    "s2_xml_scan",
+    "s3_json_scan",
+    "s4_html_dom",
 ]
 
 
