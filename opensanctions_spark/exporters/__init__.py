@@ -547,11 +547,18 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
 
     ``single_file=True`` (reference parity: one artifact file per sink,
     ``zavod/zavod/exporters/__init__.py:49-84``) funnels each sink
-    through one write task — fine at dataset scale, a bottleneck past
-    millions of rows. ``single_file=False`` is the cluster path: the
-    global sort's range partitioning already gives a total order ACROSS
-    part files (part N < part N+1), so output stays deterministic while
-    every partition writes in parallel."""
+    through one globally-sorted write task — fine at dataset scale, a
+    bottleneck past millions of rows. ``single_file=False`` is the
+    cluster path: each sink sorts WITHIN the partitions it already has
+    (the persisted entity view's hash clustering / the archive's bucket
+    layout), so no sink pays a range exchange of the full data — at
+    sf10 the statements sink's global sort alone re-shuffled ~520 MB
+    per run (SCALE.md §21c). Rows are entity-grouped and sorted within
+    each part, matching the reference's store-iteration output order
+    (its statements.csv streams per-entity, not id-sorted); a global
+    total order across part files is deliberately NOT promised — that
+    is the reference's single-file semantics, which single_file=True
+    preserves."""
     os.makedirs(out_dir, exist_ok=True)
     # every sink except the raw statements CSV consumes the CONSOLIDATED
     # view (the reference's export loop: feed_unconsolidated for the
@@ -572,7 +579,11 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     refs = entity_referents(statements).persist()
     sinks: dict[str, tuple[DataFrame, list[str]]] = {
         "entities.ftm.json": (ftm_entities(entities, refs), ["id"]),
-        "statements.csv": (statements_csv(statements), ["id"]),
+        # entity-grouped like the reference's store iteration (id is the
+        # in-entity tiebreak); on a bucketed archive the scan is already
+        # clustered+sorted on canonical_id, so the cluster path's
+        # sortWithinPartitions is a partial sort with zero exchange
+        "statements.csv": (statements_csv(statements), ["canonical_id", "id"]),
         "targets.simple.csv": (simple_csv(entities, adjacency), ["id"]),
         "targets.nested.json": (
             nested_entities(entities, adjacency, reverse_adjacency(entities),
@@ -589,12 +600,21 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     for fname, (df, order) in sinks.items():
         path = os.path.join(out_dir, fname)
         obs = Observation(f"rows:{fname}")
-        # observe ABOVE the sort: the global sort's range-partitioning
-        # sampling pass re-executes everything below it, which would
-        # double-count metrics attached under the exchange
-        ordered = df.orderBy(*order).observe(obs, F.count(F.lit(1)).alias("n"))
         if single_file:
-            ordered = ordered.coalesce(1)
+            # observe ABOVE the sort: the global sort's range-partitioning
+            # sampling pass re-executes everything below it, which would
+            # double-count metrics attached under the exchange
+            ordered = (
+                df.orderBy(*order)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .coalesce(1)
+            )
+        else:
+            # cluster path: sort within the partitioning the input already
+            # carries — no per-sink range exchange (see docstring)
+            ordered = df.sortWithinPartitions(*order).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
         if fname.endswith(".csv"):
             ordered.write.mode("overwrite").option("header", True).csv(path)
         elif fname.endswith(".json"):

@@ -217,6 +217,23 @@ def canonical_map(decisions: DataFrame) -> DataFrame:
     )
 
 
+def mapping_fingerprint(mapping: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a canonical map:
+    ``<row count>:<bit_xor of xxhash64(entity_id, canonical_id)>``.
+
+    One distributed aggregation, no collect of the map itself. The run
+    plan records it in the archive manifest at write time so an
+    incremental run can PROVE the previous version was written under
+    the identical resolver snapshot and skip the prev-side rekey —
+    keeping the bucketed version's canonical_id clustering alive for
+    the J1 probe and the D0/D1 hash diff (SCALE.md §21c)."""
+    row = mapping.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(entity_id, canonical_id))").alias("x"),
+    ).collect()[0]
+    return f"{row['n']}:{row['x']}"
+
+
 def apply_canonical(statements: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite statement canonical ids through the resolver mapping (J2).
 

@@ -20,17 +20,58 @@ from pyspark.sql import functions as F
 
 
 def propagate_first_seen(
-    curr: DataFrame, prev: DataFrame, run_time: str, id_col: str = "id"
+    curr: DataFrame,
+    prev: DataFrame,
+    run_time: str,
+    id_col: str = "id",
+    cluster_col: str | None = None,
 ) -> DataFrame:
-    """Stamp first_seen from prev where the statement already existed."""
-    index = prev.select(
-        F.col(id_col).alias("_ts_id"), F.col("first_seen").alias("_prev_first_seen")
-    )
-    out = (
-        curr.join(index, curr[id_col] == index["_ts_id"], "left")
-        .withColumn(
-            "first_seen", F.coalesce(F.col("_prev_first_seen"), F.lit(run_time))
+    """Stamp first_seen from prev where the statement already existed.
+
+    ``cluster_col`` (usually ``canonical_id``) switches the probe from a
+    join on the statement id to a join on the cluster key, with the
+    previous version's (id → first_seen) pairs rolled into ONE map per
+    cluster first. Why this matters at scale: the id is a content hash,
+    so an id-keyed join re-exchanges BOTH full sides every incremental
+    run; the cluster key is the column the archive's bucketed layout
+    already clusters on, so the prev side aggregates and joins with ZERO
+    exchange and the current side pays exactly one exchange — the same
+    one the bucketed write and the assembly need anyway (SCALE.md §21c).
+
+    Only valid when equal ids imply equal cluster values on both sides —
+    i.e. both frames carry canonical ids from the SAME resolver snapshot
+    (the run plan guarantees this via the manifest fingerprint)."""
+    if cluster_col is None:
+        index = prev.select(
+            F.col(id_col).alias("_ts_id"),
+            F.col("first_seen").alias("_prev_first_seen"),
         )
-        .drop("_ts_id", "_prev_first_seen")
+        return (
+            curr.join(index, curr[id_col] == index["_ts_id"], "left")
+            .withColumn(
+                "first_seen", F.coalesce(F.col("_prev_first_seen"), F.lit(run_time))
+            )
+            .drop("_ts_id", "_prev_first_seen")
+        )
+    # both groupBys and the join key on cluster_col: a bucketed prev scan
+    # satisfies every distribution requirement without an exchange. The
+    # inner (cluster, id) agg dedupes ids so map_from_entries cannot see
+    # a duplicate key (mapKeyDedupPolicy=EXCEPTION would abort the run).
+    index = (
+        prev.groupBy(cluster_col, id_col)
+        .agg(F.min("first_seen").alias("_fs"))
+        .groupBy(cluster_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(id_col), F.col("_fs")))
+            ).alias("_fs_map")
+        )
     )
-    return out
+    return (
+        curr.join(index, cluster_col, "left")
+        .withColumn(
+            "first_seen",
+            F.coalesce(F.col("_fs_map")[F.col(id_col)], F.lit(run_time)),
+        )
+        .drop("_fs_map")
+    )

@@ -385,9 +385,53 @@ def run_dataset(
     statements = statements.drop("first_seen").withColumn(
         "last_seen", F.lit(run_time)
     )
+
+    # 1b. resolver rekey (J2) BEFORE the versioned write. The reference's
+    # linker applies to every store access (zavod/zavod/store.py:36-47);
+    # rekeying the incoming statements up front means the stored version
+    # is already canonical, so (a) the bucketed layout clusters on the
+    # FINAL canonical_id and the assembly/delta ride it exchange-free,
+    # and (b) no read-time rekey is needed for the current version. The
+    # previous version is normalized to the CURRENT map too — unless the
+    # manifest proves it was written under the identical map (the
+    # fingerprint fast path), in which case its stored canonical ids and
+    # bucket clustering are consumed as-is. The round-11 rehearsal bug
+    # (prev diffed raw → spurious DEL per merged id) stays fixed: prev
+    # is always map-consistent with the current side here.
+    map_fp = None
+    resolver_dropped = False
+    if canonical_map is not None:
+        from opensanctions_spark.operators.resolve import (
+            apply_canonical,
+            mapping_fingerprint,
+        )
+
+        map_fp = mapping_fingerprint(canonical_map)
+        statements = apply_canonical(statements, canonical_map)
+        if prev is not None and (
+            archive.canonical_fp(config.name, prev_version) != map_fp
+        ):
+            prev = apply_canonical(prev, canonical_map)
+    elif prev is not None and (
+        archive.canonical_fp(config.name, prev_version) is not None
+    ):
+        # the previous version stores resolver-merged canonical ids but
+        # this run has no map: J1 (id-keyed) is unaffected, but the
+        # delta below will diff merged ids against raw ones — surface it
+        resolver_dropped = True
+
     if prev is not None:
+        # with a resolver map both sides are canonical-consistent, so the
+        # J1 probe keys on canonical_id (one map per entity) — the prev
+        # side rides the bucketed clustering with zero exchange and the
+        # current side pays the single canonical_id exchange the write
+        # and assembly want anyway. Mapless runs keep the id-keyed join
+        # (caller-set canonical ids need not match across versions).
         statements = propagate_first_seen(
-            statements, prev.select("id", "first_seen"), run_time=run_time
+            statements,
+            prev.select("canonical_id", "id", "first_seen"),
+            run_time=run_time,
+            cluster_col="canonical_id" if canonical_map is not None else None,
         )
     else:
         statements = statements.withColumn("first_seen", F.lit(run_time))
@@ -396,32 +440,16 @@ def run_dataset(
     # debuggable, but the backfill pointer only advances once the whole
     # run — validation included — completes (mark_successful below), so a
     # fatal-assertion abort can never poison the next run's backfill.
-    version = archive.write(statements, config.name, version, success=False)
+    version = archive.write(
+        statements, config.name, version, success=False, canonical_fp=map_fp
+    )
     statements = archive.read(config.name, version=version, external=True)
-
-    # 2b. resolver rekey (J2) at read time, like the reference's linker.
-    # The linker applies to EVERY store read (zavod/zavod/store.py:36-47)
-    # — including the delta's previous-version view below: a raw prev
-    # side would diff old entity ids against rekeyed ones and emit a
-    # spurious DEL for every merged id (found by the round-11 e2e
-    # rehearsal, tools/rehearse_e2e.py). J1 above is unaffected by
-    # ordering: first_seen propagation joins on the statement id, which
-    # rekeying never touches.
-    if canonical_map is not None:
-        from opensanctions_spark.operators.resolve import apply_canonical
-
-        statements = apply_canonical(statements, canonical_map)
-        if prev is not None:
-            prev = apply_canonical(prev, canonical_map)
 
     # 3. assembly — one shuffle, persisted for validators + exporters.
     # With bucketed statement storage the scan is already clustered on
-    # canonical_id and the assembly runs exchange-free — unless the
-    # resolver rekey above replaced canonical_id, which invalidates the
-    # stored clustering.
-    pre_clustered = canonical_map is None and archive.is_bucketed(
-        config.name, version
-    )
+    # canonical_id (the rekey happened before the write, so the stored
+    # clustering IS the final one) and the assembly runs exchange-free.
+    pre_clustered = archive.is_bucketed(config.name, version)
     entities = assemble_entities(statements, pre_clustered=pre_clustered).persist()
 
     # 4. validation — ONE job: per-schema counts and the entity/target
@@ -487,6 +515,18 @@ def run_dataset(
             {
                 "level": "warning",
                 "message": f"{dangling} dangling entity references",
+                "dataset": config.name,
+            }
+        )
+    if resolver_dropped:
+        issues.append(
+            {
+                "level": "warning",
+                "message": (
+                    "previous version was written under a resolver map but "
+                    "this run has none: the delta may report merged ids as "
+                    "ADD/DEL pairs"
+                ),
                 "dataset": config.name,
             }
         )

@@ -147,15 +147,45 @@ class StatementArchive:
             succ = [last] if last else []
         return sorted(succ)
 
+    def canonical_fp(self, dataset: str, version: str) -> str | None:
+        """Fingerprint of the canonical map a version was REKEYED WITH at
+        write time (``operators/resolve.mapping_fingerprint``); None for
+        versions written without a resolver. An incremental run whose
+        current map carries the same fingerprint may consume the stored
+        canonical ids as-is — the bucketed clustering on canonical_id
+        then survives into J1/D0/D1 with zero re-exchange."""
+        try:
+            with open(self._manifest_path(dataset)) as fh:
+                return json.load(fh).get("canonical_fps", {}).get(version)
+        except FileNotFoundError:
+            return None
+
     def _record_version(
-        self, dataset: str, version: str, keep: int = 10, success: bool = True
+        self,
+        dataset: str,
+        version: str,
+        keep: int = 10,
+        success: bool = True,
+        canonical_fp: str | None = None,
     ) -> None:
         manifest_versions = self.versions(dataset)
         last = self.last_successful(dataset)
         successful = set(self.successful_versions(dataset))
+        try:
+            with open(self._manifest_path(dataset)) as fh:
+                fps = json.load(fh).get("canonical_fps", {})
+        except FileNotFoundError:
+            fps = {}
         versions = [v for v in manifest_versions if v != version]
         versions.append(version)
         versions = sorted(versions)[-keep:]  # bounded history window
+        if canonical_fp is not None:
+            fps[version] = canonical_fp
+        # fingerprints follow the retention window (plus the promoted set,
+        # which gc never deletes blindly either)
+        fps = {
+            v: fp for v, fp in fps.items() if v in set(versions) | successful
+        }
         if success:
             last = version
             successful.add(version)
@@ -173,6 +203,7 @@ class StatementArchive:
                     "versions": versions,
                     "last_successful": last,
                     "successful": sorted(successful),
+                    "canonical_fps": fps,
                 },
                 fh,
             )
@@ -251,6 +282,7 @@ class StatementArchive:
         dataset: str,
         version: str | None = None,
         success: bool = True,
+        canonical_fp: str | None = None,
     ) -> str:
         """Write one version. ``success=False`` records the version (so it
         is inspectable/debuggable) WITHOUT advancing the backfill pointer —
@@ -273,7 +305,9 @@ class StatementArchive:
             statements.write.mode("overwrite").parquet(
                 self.version_path(dataset, version)
             )
-        self._record_version(dataset, version, success=success)
+        self._record_version(
+            dataset, version, success=success, canonical_fp=canonical_fp
+        )
         return version
 
     # -- read with backfill fallback (S9/S10) ------------------------------

@@ -69,6 +69,22 @@ def _stages_total(ui: str, app_id: str) -> int | None:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
+def _stages_detail(ui: str, app_id: str) -> dict[int, tuple[int, str]]:
+    """stage id → (shuffleWriteBytes, short name) for per-exchange
+    attribution (SCALE.md §21c: a phase total alone can't say WHICH
+    exchange grew super-linearly)."""
+    stages = _get_json(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    if stages is None:
+        return {}
+    return {
+        s["stageId"]: (
+            s.get("shuffleWriteBytes", 0),
+            (s.get("name") or "").split("\n")[0][:120],
+        )
+        for s in stages
+    }
+
+
 def _peak_heap_mb(ui: str, app_id: str) -> float | None:
     execs = _get_json(f"{ui}/api/v1/applications/{app_id}/executors")
     if execs is None:
@@ -107,10 +123,13 @@ def main() -> int:
 
     report: dict[str, dict] = {}
 
+    attribute = os.environ.get("SPARK_GRAFT_ATTRIBUTE") == "1"
+
     def measure(name: str):
         class _M:
             def __enter__(self):
                 self.sw0 = _stages_total(ui, app_id)
+                self.detail0 = _stages_detail(ui, app_id) if attribute else {}
                 self.t0 = time.time()
                 return self
 
@@ -125,11 +144,28 @@ def main() -> int:
                     "wall_sec": round(time.time() - self.t0, 2),
                     "shuffle_mb": shuffle,
                 }
+                if attribute:
+                    detail1 = _stages_detail(ui, app_id)
+                    new = [
+                        (b, sid, nm)
+                        for sid, (b, nm) in detail1.items()
+                        if sid not in self.detail0 and b > 0
+                    ]
+                    print(f"--- {name}: top shuffle-writing stages ---",
+                          file=sys.stderr)
+                    for b, sid, nm in sorted(new, reverse=True)[:10]:
+                        print(f"  {b/1e6:10.1f} MB  stage {sid:4d}  {nm}",
+                              file=sys.stderr)
 
         return _M()
 
     work = tempfile.mkdtemp(prefix="rehearse_")
-    archive = StatementArchive(spark, os.path.join(work, "archive"))
+    # production layout (round 12): versions bucketed on canonical_id —
+    # with the pre-write rekey + manifest fingerprint, run 2's J1 probe,
+    # A1 assembly and D0/D1 diff all ride the stored clustering
+    archive = StatementArchive(
+        spark, os.path.join(work, "archive"), bucket_statements=True
+    )
     config = DatasetConfig(name="default")
 
     # ---- 1. MELT -----------------------------------------------------------
