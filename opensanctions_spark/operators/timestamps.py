@@ -40,7 +40,16 @@ def propagate_first_seen(
 
     Only valid when equal ids imply equal cluster values on both sides —
     i.e. both frames carry canonical ids from the SAME resolver snapshot
-    (the run plan guarantees this via the manifest fingerprint)."""
+    (the run plan guarantees this via the manifest fingerprint).
+
+    The cluster path joins on (cluster_col, id_col) ROWS — deliberately
+    not one id→first_seen map per cluster: a heavy-hitter entity (the
+    skew rehearsal's 150k-statement key) would materialize a single
+    multi-MB aggregate row that blows task memory in whatever stage
+    carries it, while plain rows just sort within the entity's
+    partition. The subset-key clustering reuse needs
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (an engine
+    session default)."""
     if cluster_col is None:
         index = prev.select(
             F.col(id_col).alias("_ts_id"),
@@ -53,25 +62,25 @@ def propagate_first_seen(
             )
             .drop("_ts_id", "_prev_first_seen")
         )
-    # both groupBys and the join key on cluster_col: a bucketed prev scan
-    # satisfies every distribution requirement without an exchange. The
-    # inner (cluster, id) agg dedupes ids so map_from_entries cannot see
-    # a duplicate key (mapKeyDedupPolicy=EXCEPTION would abort the run).
+    # the (cluster, id) agg rides the bucketed scan exchange-free
+    # (subset clustering satisfies aggregation distribution) and
+    # guarantees key uniqueness so the left join cannot fan out
     index = (
-        prev.groupBy(cluster_col, id_col)
-        .agg(F.min("first_seen").alias("_fs"))
-        .groupBy(cluster_col)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col(id_col), F.col("_fs")))
-            ).alias("_fs_map")
+        prev.groupBy(
+            F.col(cluster_col), F.col(id_col).alias("_ts_id")
         )
+        .agg(F.min("first_seen").alias("_prev_first_seen"))
     )
     return (
-        curr.join(index, cluster_col, "left")
-        .withColumn(
-            "first_seen",
-            F.coalesce(F.col("_fs_map")[F.col(id_col)], F.lit(run_time)),
+        curr.join(
+            index,
+            (curr[cluster_col] == index[cluster_col])
+            & (curr[id_col] == index["_ts_id"]),
+            "left",
         )
-        .drop("_fs_map")
+        .drop(index[cluster_col])
+        .withColumn(
+            "first_seen", F.coalesce(F.col("_prev_first_seen"), F.lit(run_time))
+        )
+        .drop("_ts_id", "_prev_first_seen")
     )

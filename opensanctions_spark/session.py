@@ -50,6 +50,15 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
             "65536",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # a join whose keys are a SUPERSET of one side's hash clustering
+        # may reuse that clustering and shuffle only the other side —
+        # the bucketed statement archive (clustered on canonical_id)
+        # then feeds the (canonical_id, id) first_seen probe without
+        # re-exchanging the stored version (SCALE.md §21c/§21d). The
+        # default (true) forces both sides to re-shuffle on the full
+        # key set; subset-key skew is the engine's own keys, and the
+        # heavy-hitter rehearsal gates it.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -25,9 +25,29 @@ table) and peak JVM heap (executor peakMemoryMetrics):
                 run-1 entity view: prefix-value drop per
                 (canonical_id, prop) window, name reduction, and
                 undirected-edge normalization + dedupe.
-  5. RUN 2      the incremental run: every 5th customer's balance
-                drifts → J1 carries first_seen, D0/D1 version delta
-                exports ADD/MOD/DEL ops.
+  5. ENRICH     the §3.2 enrichment lifecycle (round 12): customer
+                entities matched against an external dataset (every
+                20th customer re-published under an 'x-' id) — J8
+                same-id + J5 blocking, judgement gate (every 40th pair
+                pre-judged POSITIVE), J4 bounded expansion over the
+                external dataset's adjacency, publishability semi-join.
+                POSITIVE matches' targets melt into external=True
+                statements that feed run 2 (the reference's
+                enrich→crawl hand-off, zavod/zavod/runner/enrich.py).
+  6. RUN 2      the incremental run: every 5th customer's balance
+                drifts + the enrichment candidates union in → J1
+                carries first_seen, D0/D1 version delta exports
+                ADD/MOD/DEL ops.
+
+Env:
+  SPARK_GRAFT_ATTRIBUTE=1  per-stage shuffle attribution on stderr.
+  SPARK_GRAFT_SKEW=1       heavy-hitter mode: one entity holds ~1.5% of
+                           all statements (orders-derived notes on a
+                           single id) and every 150th customer name
+                           carries a shared hot token pair (~100-1000×
+                           the median blocking DF); the melt profiles
+                           the key distribution (t6) and the gate is
+                           every stage within ~2× its uniform wall.
 
 Usage: python tools/rehearse_e2e.py [sf_dir]
 Prints one JSON line with per-stage {wall_sec, shuffle_mb} plus
@@ -80,6 +100,7 @@ def _stages_detail(ui: str, app_id: str) -> dict[int, tuple[int, str]]:
         s["stageId"]: (
             s.get("shuffleWriteBytes", 0),
             (s.get("name") or "").split("\n")[0][:120],
+            s.get("executorRunTime", 0),
         )
         for s in stages
     }
@@ -147,14 +168,23 @@ def main() -> int:
                 if attribute:
                     detail1 = _stages_detail(ui, app_id)
                     new = [
-                        (b, sid, nm)
-                        for sid, (b, nm) in detail1.items()
-                        if sid not in self.detail0 and b > 0
+                        (b, rt, sid, nm)
+                        for sid, (b, nm, rt) in detail1.items()
+                        if sid not in self.detail0
                     ]
                     print(f"--- {name}: top shuffle-writing stages ---",
                           file=sys.stderr)
-                    for b, sid, nm in sorted(new, reverse=True)[:10]:
-                        print(f"  {b/1e6:10.1f} MB  stage {sid:4d}  {nm}",
+                    for b, rt, sid, nm in sorted(new, reverse=True)[:8]:
+                        if b > 0:
+                            print(f"  {b/1e6:10.1f} MB  stage {sid:4d}  {nm}",
+                                  file=sys.stderr)
+                    print(f"--- {name}: top stages by executor time ---",
+                          file=sys.stderr)
+                    for rt, b, sid, nm in sorted(
+                        ((rt, b, sid, nm) for b, rt, sid, nm in new),
+                        reverse=True,
+                    )[:8]:
+                        print(f"  {rt/1000:9.1f} s   stage {sid:4d}  {nm}",
                               file=sys.stderr)
 
         return _M()
@@ -174,9 +204,23 @@ def main() -> int:
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
 
+    skew = os.environ.get("SPARK_GRAFT_SKEW") == "1"
+
     def statements_for(cust_df):
         from opensanctions_spark.model.melt import statement_id
 
+        if skew:
+            # hot blocking token pair: every 150th customer's name gains
+            # a shared two-word prefix (DF ~ n/150 — far over any
+            # plausible median and over the xref cap, which must absorb
+            # it without a quadratic bucket)
+            cust_df = cust_df.withColumn(
+                "c_name",
+                F.when(
+                    F.col("c_custkey") % 150 == 0,
+                    F.concat(F.lit("Zeta Syndicate "), F.col("c_name")),
+                ).otherwise(F.col("c_name")),
+            )
         dup = cust_df.filter(F.col("c_custkey") % 10 == 0)
         # relabel the duplicate shard AFTER melt: new entity_id, new
         # canonical_id, and a RECOMPUTED statement id (the provenance
@@ -217,16 +261,49 @@ def main() -> int:
         edge_stmts = finish_statements(
             edges, dataset="links", schema_name="UnknownLink"
         )
-        return (
+        out = (
             melt_customers(cust_df)
             .unionByName(melt_suppliers(supp))
             .unionByName(dup_stmts)
             .unionByName(edge_stmts)
         )
+        if skew:
+            # the heavy-hitter entity: one canonical id holding every
+            # 100th order's description as a statement (~1.5% of the
+            # whole corpus on ONE key) — the production shape the
+            # uniform synthetic tables never produce
+            mega = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                F.lit("mega-1").alias("entity_id"),
+                F.lit("notes").alias("prop"),
+                F.concat_ws(
+                    " ", F.col("o_orderkey"), F.col("o_orderpriority"),
+                    F.col("o_orderdate").cast("string"),
+                ).alias("value"),
+            )
+            out = out.unionByName(
+                finish_statements(
+                    mega, dataset="megacorp", schema_name="Organization"
+                )
+            )
+        return out
 
     with measure("melt"):
         stmts1 = statements_for(cust)
         n_stmts = stmts1.count()
+
+    skew_top = None
+    if skew:
+        # t6 wiring: the key profile decides whether any stage needs a
+        # salted twin — report the heavy hitter's share so the stage
+        # table below reads against a known distribution
+        from opensanctions_spark.operators.profiling import key_skew_profile
+
+        top = key_skew_profile(stmts1, "canonical_id", top_k=3).collect()
+        skew_top = [
+            {"key": r["key"], "cnt": r["cnt"], "share_ppm": r["share_ppm"]}
+            for r in top
+        ]
+        print(f"skew profile (top keys): {skew_top}", file=sys.stderr)
 
     # ---- 2. XREF -----------------------------------------------------------
     with measure("xref"):
@@ -319,7 +396,94 @@ def main() -> int:
             .count()
         )
 
-    # ---- 5. RUN 2 (incremental: drift → D0/D1 delta) ----------------------
+    # ---- 5. ENRICH (§3.2: J8 + J5 → judgement gate → J4 expand) -----------
+    from opensanctions_spark.model.melt import statement_id
+    from opensanctions_spark.plans.enrich import EnrichConfig, enrich
+
+    with measure("enrich"):
+        # the external enrichment dataset: every 20th customer published
+        # under an x- id with the same name (the wikidata/opencorporates
+        # shape: an external graph overlapping the subjects by name)
+        ext_cust = cust.filter(F.col("c_custkey") % 20 == 0)
+        # target names through the SAME melt normalization as the
+        # subjects — matching feeds on cleaned values on both sides
+        targets = (
+            melt_customers(ext_cust)
+            .filter(F.col("prop") == "name")
+            .select(
+                F.regexp_replace("entity_id", "^c-", "x-").alias("id"),
+                F.col("value").alias("name"),
+            )
+            .distinct()
+        )
+        subjects_e = (
+            stmts1.filter(
+                (F.col("prop") == "name") & (F.col("dataset") == "customers")
+            )
+            .select(F.col("entity_id").alias("id"), F.col("value").alias("name"))
+            .distinct()
+        )
+        # the external dataset's own adjacency (expansion walks the
+        # TARGET graph): each x- customer linked to the supplier of its
+        # first every-10th order
+        ext_edges = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .join(
+                lineitem.filter(F.col("l_linenumber") == 1).select(
+                    "l_orderkey", "l_suppkey"
+                ),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .filter(F.col("o_custkey") % 20 == 0)
+            .select(
+                F.concat(F.lit("x-"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("xs-"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        judgements = ext_cust.filter(F.col("c_custkey") % 40 == 0).select(
+            F.concat(F.lit("c-"), F.col("c_custkey")).alias("left_id"),
+            F.concat(F.lit("x-"), F.col("c_custkey")).alias("right_id"),
+            F.lit("POSITIVE").alias("judgement"),
+        )
+        candidates, internal = enrich(
+            subjects_e, targets, ext_edges, judgements,
+            publishable=targets.select("id"),
+            # cutoff 0.3, not the reference's 0.5: its cutoff applies to
+            # the feature scorer; the rehearsal's candidate metric is the
+            # capped Jaccard, where an exact-name pair whose common word
+            # token is over the DF cap scores 1/3 (the cap keeps the
+            # "Customer" bucket from expanding 150k x 7.5k pairs)
+            config=EnrichConfig(cutoff=0.3, top_k=10, max_token_freq=100),
+        )
+        candidates = candidates.persist()
+        n_candidates = candidates.count()
+        n_internal = internal.count()
+        # the enrich→crawl hand-off: matched targets' statements enter
+        # run 2 as external=True rows under the enrichment dataset
+        matched = candidates.select(
+            F.col("candidate_id").alias("xid")
+        ).distinct()
+        ext_stmts = (
+            melt_customers(ext_cust)
+            .withColumn("entity_id", F.regexp_replace("entity_id", "^c-", "x-"))
+            .withColumn("canonical_id", F.col("entity_id"))
+            .withColumn("dataset", F.lit("enrich"))
+            .withColumn("external", F.lit(True))
+            .withColumn(
+                "id",
+                statement_id(
+                    F.col("dataset"), F.col("entity_id"), F.col("prop"),
+                    F.col("value"),
+                ),
+            )
+            .join(
+                matched.select(F.col("xid").alias("entity_id")),
+                "entity_id",
+                "left_semi",
+            )
+        )
+
+    # ---- 6. RUN 2 (incremental: drift + enrichment → D0/D1 delta) ---------
     with measure("run2"):
         drifted = cust.withColumn(
             "c_acctbal",
@@ -329,7 +493,7 @@ def main() -> int:
         )
         r2 = run_dataset(
             spark,
-            statements_for(drifted),
+            statements_for(drifted).unionByName(ext_stmts),
             config,
             archive,
             os.path.join(work, "out2"),
@@ -337,6 +501,7 @@ def main() -> int:
             canonical_map=mapping,
             single_file=False,
         )
+        candidates.unpersist()
 
     peak = _peak_heap_mb(ui, app_id)
     total_wall = round(sum(s["wall_sec"] for s in report.values()), 2)
@@ -351,6 +516,8 @@ def main() -> int:
                 "entities_run1": r1.entity_count,
                 "delta_ops_run2": r2.delta_ops,
                 "consolidate_counts": {"a8": a8, "a9": a9, "a10": a10},
+                "enrich": {"candidates": n_candidates, "internal": n_internal},
+                **({"skew_top": skew_top} if skew_top else {}),
                 "sinks": sorted(r1.export_counts),
                 "stages": report,
                 "total_wall_sec": total_wall,
