@@ -1676,18 +1676,27 @@ merges AS (
     SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM p
   ) WHERE rk <= """ + str(_BPE_APPLY_K) + """
 ),
+strict AS (
+  SELECT chr(31) || string_split(pair, ' ')[1] || chr(31) ||
+         string_split(pair, ' ')[2] || chr(31) AS pat,
+         chr(31) || merged || chr(31) AS rep, rk
+  FROM merges
+),
 apply(w, seq, rk) AS (
   SELECT w,
-         array_to_string(list_transform(range(length(w)), i -> w[i+1]), ' '),
+         chr(31) ||
+         array_to_string(list_transform(range(length(w)), i -> w[i+1]),
+                         chr(31)) || chr(31),
          0
   FROM wc
   UNION ALL
-  SELECT a.w, replace(a.seq, m.pair, m.merged), a.rk + 1
-  FROM apply a JOIN merges m ON m.rk = a.rk + 1
+  SELECT a.w, replace(replace(a.seq, m.pat, m.rep), m.pat, m.rep), a.rk + 1
+  FROM apply a JOIN strict m ON m.rk = a.rk + 1
 ),
 enc AS (
-  SELECT w, len(string_split(seq, ' ')) AS nt
-  FROM apply WHERE rk = (SELECT COUNT(*) FROM merges)
+  SELECT w,
+         length(seq) - length(replace(seq, chr(31), '')) - 1 AS nt
+  FROM apply WHERE rk = (SELECT COUNT(*) FROM strict)
 ),
 dw AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -1713,25 +1722,38 @@ def bpe_apply_merges(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     merge round and therefore cannot reach a production merge budget
     (Catalyst analysis blows up long before the data does).
 
-    Semantics are the count-level replace-replay this engine's whole
-    BPE family uses (:func:`_bpe_merge_round` and both DuckDB oracles
-    replay the identical string operation): each merge is one
-    left-to-right ``str.replace`` over the space-joined symbol
-    sequence, applied in rank order. A strict token-boundary encoder
-    (trie / priority-merge per word) slots into the same UDF without
-    touching the plan.
+    Semantics (round 12): BOUNDARY-STRICT merge replay — real
+    tokenizer equivalence. Each symbol is delimiter-guarded
+    (``\\x1f a \\x1f b \\x1f``), so a merge can only fuse two symbols
+    that are EXACTLY the pair, never a pair of characters straddling a
+    symbol boundary (the pre-round-12 space-joined replay merged
+    ``b c`` across the tail of a preceding ``ab`` symbol). Each rank
+    applies as a left-to-right non-overlapping replace, run TWICE:
+    consecutive occurrences share their boundary delimiter, so one
+    pass merges the odd occurrences and the second catches the
+    stragglers — after pass one no two remaining occurrences share a
+    boundary, so two passes are exact (the subword-nmt lookahead-regex
+    semantics). The DuckDB oracle replays the identical guarded
+    double-replace, so a boundary bug on either side fails the hash.
 
     Returns (w, nt): each distinct word's post-merge subword count.
     """
     from pyspark.sql.functions import pandas_udf
 
+    sep = "\x1f"
+    guarded = [
+        (sep + pair.replace(" ", sep) + sep, sep + merged + sep)
+        for pair, merged in merges
+    ]
+
     @pandas_udf("long")
     def _bpe_len(words):  # type: ignore[no-untyped-def]
         def enc(w: str) -> int:
-            seq = " ".join(w)
-            for pair, merged in merges:
-                seq = seq.replace(pair, merged)
-            return seq.count(" ") + 1
+            seq = sep + sep.join(w) + sep
+            for pat, rep in guarded:
+                if pat in seq:
+                    seq = seq.replace(pat, rep).replace(pat, rep)
+            return seq.count(sep) - 1
 
         return words.map(enc)
 
