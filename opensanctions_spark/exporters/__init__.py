@@ -412,14 +412,46 @@ def names_export(entities: DataFrame) -> DataFrame:
 # K7: statistics.json (zavod/zavod/exporters/statistics.py:73-170)
 
 
+def entity_countries(props) -> "F.Column":
+    """``entity.countries`` — the DISTINCT values of every country-typed
+    prop (country, jurisdiction, mainCountry, nationality, citizenship):
+    the reference's ``get_type_values(registry.country)``, which every
+    statistics observer iterates (``statistics.py:109,119``). Counting
+    only ``properties['country']`` undercounts any dataset whose country
+    signal lives in nationality or jurisdiction."""
+    from opensanctions_spark.model.registry import TYPE_PROPS
+
+    return F.array_distinct(
+        F.flatten(
+            F.array(
+                *[
+                    F.coalesce(props[p], F.array())
+                    for p in TYPE_PROPS["country"]
+                ]
+            )
+        )
+    )
+
+
+def _is_thing() -> "F.Column":
+    from opensanctions_spark.exporters.metadata import THING_SCHEMATA
+
+    return F.col("schema").isin(THING_SCHEMATA)
+
+
 def statistics_facets(entities: DataFrame) -> DataFrame:
     """Long facet table (facet, value, n) — schema counts, country counts,
-    target counts and the grand total, each an exact groupBy().count()."""
+    target counts and the grand total, each an exact groupBy().count().
+    The country facet is the reference's ``thing_countries``: distinct
+    country-typed values per entity, Thing-subtree entities only
+    (``statistics.py:106-110``)."""
     props = F.col("properties")
     base = entities.select(
         "canonical_id",
         "schema",
-        prop_values(props, "country").alias("countries"),
+        F.when(_is_thing(), entity_countries(props))
+        .otherwise(F.array())
+        .alias("countries"),
         target_flag(props).alias("target"),
     )
     by_schema = base.groupBy(F.col("schema").alias("value")).agg(
@@ -462,7 +494,12 @@ def statistics_facets_grouped(entities: DataFrame) -> DataFrame:
     base = entities.select(
         "schema",
         target_flag(props).cast("string").alias("target"),
-        F.posexplode_outer(prop_values(props, "country")).alias("pos", "country"),
+        # thing_countries semantics (statistics.py:106-110): all
+        # country-typed props, distinct per entity, Things only — a
+        # non-Thing explodes to one NULL row (is_first still marks it)
+        F.posexplode_outer(
+            F.when(_is_thing(), entity_countries(props)).otherwise(F.array())
+        ).alias("pos", "country"),
     ).select(
         "schema",
         "target",

@@ -101,11 +101,16 @@ def dataset_statistics(entities: DataFrame) -> dict[str, Any]:
         if "last_seen" in entities.columns
         else prop_values(F.col("properties"), "modifiedAt")
     )
+    from opensanctions_spark.exporters import entity_countries
+
     base = entities.select(
         "schema",
         target_flag(F.col("properties")).alias("target"),
         is_thing.alias("is_thing"),
-        prop_values(F.col("properties"), "country").alias("countries"),
+        # entity.countries — all country-typed props, distinct per
+        # entity (statistics.py:109,119 iterates exactly this set for
+        # both thing_countries and target_countries)
+        entity_countries(F.col("properties")).alias("countries"),
         F.map_keys(F.col("properties")).alias("props"),
         changed.alias("changed"),
     )

@@ -245,3 +245,29 @@ def test_simple_csv_fused_no_addresses(spark, sf_dir):
     cust_stmts, _ = _export_statements(spark, sf_dir)
     rows = simple_csv_fused(cust_stmts, None).collect()
     assert rows and all(r["addresses"] == "" for r in rows)
+
+
+def test_statistics_country_facet_is_thing_countries(spark):
+    """K7/A2 parity (round 12): the country facet is the reference's
+    ``thing_countries`` — DISTINCT values of every country-typed prop
+    (nationality/jurisdiction/... included), counted per Thing-subtree
+    entity only (``zavod/zavod/exporters/statistics.py:106-110``)."""
+    entities = spark.createDataFrame(
+        [
+            ("e1", "Person", {"nationality": ["ru"], "citizenship": ["ru", "kz"]}),
+            ("e2", "Company", {"jurisdiction": ["vg"], "country": ["vg"]}),
+            ("e3", "Sanction", {"country": ["us"]}),
+        ],
+        "canonical_id string, schema string, properties map<string,array<string>>",
+    )
+    for fn in (statistics_facets, statistics_facets_grouped):
+        rows = {
+            (r["facet"], r["value"]): r["n"]
+            for r in fn(entities).collect()
+        }
+        assert rows[("country", "ru")] == 1      # distinct per entity
+        assert rows[("country", "kz")] == 1
+        assert rows[("country", "vg")] == 1      # country+jurisdiction dedupe
+        assert ("country", "us") not in rows     # Sanction is not a Thing
+        assert rows[("total", "entities")] == 3  # entity facets unaffected
+        assert rows[("schema", "Sanction")] == 1
