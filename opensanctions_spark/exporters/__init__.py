@@ -572,6 +572,7 @@ def maritime_export(entities: DataFrame) -> DataFrame:
 def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
                dataset: str = "default",
                single_file: bool = True,
+               clustered: bool = False,
                version: str = "1",
                run_time: str = "1970-01-01T00:00:00",
                issue_levels: dict[str, int] | None = None,
@@ -586,16 +587,20 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     ``zavod/zavod/exporters/__init__.py:49-84``) funnels each sink
     through one globally-sorted write task — fine at dataset scale, a
     bottleneck past millions of rows. ``single_file=False`` is the
-    cluster path: each sink sorts WITHIN the partitions it already has
-    (the persisted entity view's hash clustering / the archive's bucket
-    layout), so no sink pays a range exchange of the full data — at
-    sf10 the statements sink's global sort alone re-shuffled ~520 MB
-    per run (SCALE.md §21c). Rows are entity-grouped and sorted within
-    each part, matching the reference's store-iteration output order
-    (its statements.csv streams per-entity, not id-sorted); a global
-    total order across part files is deliberately NOT promised — that
-    is the reference's single-file semantics, which single_file=True
-    preserves."""
+    multi-part cluster path; with ``clustered=True`` (the caller
+    vouches the inputs are entity-clustered: a bucketed statement
+    archive + the assembly's hash partitioning — ``run_dataset``
+    passes its ``pre_clustered`` flag) each sink sorts WITHIN the
+    partitions it already has, so no sink pays a range exchange of the
+    full data — at sf10 the statements sink's global sort alone
+    re-shuffled ~520 MB per run (SCALE.md §21c). Rows are then
+    entity-grouped and sorted within each part, matching the
+    reference's store-iteration output order (its statements.csv
+    streams per-entity, not id-sorted); a global total order across
+    part files is deliberately NOT promised in that mode. With
+    ``clustered=False`` the multi-part path keeps the global sort —
+    an unclustered statement layout would otherwise scatter one
+    entity's rows across arbitrary file splits."""
     os.makedirs(out_dir, exist_ok=True)
     # every sink except the raw statements CSV consumes the CONSOLIDATED
     # view (the reference's export loop: feed_unconsolidated for the
@@ -637,21 +642,21 @@ def export_all(entities: DataFrame, statements: DataFrame, out_dir: str,
     for fname, (df, order) in sinks.items():
         path = os.path.join(out_dir, fname)
         obs = Observation(f"rows:{fname}")
-        if single_file:
-            # observe ABOVE the sort: the global sort's range-partitioning
-            # sampling pass re-executes everything below it, which would
-            # double-count metrics attached under the exchange
-            ordered = (
-                df.orderBy(*order)
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .coalesce(1)
-            )
-        else:
+        if not single_file and clustered:
             # cluster path: sort within the partitioning the input already
             # carries — no per-sink range exchange (see docstring)
             ordered = df.sortWithinPartitions(*order).observe(
                 obs, F.count(F.lit(1)).alias("n")
             )
+        else:
+            # observe ABOVE the sort: the global sort's range-partitioning
+            # sampling pass re-executes everything below it, which would
+            # double-count metrics attached under the exchange
+            ordered = df.orderBy(*order).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            if single_file:
+                ordered = ordered.coalesce(1)
         if fname.endswith(".csv"):
             ordered.write.mode("overwrite").option("header", True).csv(path)
         elif fname.endswith(".json"):

@@ -35,16 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from opensanctions_spark.logs import get_logger
-from opensanctions_spark.model.registry import SCHEMA_PARENTS
+from opensanctions_spark.model.registry import subtree_schemata
 
 _log = get_logger(__name__)
 
 #: schemata in the Thing subtree (reference: ``schema.is_a("Thing")``)
-THING_SCHEMATA: list[str] = sorted(
-    name
-    for name, parents in SCHEMA_PARENTS.items()
-    if name == "Thing" or "Thing" in parents
-)
+THING_SCHEMATA: list[str] = subtree_schemata("Thing")
 
 #: artifact name → (mime type, human title) — mirrors each reference
 #: exporter's FILE_NAME/MIME_TYPE/TITLE class attributes

@@ -92,6 +92,17 @@ COUNTRY_CAPTIONS: dict[str, str] = {
 }
 
 
+def subtree_schemata(name: str) -> list[str]:
+    """All schema names that are (or descend from) ``name`` in the
+    lattice — the column-side form of the reference's
+    ``schema.is_a(name)``. Sorted for deterministic ``isin`` lists."""
+    return sorted(
+        n
+        for n, parents in SCHEMA_PARENTS.items()
+        if n == name or name in parents
+    )
+
+
 def schema_label(name: str) -> tuple[str, str]:
     """(label, plural) for a schema name, falling back to the raw name."""
     return SCHEMA_LABELS.get(name, (name, name))

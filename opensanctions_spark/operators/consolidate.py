@@ -215,13 +215,9 @@ def consolidate_entities(
     # simplify_names runs ONLY on the LegalEntity subtree
     # (consolidate.py:124-126: ``if not entity.schema.is_a("LegalEntity")``)
     # — Position/Vessel/Security/Address names stay untouched.
-    from opensanctions_spark.model.registry import SCHEMA_PARENTS
+    from opensanctions_spark.model.registry import subtree_schemata
 
-    legal_schemata = sorted(
-        n for n, parents in SCHEMA_PARENTS.items()
-        if n == "LegalEntity" or "LegalEntity" in parents
-    )
-    is_legal = F.col("schema").isin(*legal_schemata)
+    is_legal = F.col("schema").isin(*subtree_schemata("LegalEntity"))
 
     def fix_value(k, v):
         # _simplify_dates drops prefix values BEFORE the provenance

@@ -265,27 +265,14 @@ def _extended_stats(
         # entities (``zavod/zavod/exporters/statistics.py:106-110``:
         # ``if entity.schema.is_a("Thing"): for country in
         # entity.countries``). A dataset whose country signal lives in
-        # nationality must not undercount and abort the run.
-        from opensanctions_spark.model.registry import SCHEMA_PARENTS, TYPE_PROPS
+        # nationality must not undercount and abort the run. Same
+        # column expression as the statistics exporters, by import.
+        from opensanctions_spark.exporters import entity_countries
+        from opensanctions_spark.exporters.metadata import THING_SCHEMATA
 
-        thing_schemata = sorted(
-            n for n, parents in SCHEMA_PARENTS.items()
-            if n == "Thing" or "Thing" in parents
-        )
-        props = F.col("properties")
-        all_countries = F.array_distinct(
-            F.flatten(
-                F.array(
-                    *[
-                        F.coalesce(props[p], F.array())
-                        for p in TYPE_PROPS["country"]
-                    ]
-                )
-            )
-        )
         rows = (
-            entities.filter(F.col("schema").isin(*thing_schemata))
-            .select(F.explode(all_countries).alias("c"))
+            entities.filter(F.col("schema").isin(*THING_SCHEMATA))
+            .select(F.explode(entity_countries(F.col("properties"))).alias("c"))
             .groupBy("c")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -537,7 +524,8 @@ def run_dataset(
     # range-ordered multi-part sink files, see exporters.export_all)
     export_counts = export_all(
         entities, statements, out_dir, dataset=config.name,
-        single_file=single_file, version=str(version), run_time=run_time,
+        single_file=single_file, clustered=pre_clustered,
+        version=str(version), run_time=run_time,
         issue_levels=issue_levels, dataset_meta=config.metadata,
     )
 
@@ -733,17 +721,26 @@ def export_dataset(
     if version is None:
         raise ValueError(f"no archived versions for dataset {name!r}")
     statements = archive.read(name, version=version, external=True)
+    # bucketed archive reads feed a clustering-free assembly; a resolver
+    # rekey invalidates it UNLESS the manifest fingerprint proves the
+    # version was already written under this exact map (§21c fast path)
+    pre_clustered = archive.is_bucketed(name, version)
     if canonical_map is not None:
-        from opensanctions_spark.operators.resolve import apply_canonical
+        from opensanctions_spark.operators.resolve import (
+            apply_canonical,
+            mapping_fingerprint,
+        )
 
-        statements = apply_canonical(statements, canonical_map)
-    # bucketed archive reads feed a clustering-free assembly (same
-    # condition as run_dataset — a resolver rekey invalidates it)
-    pre_clustered = canonical_map is None and archive.is_bucketed(name, version)
+        if archive.canonical_fp(name, version) != mapping_fingerprint(
+            canonical_map
+        ):
+            statements = apply_canonical(statements, canonical_map)
+            pre_clustered = False
     entities = assemble_entities(statements, pre_clustered=pre_clustered).persist()
     export_counts = export_all(
         entities, statements, out_dir, dataset=name,
-        single_file=single_file, version=str(version), run_time=run_time,
+        single_file=single_file, clustered=pre_clustered,
+        version=str(version), run_time=run_time,
         dataset_meta=dataset_meta,
     )
     # delta baseline = the newest SUCCESSFUL version strictly before the

@@ -77,7 +77,20 @@ class StatementArchive:
         )
 
     def _table_name(self, dataset: str, version: str) -> str:
-        return "osp_stmts_" + re.sub(r"[^0-9a-zA-Z]+", "_", f"{dataset}_{version}")
+        # scoped to the archive location: two archives in one session
+        # holding the same (dataset, version) must not collide in the
+        # catalog — a shared name would make is_bucketed() misreport
+        # and serve the OTHER archive's files (found by the round-12
+        # incremental test suite, where every test archive names its
+        # dataset 'fx' with the same version ids)
+        import hashlib
+
+        loc = hashlib.md5(
+            os.path.abspath(self.base_dir).encode()
+        ).hexdigest()[:8]
+        return "osp_stmts_" + loc + "_" + re.sub(
+            r"[^0-9a-zA-Z]+", "_", f"{dataset}_{version}"
+        )
 
     def is_bucketed(self, dataset: str, version: str) -> bool:
         """True iff this version's read comes off the bucketed table (the
@@ -167,7 +180,15 @@ class StatementArchive:
         keep: int = 10,
         success: bool = True,
         canonical_fp: str | None = None,
+        data_changed: bool = False,
     ) -> None:
+        """``data_changed=True`` (the write path) makes ``canonical_fp``
+        authoritative for this version — including DELETING a stale
+        entry when the overwrite carried no resolver: a fingerprint
+        left behind by an earlier write of the same version id would
+        attest a rekey the current files no longer have, and the next
+        incremental run's fast path would skip a needed prev rekey.
+        Promotion-only records (``mark_successful``) never touch it."""
         manifest_versions = self.versions(dataset)
         last = self.last_successful(dataset)
         successful = set(self.successful_versions(dataset))
@@ -179,8 +200,11 @@ class StatementArchive:
         versions = [v for v in manifest_versions if v != version]
         versions.append(version)
         versions = sorted(versions)[-keep:]  # bounded history window
-        if canonical_fp is not None:
-            fps[version] = canonical_fp
+        if data_changed:
+            if canonical_fp is not None:
+                fps[version] = canonical_fp
+            else:
+                fps.pop(version, None)
         # fingerprints follow the retention window (plus the promoted set,
         # which gc never deletes blindly either)
         fps = {
@@ -306,7 +330,11 @@ class StatementArchive:
                 self.version_path(dataset, version)
             )
         self._record_version(
-            dataset, version, success=success, canonical_fp=canonical_fp
+            dataset,
+            version,
+            success=success,
+            canonical_fp=canonical_fp,
+            data_changed=True,
         )
         return version
 
@@ -389,8 +417,13 @@ class StatementArchive:
         if counts["files"] <= counts["buckets"]:
             return None
         df = self.read(dataset, version=version, external=True)
+        # the rewrite is byte-identical data: the source version's
+        # resolver fingerprint (if any) stays true for the successor
         return self.write(
-            df.repartition(int(counts["buckets"])), dataset, success=True
+            df.repartition(int(counts["buckets"])),
+            dataset,
+            success=True,
+            canonical_fp=self.canonical_fp(dataset, version),
         )
 
     def read_collection(self, datasets: list[str], external: bool = False) -> DataFrame:

@@ -228,3 +228,38 @@ def test_mapless_run_after_resolver_run_warns(spark, tmp_path):
     with open(os.path.join(str(tmp_path / "o2"), "issues.json")) as fh:
         issues = json.load(fh)["issues"]
     assert any("resolver map" in i["message"] for i in issues)
+
+
+def test_version_overwrite_clears_stale_fingerprint(spark, tmp_path):
+    """Re-writing an existing version id WITHOUT a resolver must drop
+    the old fingerprint — a stale entry would attest a rekey the new
+    files don't have, and the next run's fast path would skip a needed
+    prev rekey. Promotion (mark_successful) must NOT touch it."""
+    archive = StatementArchive(spark, str(tmp_path / "arch"))
+    stmts = _stmts(spark, ROWS_V1).withColumn(
+        "first_seen", F.lit("2026-08-01T00:00:00")
+    )
+    archive.write(stmts, "fx", "20260801-000000", canonical_fp="5:123")
+    assert archive.canonical_fp("fx", "20260801-000000") == "5:123"
+    # promotion-only record keeps it
+    archive.mark_successful("fx", "20260801-000000")
+    assert archive.canonical_fp("fx", "20260801-000000") == "5:123"
+    # data-overwriting write without a map clears it
+    archive.write(stmts, "fx", "20260801-000000")
+    assert archive.canonical_fp("fx", "20260801-000000") is None
+
+
+def test_compact_carries_fingerprint_forward(spark, tmp_path):
+    """compact() rewrites byte-identical data into a NEW version — the
+    source's resolver fingerprint stays true and must carry over."""
+    archive = StatementArchive(spark, str(tmp_path / "arch"))
+    stmts = _stmts(spark, ROWS_V1).withColumn(
+        "first_seen", F.lit("2026-08-01T00:00:00")
+    )
+    # many small files so the compactor has something to do
+    archive.write(
+        stmts.repartition(8), "fx", "20260801-000000", canonical_fp="5:123"
+    )
+    new_version = archive.compact("fx", target_bytes=1 << 30)
+    if new_version is not None:
+        assert archive.canonical_fp("fx", new_version) == "5:123"

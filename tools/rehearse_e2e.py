@@ -89,10 +89,10 @@ def _stages_total(ui: str, app_id: str) -> int | None:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def _stages_detail(ui: str, app_id: str) -> dict[int, tuple[int, str]]:
-    """stage id → (shuffleWriteBytes, short name) for per-exchange
-    attribution (SCALE.md §21c: a phase total alone can't say WHICH
-    exchange grew super-linearly)."""
+def _stages_detail(ui: str, app_id: str) -> dict[int, tuple[int, str, int]]:
+    """stage id → (shuffleWriteBytes, short name, executorRunTime ms)
+    for per-exchange attribution (SCALE.md §21c: a phase total alone
+    can't say WHICH exchange grew super-linearly)."""
     stages = _get_json(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
     if stages is None:
         return {}
