@@ -83,8 +83,15 @@ def enrich_matches(
             F.lit("blocking").alias("via"),
         )
     )
+    # ONE exchange for both pair-table stages: clustering by subject_id
+    # satisfies the (subject, candidate) dedupe aggregation (subset
+    # clustering) AND the top-k window's partitioning — without it the
+    # pair table shuffles twice (groupBy on the pair, window on the
+    # subject), the dominant cost of the whole stage at scale (the
+    # sf10 rehearsal's 15M-pair frame, SCALE.md §21d)
     merged = (
         same.unionByName(blocked)
+        .repartition("subject_id")
         .groupBy("subject_id", "candidate_id")
         .agg(F.max("score").alias("score"), F.max("via").alias("via"))
     )
