@@ -203,7 +203,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_gopher_rules",
     # ==== the driver's 50-row budget ends here ================================
     # ==== ROUND 13 head-50 (promote in round 13) ====================================
-    # -- round-12 additions stage here, FIRST (see rotation note above) -----------
+    # -- round-12 additions stage here, FIRST (none were made in round 12:
+    #    the round changed existing rows in place, so this section stands
+    #    verbatim as the round-13 head) -------------------------------------------
     # -- round-8 cohort leftovers (8, incl. the r12 slip) -------------------------
     "text_langid",
     "text_mojibake_scan",
