@@ -1472,29 +1472,43 @@ SELECT w, COUNT(*) AS c FROM (
 """
 
 
+#: guarded s0: every symbol delimiter-wrapped (chr(31)) so merges can
+#: never fuse characters straddling a symbol boundary — see
+#: :func:`bpe_apply_merges` (the whole BPE family is boundary-strict
+#: as of round 12, Spark and DuckDB replaying the identical operation)
+_BPE_S0_SQL = (
+    "s0 AS (SELECT w, c, chr(31) || array_to_string(list_transform("
+    "range(length(w)), i -> w[i+1]), chr(31)) || chr(31) AS seq FROM wc),"
+)
+
+
 def _bpe_round_sql(n: int) -> str:
     """One BPE merge round as chained CTEs: weighted adjacent-pair counts
-    over s{n-1}, argmax pair (count desc, pair asc), merged sequences."""
+    over s{n-1}, argmax pair (count desc, pair asc), merged sequences.
+    The merge is the boundary-strict guarded DOUBLE replace (consecutive
+    occurrences share a boundary delimiter; pass one merges the odd
+    ones, pass two the stragglers — see ``bpe_apply_merges``)."""
+    pat = f"chr(31) || replace((SELECT pair FROM t{n}), ' ', chr(31)) || chr(31)"
+    rep = f"chr(31) || replace((SELECT pair FROM t{n}), ' ', '') || chr(31)"
     return f"""
 p{n} AS (
   SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM (
     SELECT unnest(list_transform(range(len(t) - 1),
                   i -> t[i+1] || ' ' || t[i+2])) AS pair, c
-    FROM (SELECT string_split(seq, ' ') AS t, c FROM s{n - 1})
+    FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS t, c
+          FROM s{n - 1})
   ) GROUP BY pair
 ),
 t{n} AS (SELECT pair, n FROM p{n} ORDER BY n DESC, pair LIMIT 1),
 s{n} AS (
-  SELECT w, c, replace(seq, (SELECT pair FROM t{n}),
-                       replace((SELECT pair FROM t{n}), ' ', '')) AS seq
+  SELECT w, c, replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq
   FROM s{n - 1}
 )"""
 
 
 _BPE_ORACLE = (
     "WITH wc AS (" + _BPE_WORDS_SQL + "),\n"
-    "s0 AS (SELECT w, c, array_to_string(list_transform(range(length(w)), "
-    "i -> w[i+1]), ' ') AS seq FROM wc),"
+    + _BPE_S0_SQL
     + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
     + """
 SELECT * FROM (
@@ -1514,8 +1528,15 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     merged sequences. The winning 1-row pair broadcasts into the merge
     via a column-argument replace — fully declarative, zero driver
     round-trips. Shared by the trainer (``text_bpe_train``) and the
-    apply pass (``text_bpe_encode``)."""
-    toks = F.split(F.col("seq"), " ")
+    apply pass (``text_bpe_encode``).
+
+    ``seq`` is the DELIMITER-GUARDED symbol string (``\\x1f`` around
+    every symbol) and the merge is the boundary-strict guarded double
+    replace — same semantics as :func:`bpe_apply_merges` (round 12):
+    a pair can only fuse two whole symbols, never characters straddling
+    a merged symbol's boundary."""
+    sep = F.lit("\x1f")
+    toks = F.filter(F.split(F.col("seq"), "\x1f"), lambda x: x != "")
     pairs = (
         s.filter(F.size(toks) > 1)
         .select(
@@ -1536,20 +1557,24 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     # merged the round has NO pairs and ``top`` is empty — a crossJoin
     # would silently drop every sequence; the left join keeps them and
     # the null-guard makes the exhausted round a no-op.
+    pat = F.concat(sep, F.replace(F.col("pair"), F.lit(" "), sep), sep)
+    rep = F.concat(sep, F.replace(F.col("pair"), F.lit(" "), F.lit("")), sep)
     merged = s.join(F.broadcast(top), F.lit(True), "left").select(
         "w",
         "c",
         F.when(F.col("pair").isNull(), F.col("seq"))
-        .otherwise(
-            F.replace(
-                F.col("seq"),
-                F.col("pair"),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-            )
-        )
+        .otherwise(F.replace(F.replace(F.col("seq"), pat, rep), pat, rep))
         .alias("seq"),
     )
     return merged, top
+
+
+def _bpe_guarded_seq(word_col) -> "F.Column":
+    """word → the guarded initial symbol string: ``\\x1fa\\x1fb\\x1f``."""
+    sep = "\x1f"
+    return F.concat(
+        F.lit(sep), F.concat_ws(sep, F.split(word_col, "")), F.lit(sep)
+    )
 
 
 @register("text_bpe_train", oracle=_BPE_ORACLE)
@@ -1573,9 +1598,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    seq = wc.select(
-        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
-    )
+    seq = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
 
     out = None
     s = seq
@@ -1593,12 +1616,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ENCODE_ORACLE = (
     "WITH wc AS (" + _BPE_WORDS_SQL + "),\n"
-    "s0 AS (SELECT w, c, array_to_string(list_transform(range(length(w)), "
-    "i -> w[i+1]), ' ') AS seq FROM wc),"
+    + _BPE_S0_SQL
     + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
     + """,
 enc AS (
-  SELECT w, len(string_split(seq, ' ')) AS nt FROM s3
+  SELECT w, length(seq) - length(replace(seq, chr(31), '')) - 1 AS nt FROM s3
 ),
 dw AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -1639,13 +1661,17 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    s = wc.select(
-        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
-    )
+    s = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
     for _ in (1, 2, 3):
         s, _top = _bpe_merge_round(s)
+    # token count = separators - 1 (every symbol is delimiter-wrapped)
     enc = s.select(
-        "w", F.size(F.split(F.col("seq"), " ")).alias("nt")
+        "w",
+        (
+            F.length("seq")
+            - F.length(F.replace(F.col("seq"), F.lit("\x1f"), F.lit("")))
+            - 1
+        ).cast("int").alias("nt"),
     )
     dw = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")

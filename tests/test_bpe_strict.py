@@ -75,3 +75,31 @@ def test_oracle_parity_on_documents(spark, sf_dir):
     )
     want = set(map(tuple, con.execute(ORACLES["text_bpe_apply"]).fetchall()))
     assert rows == want
+
+
+def test_declarative_rounds_are_boundary_strict(spark):
+    """The trainer/encoder's in-plan merge rounds carry the same
+    strictness: after (a, b) merges, a later (b, c) merge must not fuse
+    across the 'ab' symbol's boundary in 'abc' — the loose space-joined
+    replace collapsed 'ab c' to 'abc' (1 token); strict leaves
+    [ab, c]."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog.text import (
+        _bpe_guarded_seq,
+        _bpe_merge_round,
+    )
+
+    vocab = spark.createDataFrame(
+        [("ab", 10), ("bc", 8), ("abc", 1)], "w string, c long"
+    )
+    s = vocab.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
+    s, top1 = _bpe_merge_round(s)
+    assert top1.collect()[0]["pair"] == "a b"
+    s, top2 = _bpe_merge_round(s)
+    assert top2.collect()[0]["pair"] == "b c"
+    sep = "\x1f"
+    seqs = {r["w"]: r["seq"].split(sep)[1:-1] for r in s.collect()}
+    assert seqs["abc"] == ["ab", "c"]       # the collision case
+    assert seqs["bc"] == ["bc"]
+    assert seqs["ab"] == ["ab"]
