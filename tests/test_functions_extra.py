@@ -306,9 +306,11 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    s = wc.select(
-        "w", "c", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
-    )
+    # round-12: sequences are delimiter-guarded (boundary-strict merge
+    # replay — see bpe_apply_merges); the hand-computation is unchanged,
+    # only the symbol-string representation carries \x1f guards
+    sep = "\x1f"
+    s = wc.select("w", "c", T._bpe_guarded_seq(F.col("w")).alias("seq"))
     merges = []
     for _ in (1, 2, 3):
         s, top = T._bpe_merge_round(s)
@@ -317,9 +319,16 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
     assert merges[1] == ["a ab"]
     assert merges[2] == []  # vocabulary fully merged: no pairs remain
     enc = {r["w"]: r["seq"] for r in s.collect()}
-    assert enc == {"aab": "aab", "ab": "ab"}
+    assert enc == {"aab": f"{sep}aab{sep}", "ab": f"{sep}ab{sep}"}
     dw = docs.select("doc_id", F.explode(T._tokens(F.col("text"))).alias("w"))
-    nt = s.select("w", F.size(F.split(F.col("seq"), " ")).alias("nt"))
+    nt = s.select(
+        "w",
+        (
+            F.length("seq")
+            - F.length(F.replace(F.col("seq"), F.lit(sep), F.lit("")))
+            - 1
+        ).cast("int").alias("nt"),
+    )
     out = {
         r["doc_id"]: (r["n_words"], r["n_tokens"])
         for r in dw.join(nt, "w")
