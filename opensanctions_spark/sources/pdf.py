@@ -126,8 +126,22 @@ def write_pdf_table(
 # ---------------------------------------------------------------------------
 # parser
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+# EOL-delimiter fallback ONLY: a binary payload whose final byte is 0x0D
+# (or that embeds ``endstream``) mis-slices under this regex — the primary
+# path slices by the stream dictionary's /Length (PDF 32000-1 §7.3.8.1,
+# and how pdfplumber/pdfminer read streams, which is the reference
+# behavior via zavod/zavod/helpers/pdf.py:25-147: no page is ever lost).
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
+# direct form ``/Length 99``; \b blocks the backtrack that would let
+# ``/Length 12 0 R`` match its first digits as a direct length
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+_LEN_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+# objects whose whole body is a bare integer (the indirect-/Length
+# target shape) — the pattern demands ``endobj`` right after the digits,
+# so it can never be confused by binary stream content
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj")
 _STR_TOKEN = re.compile(
     rb"\((?:[^()\\]|\\.)*\)|<<|>>|\[|\]|/[A-Za-z0-9#._-]+|[-+.0-9]+|[A-Za-z'\"*]+"
 )
@@ -165,12 +179,39 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _decoded_stream(body: bytes) -> bytes | None:
+def _raw_stream(body: bytes) -> tuple[bytes, bytes] | None:
+    """``(dict_prefix, exact stream payload)`` for an object body.
+
+    Primary path: slice exactly ``/Length`` bytes after the ``stream``
+    keyword's EOL (verified by the ``endstream`` keyword following,
+    modulo one EOL) — binary-safe for payloads ending in 0x0D or
+    containing ``endstream``. Falls back to the EOL-delimiter regex
+    only when /Length is absent, unresolved, or fails verification."""
+    kw = _STREAM_KW_RE.search(body)
+    if kw is None:
+        return None
+    head = body[: kw.start()]
+    start = kw.end()
+    lm = _LEN_DIRECT_RE.search(head)
+    if lm is not None:
+        n = int(lm.group(1))
+        tail = body[start + n : start + n + 16]
+        if start + n <= len(body) and re.match(
+            rb"(?:\r\n|\r|\n)?\s*endstream", tail
+        ):
+            return head, body[start : start + n]
     sm = _STREAM_RE.search(body)
     if sm is None:
         return None
-    raw = sm.group(1)
-    if b"/FlateDecode" in body[: sm.start()]:
+    return body[: sm.start()], sm.group(1)
+
+
+def _decoded_stream(body: bytes) -> bytes | None:
+    rs = _raw_stream(body)
+    if rs is None:
+        return None
+    head, raw = rs
+    if b"/FlateDecode" in head:
         try:
             raw = zlib.decompress(raw)
         except zlib.error:
@@ -181,14 +222,73 @@ def _decoded_stream(body: bytes) -> bytes | None:
 def _collect_objects(data: bytes) -> dict[int, bytes]:
     """Every indirect object body by number, ObjStm members included.
 
+    Sequential scanner, binary-safe: an object that carries a stream is
+    bounded by its dictionary's ``/Length`` (direct, or an indirect
+    ``N 0 R`` resolved against bare-integer objects), NOT by searching
+    for ``endstream``/``endobj`` — a flate payload that embeds either
+    keyword, or that ends in 0x0D, would mis-slice under a delimiter
+    regex (the round-12 silent-page-drop bug). Synthesized stream
+    bodies are normalized to a direct /Length + LF framing so
+    ``_raw_stream`` re-slices them exactly.
+
     PDF 1.5+ object streams (/Type /ObjStm): catalog/page-tree objects
     of digitally-born PDFs routinely live compressed inside them — the
     header is N (objnum, offset) integer pairs, bodies start at /First.
     Content streams themselves can never nest there, so unpacking the
     dictionaries is enough to walk the page tree."""
-    objects: dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+    # pass 1: bare-integer objects, for indirect-/Length resolution
+    int_objects: dict[int, int] = {
+        int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(data)
     }
+    objects: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        hm = _OBJ_HEAD_RE.search(data, pos)
+        if hm is None:
+            break
+        num = int(hm.group(1))
+        start = hm.end()
+        kw = _STREAM_KW_RE.search(data, start)
+        end_obj = data.find(b"endobj", start)
+        if kw is None or (0 <= end_obj < kw.start()):
+            # streamless object: the endobj bound is binary-safe
+            end = end_obj if end_obj != -1 else len(data)
+            objects[num] = data[start:end]
+            pos = end + 6 if end_obj != -1 else len(data)
+            continue
+        head = data[start : kw.start()]
+        payload_start = kw.end()
+        n: int | None = None
+        lm = _LEN_DIRECT_RE.search(head)
+        if lm is not None:
+            n = int(lm.group(1))
+        else:
+            rm = _LEN_REF_RE.search(head)
+            if rm is not None:
+                n = int_objects.get(int(rm.group(1)))
+                if n is not None:  # normalize to the direct form
+                    head = _LEN_REF_RE.sub(b"/Length %d" % n, head, count=1)
+        sliced = False
+        if n is not None and payload_start + n <= len(data):
+            tail = data[payload_start + n : payload_start + n + 16]
+            if re.match(rb"(?:\r\n|\r|\n)?\s*endstream", tail):
+                payload = data[payload_start : payload_start + n]
+                objects[num] = (
+                    head + b"stream\n" + payload + b"\nendstream"
+                )
+                after = data.find(b"endobj", payload_start + n)
+                pos = after + 6 if after != -1 else len(data)
+                sliced = True
+        if sliced:
+            continue
+        # /Length absent or failed verification: EOL-delimiter fallback
+        sm = _STREAM_RE.search(data, kw.start())
+        if sm is None:
+            objects[num] = data[start:]
+            break
+        objects[num] = data[start : sm.end()]
+        after = data.find(b"endobj", sm.end())
+        pos = after + 6 if after != -1 else sm.end()
     for num in list(objects):
         body = objects[num]
         if b"/ObjStm" not in body:
@@ -512,13 +612,13 @@ def pdf_page_images(data: bytes) -> list[tuple[int, bytes, str]]:
             body = objects.get(int(m.group(1)), b"")
             if b"/Subtype" not in body or b"/Image" not in body:
                 continue
-            sm = _STREAM_RE.search(body)
-            if sm is None:
+            rs = _raw_stream(body)
+            if rs is None:
                 continue
-            raw = sm.group(1)
-            if b"/DCTDecode" in body[: sm.start()]:
+            head, raw = rs
+            if b"/DCTDecode" in head:
                 out.append((page_no, raw, "jpeg"))
-            elif b"/FlateDecode" in body[: sm.start()]:
+            elif b"/FlateDecode" in head:
                 try:
                     out.append((page_no, zlib.decompress(raw), "raw"))
                 except zlib.error:
