@@ -128,85 +128,26 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``queries()``. Lifetime coverage: every catalog query has at least one
 #: green driver row and zero lifetime driver failures (rounds 1-11).
 #:
-#: ROUND-12 ROTATION (VERDICT r11 task 1, promoted VERBATIM from the
-#: pre-staged section): head-50 = s5_html_table (the r11 slip) + the 7
-#: round-6 cohort leftovers (s6_excel_scan ... w3_rank_family) + the
-#: first 42 of the round-8 cohort. No round-12 addition enters the
-#: head: the r11 verdict pinned this list verbatim (done-criterion:
-#: CORRECTNESS_r12.json keys set-equal to it), so round-12 catalog
-#: additions stage at the HEAD of the ROUND 13 section instead — the
-#: standing "new round-N additions go first" rule applied one
-#: promotion later.
+#: ROUND-13 ROTATION (VERDICT r12 task 2, promoted VERBATIM from the
+#: pre-staged section): head-50 = text_langid (the r12 slip) + the 7
+#: round-8 cohort leftovers + the first 42 of the round-9 cohort. No
+#: round-12 or round-13 addition enters the head (round 12 changed
+#: existing rows in place; round-13 additions, if any, stage at the
+#: HEAD of the ROUND 14 section). Done-criterion: CORRECTNESS_r13.json
+#: keys set-equal to this list.
 #:
 #: PRE-STAGED ROTATION FOR FUTURE ROUNDS (promote mechanically; each
 #: slip cascades one name into the next section):
-#:   ROUND 13 head-50 = the round-12 additions (first) + text_langid
-#:     (r12 slip) + the 7 round-8 leftovers + the round-9 cohort up to
-#:     the 50-row budget — the "ROUND 13" section below, verbatim.
 #:   ROUND 14 head-50 = the round-9 cohort leftovers + the first 42 of
 #:     the round-10 head — the "ROUND 14" section below, verbatim.
-#:   ROUND 15 onward: the rest of the round-10 head, then the round-11
-#:     head-50 (freshest), as they age past two rounds.
+#:   ROUND 15 head-50 = the round-10 head leftovers (8) + the round-11
+#:     head's first 42 (its addition + the r5 leftovers + 34 of the r6
+#:     cohort) — the "ROUND 15" section below, verbatim.
+#:   ROUND 16 onward: the rest of the round-11 head, then the round-12
+#:     and round-13 heads (freshest), as they age past two rounds.
 DRIVER_PRIORITY: list[str] = [
-    # ==== ROUND 12 head-50 ==========================================================
-    # -- round-6 cohort leftovers (8, incl. the r11 slip; last checked r6) ---------
-    "s5_html_table",
-    "s6_excel_scan",
-    "s7_pdf_tables",
-    "s8_cache_ttl",
-    "sketch_merge_distinct",
-    "w1_running_total",
-    "w2_rolling_sum",
-    "w3_rank_family",
-    # -- round-8 cohort, first 42 (text_langid slips to round 13) -----------------
-    "ann_centroid_step",
-    "ann_cosine_topk",
-    "ann_ivf_bucketed",
-    "ann_ivf_nprobe2",
-    "asof_last_view_before_click",
-    "contamination_overlap",
-    "dedup_chunk_exact",
-    "dedup_embedding_cosine",
-    "dedup_embedding_fast",
-    "dedup_fuzzy_levenshtein",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_source_priority",
-    "docs_length_histogram",
-    "docs_length_quantiles",
-    "j7_interval_overlap",
-    "mixture_cap_per_source",
-    "mixture_temperature",
-    "mm_byte_features",
-    "mm_decode_bmp_real",
-    "mm_frame_sample",
-    "mm_resize",
-    "pack_sequences",
-    "pipeline_quality_filter",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "rollup_time_hierarchy",
-    "s14_fsf_parse",
-    "s6_xls_scan",
-    "s7_pdf_distributed",
-    "sample_stratified",
-    "sample_train_split",
-    "stream_interval_join",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_windowed_agg",
-    "text_fingerprint",
-    "text_gopher_rules",
-    # ==== the driver's 50-row budget ends here ================================
-    # ==== ROUND 13 head-50 (promote in round 13) ====================================
-    # -- round-12 additions stage here, FIRST (none were made in round 12:
-    #    the round changed existing rows in place, so this section stands
-    #    verbatim as the round-13 head) -------------------------------------------
-    # -- round-8 cohort leftovers (8, incl. the r12 slip) -------------------------
+    # ==== ROUND 13 head-50 ==========================================================
+    # -- round-8 cohort leftovers (8, incl. the r12 slip; last checked r8) ---------
     "text_langid",
     "text_mojibake_scan",
     "text_pii_redact",
@@ -258,7 +199,9 @@ DRIVER_PRIORITY: list[str] = [
     "search_inverted_index",
     "store_view_adjacency",
     "stream_curate_corpus",
+    # ==== the driver's 50-row budget ends here ================================
     # ==== ROUND 14 head-50 (promote in round 14) ====================================
+    # -- round-13 additions stage here, FIRST (none so far) -----------------------
     # -- round-9 cohort leftovers (8) ----------------------------------------------
     "stream_stateful_totals",
     "text_bigram_lm_score",
@@ -311,7 +254,7 @@ DRIVER_PRIORITY: list[str] = [
     "k5_senzing",
     "k6_names_txt",
     "k7_statistics",
-    # ==== ROUND 15+ tail ============================================================
+    # ==== ROUND 15 head-50 (promote in round 15) ====================================
     # -- round-10 head leftovers (8) -------------------------------------------------
     "k9_securities",
     "p1_target_filter",
@@ -330,7 +273,7 @@ DRIVER_PRIORITY: list[str] = [
     "skew_salted_join",
     "t2_t3_facet_topk",
     "t6_key_skew_profile",
-    # -- round-6 cohort, first 42 (checked r11) ------------------------------------
+    # -- round-6 cohort, first 34 (checked r11) ------------------------------------
     "a10_edge_cleanup",
     "a4_program_facets",
     "a9_name_reduction",
@@ -365,6 +308,8 @@ DRIVER_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "rollup_revenue",
     "s10_archive_backfill",
+    # ==== ROUND 16+ tail ============================================================
+    # -- round-6 cohort leftovers (8, checked r11) ----------------------------------
     "s11_llm_extraction",
     "s12_review_workflow",
     "s12_reviewed_names_emit",
@@ -373,6 +318,57 @@ DRIVER_PRIORITY: list[str] = [
     "s2_xml_scan",
     "s3_json_scan",
     "s4_html_dom",
+    # -- the round-12 head-50 (freshest; checked r12) --------------------------------
+    "s5_html_table",
+    "s6_excel_scan",
+    "s7_pdf_tables",
+    "s8_cache_ttl",
+    "sketch_merge_distinct",
+    "w1_running_total",
+    "w2_rolling_sum",
+    "w3_rank_family",
+    "ann_centroid_step",
+    "ann_cosine_topk",
+    "ann_ivf_bucketed",
+    "ann_ivf_nprobe2",
+    "asof_last_view_before_click",
+    "contamination_overlap",
+    "dedup_chunk_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_fast",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_source_priority",
+    "docs_length_histogram",
+    "docs_length_quantiles",
+    "j7_interval_overlap",
+    "mixture_cap_per_source",
+    "mixture_temperature",
+    "mm_byte_features",
+    "mm_decode_bmp_real",
+    "mm_frame_sample",
+    "mm_resize",
+    "pack_sequences",
+    "pipeline_quality_filter",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "rollup_time_hierarchy",
+    "s14_fsf_parse",
+    "s6_xls_scan",
+    "s7_pdf_distributed",
+    "sample_stratified",
+    "sample_train_split",
+    "stream_interval_join",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_windowed_agg",
+    "text_fingerprint",
+    "text_gopher_rules",
 ]
 
 
