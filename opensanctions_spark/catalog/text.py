@@ -1472,23 +1472,31 @@ SELECT w, COUNT(*) AS c FROM (
 """
 
 
-#: guarded s0: every symbol delimiter-wrapped (chr(31)) so merges can
-#: never fuse characters straddling a symbol boundary — see
-#: :func:`bpe_apply_merges` (the whole BPE family is boundary-strict
-#: as of round 12, Spark and DuckDB replaying the identical operation)
+#: guarded s0: every symbol boundary carries a DOUBLE delimiter
+#: (chr(31) twice) so merges can never fuse characters straddling a
+#: symbol boundary AND a single left-to-right replace per rank is
+#: exactly greedy BPE — each match consumes only ONE of a shared
+#: boundary's two delimiters, so adjacent occurrences (including
+#: self-overlapping pairs like ``a a`` in a run of a's) stay matchable
+#: in the same pass. See :func:`bpe_apply_merges` (the whole BPE family
+#: replays this identical operation in Spark and DuckDB).
 _BPE_S0_SQL = (
-    "s0 AS (SELECT w, c, chr(31) || array_to_string(list_transform("
-    "range(length(w)), i -> w[i+1]), chr(31)) || chr(31) AS seq FROM wc),"
+    "s0 AS (SELECT w, c, chr(31) || chr(31) || array_to_string("
+    "list_transform(range(length(w)), i -> w[i+1]), chr(31) || chr(31)) "
+    "|| chr(31) || chr(31) AS seq FROM wc),"
 )
 
 
 def _bpe_round_sql(n: int) -> str:
     """One BPE merge round as chained CTEs: weighted adjacent-pair counts
     over s{n-1}, argmax pair (count desc, pair asc), merged sequences.
-    The merge is the boundary-strict guarded DOUBLE replace (consecutive
-    occurrences share a boundary delimiter; pass one merges the odd
-    ones, pass two the stragglers — see ``bpe_apply_merges``)."""
-    pat = f"chr(31) || replace((SELECT pair FROM t{n}), ' ', chr(31)) || chr(31)"
+    The merge is ONE boundary-strict replace over the double-guarded
+    representation — exact greedy left-to-right for every pair shape,
+    self-overlapping included (see ``bpe_apply_merges``)."""
+    pat = (
+        f"chr(31) || replace((SELECT pair FROM t{n}), ' ', "
+        f"chr(31) || chr(31)) || chr(31)"
+    )
     rep = f"chr(31) || replace((SELECT pair FROM t{n}), ' ', '') || chr(31)"
     return f"""
 p{n} AS (
@@ -1501,7 +1509,7 @@ p{n} AS (
 ),
 t{n} AS (SELECT pair, n FROM p{n} ORDER BY n DESC, pair LIMIT 1),
 s{n} AS (
-  SELECT w, c, replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq
+  SELECT w, c, replace(seq, {pat}, {rep}) AS seq
   FROM s{n - 1}
 )"""
 
@@ -1530,11 +1538,12 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     round-trips. Shared by the trainer (``text_bpe_train``) and the
     apply pass (``text_bpe_encode``).
 
-    ``seq`` is the DELIMITER-GUARDED symbol string (``\\x1f`` around
-    every symbol) and the merge is the boundary-strict guarded double
-    replace — same semantics as :func:`bpe_apply_merges` (round 12):
-    a pair can only fuse two whole symbols, never characters straddling
-    a merged symbol's boundary."""
+    ``seq`` is the DOUBLE-DELIMITER-GUARDED symbol string (``\\x1f\\x1f``
+    at every boundary) and the merge is ONE boundary-strict replace —
+    same semantics as :func:`bpe_apply_merges`: exact greedy
+    left-to-right BPE for every pair shape (a pair can only fuse two
+    whole symbols, and adjacent occurrences — including self-
+    overlapping pairs — merge in the single pass)."""
     sep = F.lit("\x1f")
     toks = F.filter(F.split(F.col("seq"), "\x1f"), lambda x: x != "")
     pairs = (
@@ -1557,23 +1566,26 @@ def _bpe_merge_round(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     # merged the round has NO pairs and ``top`` is empty — a crossJoin
     # would silently drop every sequence; the left join keeps them and
     # the null-guard makes the exhausted round a no-op.
-    pat = F.concat(sep, F.replace(F.col("pair"), F.lit(" "), sep), sep)
+    pat = F.concat(
+        sep, F.replace(F.col("pair"), F.lit(" "), F.concat(sep, sep)), sep
+    )
     rep = F.concat(sep, F.replace(F.col("pair"), F.lit(" "), F.lit("")), sep)
     merged = s.join(F.broadcast(top), F.lit(True), "left").select(
         "w",
         "c",
         F.when(F.col("pair").isNull(), F.col("seq"))
-        .otherwise(F.replace(F.replace(F.col("seq"), pat, rep), pat, rep))
+        .otherwise(F.replace(F.col("seq"), pat, rep))
         .alias("seq"),
     )
     return merged, top
 
 
 def _bpe_guarded_seq(word_col) -> "F.Column":
-    """word → the guarded initial symbol string: ``\\x1fa\\x1fb\\x1f``."""
-    sep = "\x1f"
+    """word → the double-guarded initial symbol string:
+    ``\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f``."""
+    sep2 = "\x1f\x1f"
     return F.concat(
-        F.lit(sep), F.concat_ws(sep, F.split(word_col, "")), F.lit(sep)
+        F.lit(sep2), F.concat_ws(sep2, F.split(word_col, "")), F.lit(sep2)
     )
 
 
@@ -1620,7 +1632,8 @@ _BPE_ENCODE_ORACLE = (
     + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
     + """,
 enc AS (
-  SELECT w, length(seq) - length(replace(seq, chr(31), '')) - 1 AS nt FROM s3
+  SELECT w, (length(seq) - length(replace(seq, chr(31), ''))) // 2 - 1 AS nt
+  FROM s3
 ),
 dw AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -1664,12 +1677,15 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
     for _ in (1, 2, 3):
         s, _top = _bpe_merge_round(s)
-    # token count = separators - 1 (every symbol is delimiter-wrapped)
+    # token count = separators/2 - 1 (every boundary is double-guarded)
     enc = s.select(
         "w",
         (
-            F.length("seq")
-            - F.length(F.replace(F.col("seq"), F.lit("\x1f"), F.lit("")))
+            (
+                F.length("seq")
+                - F.length(F.replace(F.col("seq"), F.lit("\x1f"), F.lit("")))
+            )
+            / 2
             - 1
         ).cast("int").alias("nt"),
     )
@@ -1703,25 +1719,25 @@ merges AS (
   ) WHERE rk <= """ + str(_BPE_APPLY_K) + """
 ),
 strict AS (
-  SELECT chr(31) || string_split(pair, ' ')[1] || chr(31) ||
+  SELECT chr(31) || string_split(pair, ' ')[1] || chr(31) || chr(31) ||
          string_split(pair, ' ')[2] || chr(31) AS pat,
          chr(31) || merged || chr(31) AS rep, rk
   FROM merges
 ),
 apply(w, seq, rk) AS (
   SELECT w,
-         chr(31) ||
+         chr(31) || chr(31) ||
          array_to_string(list_transform(range(length(w)), i -> w[i+1]),
-                         chr(31)) || chr(31),
+                         chr(31) || chr(31)) || chr(31) || chr(31),
          0
   FROM wc
   UNION ALL
-  SELECT a.w, replace(replace(a.seq, m.pat, m.rep), m.pat, m.rep), a.rk + 1
+  SELECT a.w, replace(a.seq, m.pat, m.rep), a.rk + 1
   FROM apply a JOIN strict m ON m.rk = a.rk + 1
 ),
 enc AS (
   SELECT w,
-         length(seq) - length(replace(seq, chr(31), '')) - 1 AS nt
+         (length(seq) - length(replace(seq, chr(31), ''))) // 2 - 1 AS nt
   FROM apply WHERE rk = (SELECT COUNT(*) FROM strict)
 ),
 dw AS (
@@ -1748,19 +1764,23 @@ def bpe_apply_merges(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     merge round and therefore cannot reach a production merge budget
     (Catalyst analysis blows up long before the data does).
 
-    Semantics (round 12): BOUNDARY-STRICT merge replay — real
-    tokenizer equivalence. Each symbol is delimiter-guarded
-    (``\\x1f a \\x1f b \\x1f``), so a merge can only fuse two symbols
-    that are EXACTLY the pair, never a pair of characters straddling a
-    symbol boundary (the pre-round-12 space-joined replay merged
-    ``b c`` across the tail of a preceding ``ab`` symbol). Each rank
-    applies as a left-to-right non-overlapping replace, run TWICE:
-    consecutive occurrences share their boundary delimiter, so one
-    pass merges the odd occurrences and the second catches the
-    stragglers — after pass one no two remaining occurrences share a
-    boundary, so two passes are exact (the subword-nmt lookahead-regex
-    semantics). The DuckDB oracle replays the identical guarded
-    double-replace, so a boundary bug on either side fails the hash.
+    Semantics (round 13): BOUNDARY-STRICT merge replay — real
+    tokenizer equivalence, self-overlapping pairs included. Every
+    symbol boundary carries a DOUBLE delimiter
+    (``\\x1f\\x1f a \\x1f\\x1f b \\x1f\\x1f``) and each rank applies as
+    ONE left-to-right non-overlapping replace of
+    ``\\x1f a \\x1f\\x1f b \\x1f`` → ``\\x1f ab \\x1f``: a merge can only
+    fuse two symbols that are EXACTLY the pair (never characters
+    straddling a symbol boundary), and because a match consumes only
+    ONE of a shared boundary's two delimiters, the next adjacent
+    occurrence stays matchable in the same pass — exact greedy
+    left-to-right BPE (subword-nmt's lookaround-regex semantics). The
+    round-12 single-delimiter double-replace was exact for distinct
+    pairs but mis-paired self-overlapping merges (``a a`` over a run of
+    five or more a's skipped every third occurrence); the double-guard
+    single replace pairs runs leftmost-greedy like a real tokenizer.
+    The DuckDB oracle replays the identical guarded replace, so a
+    boundary bug on either side fails the hash.
 
     Returns (w, nt): each distinct word's post-merge subword count.
     """
@@ -1768,18 +1788,18 @@ def bpe_apply_merges(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
     sep = "\x1f"
     guarded = [
-        (sep + pair.replace(" ", sep) + sep, sep + merged + sep)
+        (sep + pair.replace(" ", sep + sep) + sep, sep + merged + sep)
         for pair, merged in merges
     ]
 
     @pandas_udf("long")
     def _bpe_len(words):  # type: ignore[no-untyped-def]
         def enc(w: str) -> int:
-            seq = sep + sep.join(w) + sep
+            seq = sep + sep + (sep + sep).join(w) + sep + sep
             for pat, rep in guarded:
                 if pat in seq:
-                    seq = seq.replace(pat, rep).replace(pat, rep)
-            return seq.count(sep) - 1
+                    seq = seq.replace(pat, rep)
+            return seq.count(sep) // 2 - 1
 
         return words.map(enc)
 

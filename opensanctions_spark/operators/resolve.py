@@ -219,19 +219,33 @@ def canonical_map(decisions: DataFrame) -> DataFrame:
 
 def mapping_fingerprint(mapping: DataFrame) -> str:
     """Order-insensitive content fingerprint of a canonical map:
-    ``<row count>:<bit_xor of xxhash64(entity_id, canonical_id)>``.
+    ``<row count>:<exact sum of xxhash64(entity_id, canonical_id)>:
+    <bit_xor of the same hashes>``.
+
+    The sum runs in DECIMAL(38,0) so it is exact (never wraps) at any
+    map size; combined with the count and the xor it is a far stronger
+    set digest than xor alone — this string gates a CORRECTNESS
+    decision (skipping the prev-side rekey in run/export), and a pure
+    64-bit xor cancels whenever equal-count maps differ by rows whose
+    hashes xor to zero; a sum only cancels when the differing hashes
+    also sum equal, and both only together on an engineered collision.
 
     One distributed aggregation, no collect of the map itself. The run
     plan records it in the archive manifest at write time so an
     incremental run can PROVE the previous version was written under
     the identical resolver snapshot and skip the prev-side rekey —
     keeping the bucketed version's canonical_id clustering alive for
-    the J1 probe and the D0/D1 hash diff (SCALE.md §21c)."""
+    the J1 probe and the D0/D1 hash diff (SCALE.md §21c). A format
+    change degrades safely: old-format manifests simply mismatch and
+    the run pays the one-time rekey it would have skipped."""
     row = mapping.agg(
         F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "sum(cast(xxhash64(entity_id, canonical_id) as decimal(38,0)))"
+        ).alias("s"),
         F.expr("bit_xor(xxhash64(entity_id, canonical_id))").alias("x"),
     ).collect()[0]
-    return f"{row['n']}:{row['x']}"
+    return f"{row['n']}:{row['s']}:{row['x']}"
 
 
 def apply_canonical(statements: DataFrame, mapping: DataFrame) -> DataFrame:

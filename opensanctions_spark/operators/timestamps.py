@@ -29,9 +29,9 @@ def propagate_first_seen(
     """Stamp first_seen from prev where the statement already existed.
 
     ``cluster_col`` (usually ``canonical_id``) switches the probe from a
-    join on the statement id to a join on the cluster key, with the
-    previous version's (id → first_seen) pairs rolled into ONE map per
-    cluster first. Why this matters at scale: the id is a content hash,
+    join on the statement id alone to a join on (cluster key, id) rows,
+    the prev side deduplicated per (cluster, id) first. Why this
+    matters at scale: the id is a content hash,
     so an id-keyed join re-exchanges BOTH full sides every incremental
     run; the cluster key is the column the archive's bucketed layout
     already clusters on, so the prev side aggregates and joins with ZERO

@@ -409,7 +409,7 @@ def run_dataset(
 
     if prev is not None:
         # with a resolver map both sides are canonical-consistent, so the
-        # J1 probe keys on canonical_id (one map per entity) — the prev
+        # J1 probe keys on (canonical_id, id) rows — the prev
         # side rides the bucketed clustering with zero exchange and the
         # current side pays the single canonical_id exchange the write
         # and assembly want anyway. Mapless runs keep the id-keyed join

@@ -1,12 +1,20 @@
-"""Boundary-strict BPE apply (round 12, VERDICT r11 task 4).
+"""Boundary-strict BPE apply (round 12, VERDICT r11 task 4; round 13
+ADVICE: exact greedy semantics for self-overlapping pairs).
 
 The pre-round-12 ``bpe_apply_merges`` replayed merges as plain string
 replaces over a SPACE-joined symbol sequence — a pair whose left symbol
 matches the tail of a preceding merged symbol could fuse across the
 symbol boundary (oracle-consistent, but divergent from real BPE
-tokenizer equivalence). The strict encoder guards every symbol with a
-delimiter; these tests pin the two hard cases: the boundary collision
-and the shared-boundary occurrence chain.
+tokenizer equivalence). Round 12 guarded every symbol with a single
+delimiter and ran each rank's replace twice; that was exact for
+distinct pairs but mis-paired SELF-OVERLAPPING merges (``a a`` over a
+run of five or more a's skips every third occurrence — 9 a's gave 6
+tokens where subword-nmt gives 5). Round 13 moved to a DOUBLE-delimiter
+guard with ONE replace per rank: a match consumes only one of a shared
+boundary's two delimiters, so adjacent occurrences stay matchable and
+the replay is exact greedy left-to-right BPE for every pair shape.
+These tests pin the hard cases: the boundary collision, the
+shared-boundary occurrence chain, and identical-symbol runs.
 """
 
 from __future__ import annotations
@@ -36,9 +44,9 @@ def test_boundary_collision_not_merged(spark):
 
 
 def test_shared_boundary_chain_merges_fully(spark):
-    """Consecutive occurrences share their boundary delimiter: 'abab'
-    and 'ababab' must merge EVERY (a, b) pair — the double-replace
-    pass structure, equivalent to subword-nmt's lookahead regex."""
+    """Consecutive occurrences share their boundary: 'abab' and
+    'ababab' must merge EVERY (a, b) pair in the single pass —
+    equivalent to subword-nmt's lookaround regex."""
     merges = [("a b", "ab")]
     out = _encode(spark, ["abab", "ababab", "aaaa", "aaa"], merges)
     assert out["abab"] == 2         # [ab, ab]
@@ -46,6 +54,26 @@ def test_shared_boundary_chain_merges_fully(spark):
     out2 = _encode(spark, ["aaaa", "aaa"], [("a a", "aa")])
     assert out2["aaaa"] == 2        # [aa, aa]
     assert out2["aaa"] == 2         # [aa, a] — leftmost-greedy
+
+
+def test_self_overlapping_pair_runs_pair_leftmost_greedy(spark):
+    """The round-13 ADVICE case: merge (w, w) over runs of identical
+    symbols must pair leftmost-greedy exactly like subword-nmt —
+    floor(k/2) merged pairs + (k mod 2) leftover per run. The round-12
+    single-delimiter double-replace gave 6 tokens for 9 w's (pass one
+    skipped every third occurrence and pass two could not recover
+    them); true BPE gives 5."""
+    merges = [("w w", "ww")]
+    words = {k: "w" * k for k in (2, 3, 4, 5, 6, 7, 8, 9, 12)}
+    out = _encode(spark, list(words.values()), merges)
+    for k, w in words.items():
+        assert out[w] == (k // 2) + (k % 2), f"run of {k}"
+    # chained self-overlap: rank 2 merges the rank-1 outputs the same way
+    out2 = _encode(
+        spark, ["w" * 9], [("w w", "ww"), ("ww ww", "wwww")]
+    )
+    # 9 w's -> [ww ww ww ww w] -> [wwww wwww w]
+    assert out2["w" * 9] == 3
 
 
 def test_rank_order_respected(spark):
@@ -60,7 +88,8 @@ def test_rank_order_respected(spark):
 
 def test_oracle_parity_on_documents(spark, sf_dir):
     """The full catalog row stays value-exact against its updated
-    DuckDB oracle (the strict guarded double-replace on both sides)."""
+    DuckDB oracle (the strict double-guard single replace on both
+    sides)."""
     import duckdb
 
     from opensanctions_spark.catalog import ORACLES, QUERIES
@@ -99,7 +128,29 @@ def test_declarative_rounds_are_boundary_strict(spark):
     s, top2 = _bpe_merge_round(s)
     assert top2.collect()[0]["pair"] == "b c"
     sep = "\x1f"
-    seqs = {r["w"]: r["seq"].split(sep)[1:-1] for r in s.collect()}
+    seqs = {
+        r["w"]: [t for t in r["seq"].split(sep) if t] for r in s.collect()
+    }
     assert seqs["abc"] == ["ab", "c"]       # the collision case
     assert seqs["bc"] == ["bc"]
     assert seqs["ab"] == ["ab"]
+
+
+def test_declarative_round_self_overlap_pairs_greedy(spark):
+    """The in-plan merge round pairs identical-symbol runs leftmost-
+    greedy too: vocab 'wwwwwwwww' (9 w's), argmax pair (w, w) → the
+    merged sequence must be [ww ww ww ww w] (5 symbols), not the
+    every-third-skipped 6 of the round-12 double-replace."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog.text import (
+        _bpe_guarded_seq,
+        _bpe_merge_round,
+    )
+
+    vocab = spark.createDataFrame([("w" * 9, 1)], "w string, c long")
+    s = vocab.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
+    s, top = _bpe_merge_round(s)
+    assert top.collect()[0]["pair"] == "w w"
+    seq = s.collect()[0]["seq"]
+    assert [t for t in seq.split("\x1f") if t] == ["ww"] * 4 + ["w"]

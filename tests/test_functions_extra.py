@@ -306,9 +306,10 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    # round-12: sequences are delimiter-guarded (boundary-strict merge
-    # replay — see bpe_apply_merges); the hand-computation is unchanged,
-    # only the symbol-string representation carries \x1f guards
+    # round-13: sequences are double-delimiter-guarded (exact greedy
+    # boundary-strict merge replay — see bpe_apply_merges); the
+    # hand-computation is unchanged, only the symbol-string
+    # representation carries \x1f\x1f guards
     sep = "\x1f"
     s = wc.select("w", "c", T._bpe_guarded_seq(F.col("w")).alias("seq"))
     merges = []
@@ -319,13 +320,16 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
     assert merges[1] == ["a ab"]
     assert merges[2] == []  # vocabulary fully merged: no pairs remain
     enc = {r["w"]: r["seq"] for r in s.collect()}
-    assert enc == {"aab": f"{sep}aab{sep}", "ab": f"{sep}ab{sep}"}
+    assert enc == {"aab": f"{sep*2}aab{sep*2}", "ab": f"{sep*2}ab{sep*2}"}
     dw = docs.select("doc_id", F.explode(T._tokens(F.col("text"))).alias("w"))
     nt = s.select(
         "w",
         (
-            F.length("seq")
-            - F.length(F.replace(F.col("seq"), F.lit(sep), F.lit("")))
+            (
+                F.length("seq")
+                - F.length(F.replace(F.col("seq"), F.lit(sep), F.lit("")))
+            )
+            / 2
             - 1
         ).cast("int").alias("nt"),
     )

@@ -11,7 +11,7 @@ The fix, pinned here: the rekey moves BEFORE the versioned write (the
 stored clustering is the final canonical one, fingerprinted in the
 manifest), the previous version skips its rekey when the fingerprint
 proves the identical resolver snapshot, and the J1 probe keys on
-canonical_id (one id→first_seen map per entity) instead of the raw id
+(canonical_id, id) rows instead of the raw id alone
 — so the bucketed prev side feeds J1, A1 and D0/D1 with ZERO exchanges
 and the new statements pay exactly one.
 """

@@ -20,9 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_rehearsal_skew_smoke():
     env = dict(os.environ, SPARK_GRAFT_SKEW="1", SPARK_GRAFT_CPUS="8")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "rehearse_e2e.py"),
-         "/root/testdata/sf0.001"],
+         sf_dir],
         capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
