@@ -638,3 +638,170 @@ def test_duplicate_spans_hashed_key_matches_raw_string_key(spark, texts):
         (F.max("pos") + w).cast("long").alias("span_end"),
     ).drop("island").collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-13 (VERDICT r12 task 3): adversarial binary-boundary payloads.
+# The round-12 PDF bug class — a delimiter regex slicing a binary
+# payload that happens to contain the delimiter bytes (or end on \r) —
+# is a FAMILY property: any parser that bounds binary content by
+# searching for a keyword can lose or corrupt data when the payload
+# embeds that keyword. These properties feed boundary-keyword-dense and
+# \r-terminated content through every binary round-trip (PDF object
+# scanner, OLE2 xls sectors, BMP/PPM/WAV codecs).
+
+_BOUNDARY_WORDS = [
+    "endstream", "endobj", "stream", "obj", "xref", "trailer",
+    "EOF", "Workbook",
+]
+_adv_cell = st.lists(
+    st.one_of(
+        st.sampled_from(_BOUNDARY_WORDS),
+        st.sampled_from(["\r", "\n", "\r\n", " "]),
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+).map(lambda parts: ("".join(parts) + "q"))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.lists(_adv_cell, min_size=2, max_size=4),
+             min_size=1, max_size=6),
+    st.booleans(),
+)
+def test_pdf_adversarial_payload_roundtrip(tmp_path_factory, rows, compress):
+    """Cells stuffed with PDF structural keywords and raw \\r / \\r\\n
+    must round-trip losslessly (whitespace-normalized) through both the
+    compressed and uncompressed stream paths — no silently dropped
+    pages, no early-terminated objects."""
+    import os
+
+    from opensanctions_spark.sources.pdf import parse_pdf_table, write_pdf_table
+
+    width = len(rows[0])
+    rows = [(r + ["x"] * width)[:width] for r in rows]
+    headers = [f"c{i}" for i in range(width)]
+    path = os.path.join(str(tmp_path_factory.mktemp("pdfadv")), "t.pdf")
+    write_pdf_table(path, headers, rows, compress=compress)
+    with open(path, "rb") as fh:
+        got = list(parse_pdf_table(fh.read()))
+
+    def norm(v):
+        return " ".join(str(v).split())
+
+    assert len(got) == len(rows)
+    for want, have in zip(rows, got):
+        assert [norm(w) for w in want] == [
+            norm(have[h]) if have[h] is not None else "" for h in headers
+        ]
+
+
+_adv_bytes = st.lists(
+    st.one_of(
+        st.sampled_from([
+            b"endstream", b"endobj", b"\r", b"\r\n", b"\x00\xff\x00",
+            b"\rendstream\r", b"RIFF", b"data", b"P6\n",
+        ]),
+        st.binary(max_size=8),
+    ),
+    max_size=8,
+).map(b"".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_adv_bytes)
+def test_wav_codec_adversarial_payload_roundtrip(payload):
+    """Arbitrary PCM bytes — including RIFF/data chunk markers and \\r
+    runs — survive encode→decode exactly (the wave container is
+    length-framed; this pins that no path regresses to delimiter
+    scanning)."""
+    from opensanctions_spark.codecs import decode_wav, encode_wav, wav_info
+
+    content = encode_wav(payload, sample_rate=8000, sampwidth=1, channels=1)
+    assert decode_wav(content) == payload
+    assert wav_info(content) == (1, 1, 8000, len(payload))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_adv_bytes, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=5))
+def test_ppm_bmp_codec_adversarial_pixels_roundtrip(payload, width, height):
+    """Pixel buffers containing PPM header tokens, BMP-sized runs, nulls
+    and \\r bytes round-trip bit-exactly through both raster codecs
+    (length-derived slicing, never content scanning)."""
+    from opensanctions_spark.codecs import (
+        bmp_info,
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        ppm_info,
+    )
+
+    n = width * height * 3
+    pixels = (payload * (n // max(len(payload), 1) + 1))[:n].ljust(n, b"\x01")
+    ppm = encode_ppm(pixels, width, height)
+    assert decode_ppm(ppm) == pixels
+    assert ppm_info(ppm) == (width, height)
+    bmp = encode_bmp(pixels, width, height)
+    assert decode_bmp(bmp) == pixels
+    assert bmp_info(bmp) == (width, height)
+
+
+_long_cell = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=180,
+    max_size=700,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(_adv_cell, st.one_of(_adv_cell, _long_cell)),
+    min_size=1, max_size=6,
+))
+def test_xls_sector_boundary_adversarial_roundtrip(tmp_path_factory, rows):
+    """Cells long enough that the OLE2 workbook stream spans multiple
+    512-byte sectors, mixed with structural-keyword content ('Workbook',
+    'stream', \\r runs): the sector-chain reassembly and BIFF record
+    walk must recover every cell exactly."""
+    import os
+
+    from opensanctions_spark.sources.xls import write_xls, xls_rows
+
+    rows = [[a, b] for a, b in rows]
+    headers = ["c0", "c1"]
+    path = os.path.join(str(tmp_path_factory.mktemp("xlsadv")), "t.xls")
+    write_xls(path, headers, rows)
+    with open(path, "rb") as fh:
+        got = xls_rows(fh.read())
+    assert got[0] == headers
+    assert [[str(c) for c in r] for r in rows] == got[1:]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_adv_bytes.filter(bool), min_size=1, max_size=4))
+def test_scanned_pdf_adversarial_images_roundtrip(tmp_path_factory, images):
+    """Scanned-page image bytes containing PDF structural keywords,
+    trailing \\r, or nulls extract bit-exactly, one per page in order —
+    the image-XObject path shares the /Length stream slicing."""
+    import os
+
+    from opensanctions_spark.sources.pdf import (
+        pdf_page_images,
+        write_scanned_pdf,
+    )
+
+    path = os.path.join(str(tmp_path_factory.mktemp("scanadv")), "s.pdf")
+    write_scanned_pdf(path, images)
+    with open(path, "rb") as fh:
+        got = pdf_page_images(fh.read())
+    assert got == [
+        (i + 1, img, "jpeg") for i, img in enumerate(images)
+    ]
