@@ -154,3 +154,97 @@ def test_declarative_round_self_overlap_pairs_greedy(spark):
     assert top.collect()[0]["pair"] == "w w"
     seq = s.collect()[0]["seq"]
     assert [t for t in seq.split("\x1f") if t] == ["ww"] * 4 + ["w"]
+
+
+# ---------------------------------------------------------------------------
+# differential equivalence vs a pure-Python true-BPE reference (round 13):
+# the engine's merge replay (double-guard single replace, both the
+# pandas-UDF apply and the declarative in-plan round) must match greedy
+# left-to-right BPE — the subword-nmt semantics — on arbitrary words and
+# arbitrary trained merge tables, self-overlapping pairs included.
+
+
+def _true_bpe_merge(syms, a, b):
+    """Reference greedy left-to-right merge of one rank (what
+    subword-nmt's lookaround re.sub computes)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _true_bpe_train(words, rounds):
+    """Reference count-level BPE trainer: weighted adjacent-pair counts,
+    argmax (count desc, pair asc), applied greedily each round."""
+    from collections import Counter
+
+    wc = Counter(words)
+    seqs = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(rounds):
+        pairs = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((f"{best[0]} {best[1]}", best[0] + best[1]))
+        seqs = {
+            w: _true_bpe_merge(s, best[0], best[1]) for w, s in seqs.items()
+        }
+    return merges, seqs
+
+
+def test_apply_matches_true_bpe_differential(spark):
+    """Train 4 rounds of reference BPE on an adversarial mini-corpus
+    (runs of identical chars, shared-boundary chains, substring-nested
+    words), then check the pandas-UDF apply pass AND the declarative
+    in-plan rounds both produce the reference token counts for every
+    word."""
+    from pyspark.sql import functions as F
+
+    from opensanctions_spark.catalog.text import (
+        _bpe_guarded_seq,
+        _bpe_merge_round,
+    )
+
+    words = (
+        ["aaaa"] * 5 + ["aaaaaaaaa"] * 2 + ["abab"] * 4 + ["aab"] * 6
+        + ["ab"] * 3 + ["ba"] * 2 + ["bbb"] * 3 + ["abc"] * 2 + ["ca"]
+    )
+    merges, seqs = _true_bpe_train(words, 4)
+    want = {w: len(s) for w, s in seqs.items()}
+
+    vocab = sorted(set(words))
+    wc = spark.createDataFrame([(w,) for w in vocab], "w string")
+    got_udf = {
+        r["w"]: r["nt"] for r in bpe_apply_merges(wc, merges).collect()
+    }
+    assert got_udf == want
+
+    # the declarative path trains its own argmax each round — the same
+    # tie-break (count desc, pair asc) must pick the same merges and
+    # the in-plan replace must land the same final sequences
+    wcc = spark.createDataFrame(
+        [(w, words.count(w)) for w in vocab], "w string, c long"
+    )
+    s = wcc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
+    picked = []
+    for _ in range(4):
+        s, top = _bpe_merge_round(s)
+        rows = top.collect()
+        if rows:
+            picked.append(rows[0]["pair"])
+    assert picked == [p for p, _ in merges]
+    got_plan = {
+        r["w"]: len([t for t in r["seq"].split("\x1f") if t])
+        for r in s.collect()
+    }
+    assert got_plan == want
