@@ -311,6 +311,16 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
     import zipfile
     from xml.sax.saxutils import escape
 
+    # \r must be a character reference: XML 1.0 end-of-line handling
+    # normalizes a literal CR (and CRLF) to LF on PARSE, so an
+    # unescaped \r in cell text silently reads back as \n — the same
+    # round-trip-corruption family as the PDF 0x0D stream bug. The
+    # quote entity keeps the same values safe in attribute position.
+    _ENT = {"\r": "&#13;", '"': "&quot;"}
+
+    def _esc(v: object) -> str:
+        return escape(str(v), _ENT)
+
     def _ref(r: int, c: int) -> str:
         col = ""
         c += 1
@@ -321,7 +331,7 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
 
     def row_xml(i: int, vals: list[object]) -> str:
         cells = "".join(
-            f'<c r="{_ref(i - 1, ci)}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            f'<c r="{_ref(i - 1, ci)}" t="inlineStr"><is><t>{_esc(v)}</t></is></c>'
             if v is not None else ""
             for ci, v in enumerate(vals)
         )
@@ -342,7 +352,7 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             + "".join(
                 f'<Relationship Id="rIdL{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" '
-                f'Target="{escape(url)}" TargetMode="External"/>'
+                f'Target="{_esc(url)}" TargetMode="External"/>'
                 for i, (_, url) in enumerate(link_items)
             )
             + "</Relationships>"
@@ -367,7 +377,7 @@ def write_xlsx(path: str, header: list[str], rows: list[list[object]],
             "xl/workbook.xml",
             '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
             'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-            f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+            f'<sheets><sheet name="{_esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>',
         )
         zf.writestr(
             "xl/_rels/workbook.xml.rels",

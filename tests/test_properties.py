@@ -805,3 +805,42 @@ def test_scanned_pdf_adversarial_images_roundtrip(tmp_path_factory, images):
     assert got == [
         (i + 1, img, "jpeg") for i, img in enumerate(images)
     ]
+
+
+_xml_cell = st.lists(
+    st.one_of(
+        st.sampled_from([
+            "<", ">", "&", '"', "'", "&amp;", "&#13;", "]]>", "\r", "\r\n",
+            "<t>", "</t>", "<is>",
+        ]),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+).map("".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_xml_cell, min_size=1, max_size=3),
+                min_size=1, max_size=6))
+def test_xlsx_adversarial_cells_roundtrip(tmp_path_factory, rows):
+    """Cells stuffed with XML markup, entity-lookalikes, CDATA
+    terminators and raw \\r / \\r\\n round-trip bit-exactly through the
+    inline-string xlsx writer/reader (escaping + the &#13; CR guard —
+    XML parsing normalizes an unescaped CR to LF)."""
+    import os
+
+    from opensanctions_spark.sources import _xlsx_rows, write_xlsx
+
+    width = max(len(r) for r in rows)
+    rows = [(r + ["x"] * width)[:width] for r in rows]
+    headers = [f"c{i}" for i in range(width)]
+    path = os.path.join(str(tmp_path_factory.mktemp("xlsxadv")), "t.xlsx")
+    write_xlsx(path, headers, rows)
+    got = _xlsx_rows(path, 0)
+    assert got[0] == headers
+    assert got[1:] == rows

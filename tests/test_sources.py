@@ -158,6 +158,28 @@ def test_xlsx_roundtrip_stdlib(spark, tmp_path):
     ]
 
 
+def test_xlsx_carriage_return_and_quote_roundtrip(tmp_path):
+    """XML 1.0 end-of-line handling turns a literal CR into LF at parse
+    time, so the writer must emit \r as &#13; (the xlsx member of the
+    binary-boundary corruption family the round-12 PDF bug exposed);
+    quotes must survive attribute position (sheet name, link Target)."""
+    from opensanctions_spark.sources import _xlsx_rows_links, write_xlsx
+
+    path = str(tmp_path / "cr.xlsx")
+    write_xlsx(
+        path,
+        ["v"],
+        [["line1\rline2"], ["x\r\ny"], ['q"q'], ["amp&lt;"]],
+        sheet_name='My "Q" Sheet',
+        links={(1, 0): 'http://x/?q="1"&b=2'},
+    )
+    rows, links = _xlsx_rows_links(path)
+    assert rows == [
+        ["v"], ["line1\rline2"], ["x\r\ny"], ['q"q'], ["amp&lt;"]
+    ]
+    assert links == {(1, 0): 'http://x/?q="1"&b=2'}
+
+
 def test_xlsx_shared_strings_and_sparse_rows(spark, tmp_path):
     # Hand-built workbook exercising the shared-string table, rich-text
     # runs, sparse rows (cell C skips B), and sheet selection by name.
