@@ -51,9 +51,11 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             spark_df = fn(spark, sf_dir).toPandas()
@@ -91,8 +93,12 @@ def main() -> int:
             continue
         print(f"ok    {name}: rows={len(s)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
-    return 1 if failures else 0
+    missing = sorted(only - set(qs)) if only else []
+    for name in missing:
+        print(f"FAIL  {name}: not a registered catalog query")
+    print(f"\n{checked - len(failures)}/{checked} passed"
+          + (f" ({len(missing)} requested name(s) unknown)" if missing else ""))
+    return 1 if failures or missing else 0
 
 
 if __name__ == "__main__":
