@@ -414,7 +414,19 @@ def minhash_bands_of(shingles: DataFrame) -> DataFrame:
     array fold: higher-order array functions (aggregate/zip_with) are
     interpreted per element, while explode + md5 + hash-agg stay inside
     whole-stage codegen — measured 4× faster at sf0.1 despite the extra
-    shuffle, and the shuffle rows are (doc_id, 8-char hash) — tiny."""
+    shuffle, and the shuffle rows are (doc_id, 8-byte band value) — tiny.
+
+    Band values are BIGINT, not the 8-hex-char substring itself
+    (round 13): ``min`` over a STRING buffer cannot use HashAggregate
+    (UnsafeRow aggregation buffers must be mutable fixed-size types), so
+    the signature reduction ran as Sort + SortAggregate — a full sort of
+    every exploded shingle row on both sides of the exchange, the
+    dominant stage of every LSH-family query. ``conv(hex8, 16, 10)`` is
+    injective and order-preserving on fixed-length lowercase hex
+    (lexicographic = numeric order), so ``min`` picks the same band
+    value and bucket equality is unchanged — the pair set is
+    bit-identical while the plan becomes explode → HashAggregate with an
+    8-byte shuffle column instead of a string."""
     if "shingles" in shingles.columns:  # array form — explode it
         # explode_outer + null filter: see shingles_of (avoids the
         # InferFiltersFromGenerate expression-duplication trap)
@@ -424,7 +436,10 @@ def minhash_bands_of(shingles: DataFrame) -> DataFrame:
     sh = shingles.select("doc_id", F.md5(F.col("shingle")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.col("h"), k * 3 + 1, 8)).alias(f"mh{k}")
+            F.min(
+                F.conv(F.substring(F.col("h"), k * 3 + 1, 8), 16, 10)
+                .cast("long")
+            ).alias(f"mh{k}")
             for k in range(8)
         ]
     )

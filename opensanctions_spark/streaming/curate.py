@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from opensanctions_spark.plans.curate import CurationConfig, curate_increment
 
 _FP_SCHEMA = "fp string"
-_BANDS_SCHEMA = "doc_id long, k long, mh string"
+_BANDS_SCHEMA = "doc_id long, k long, mh long"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
