@@ -2314,14 +2314,18 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle proportional to matches — carries query-term occurrences
     only, with the per-doc length ``dl`` computed as ``size(tokens)`` in
     the same projection and carried THROUGH the explode (no
-    length-normalization join at all). ``df`` aggregates the tiny tf
-    table; the 2-row corpus stats and the query list broadcast. The old
-    shape aggregated tf/dl over the FULL token stream (two corpus-wide
-    shuffles) and joined three ways before the query filter pruned
-    99%+ of it — 18.3× DuckDB at sf0.1; this shape's only full-corpus
-    work is the map-only stats pass. Final top-k is orderBy+limit —
-    TakeOrderedAndProject (per-partition heads + one 20-row merge),
-    not a single-partition global window sort."""
+    length-normalization join at all). ``df``, ``n_docs`` and ``sum_dl``
+    all come out of ONE single-row corpus aggregation (``array_contains``
+    per query term is row-wise), broadcast onto the per-doc frame. The
+    old shape aggregated tf/dl over the FULL token stream (two
+    corpus-wide shuffles) and joined three ways before the query filter
+    pruned 99%+ of it — 18.3× DuckDB at sf0.1; this shape's only
+    full-corpus work is the map-only stats pass. Per-document tf for the
+    bounded query list is one conditional groupBy(doc_id) aggregate
+    (r13: replaced the groupBy(doc, term) + per-term count window +
+    regroup chain — two exchanges fewer, 28 → 21 plan operators). Final
+    top-k is orderBy+limit — TakeOrderedAndProject (per-partition heads
+    + one 20-row merge), not a single-partition global window sort."""
     docs = load(spark, sf_dir, "documents")
     q_terms = ["hash", "merge", "vector"]
     toks_arr = _tokens(F.col("text"))
@@ -2331,45 +2335,67 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks_arr).cast("long").alias("dl"),
         F.filter(toks_arr, lambda x: x.isin(*q_terms)).alias("_qtoks"),
     )
+    # explode_outer + null filter per the house rule: a plain explode of
+    # the computed array infers a size(_qtoks) > 0 filter that Catalyst
+    # pushes below the parallelism repartition onto the (single-split)
+    # parquet scan task — the whole corpus was being tokenized
+    # single-threaded before the spread (r13 plan audit: the inferred
+    # filter re-ran regexp_extract_all at the scan).
     postings = proj.select(
-        "doc_id", "dl", F.explode("_qtoks").alias("term")
-    )
-    tf = postings.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
-    # corpus stats: map-only second tokenize pass (size only, no explode)
-    stats = proj.select("dl").agg(
+        "doc_id", "dl", F.explode_outer("_qtoks").alias("term")
+    ).filter(F.col("term").isNotNull())
+    # ONE corpus pass for every global factor (r13): doc count, total
+    # length, AND the per-term document frequencies — array_contains is
+    # row-wise, so df needs neither a tf-frame self-reference (which
+    # would re-execute the postings subtree) nor the old per-term count
+    # window (one exchange of the tf frame, gone from the plan).
+    stats = proj.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("_qtoks", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(q_terms)
+        ],
     )
-    # df as a count window over the tf frame, NOT a self-aggregate-and-
-    # join: a `tf.groupBy(term)` df table referenced alongside tf would
-    # duplicate the whole postings subtree in the physical plan (Spark
-    # re-executes shared lineage), re-tokenizing the corpus a third time.
-    # The window costs one ≤|query|-partition exchange of the tiny tf
-    # frame instead.
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    term_scores = (
-        tf.crossJoin(F.broadcast(stats))
+    # per-document tf for the (bounded, tiny) query-term list as
+    # conditional aggregates of ONE groupBy(doc_id) — replaces the old
+    # groupBy(doc_id, term) + term-window + groupBy(doc_id) chain: the
+    # postings cross the wire once, keyed on the doc, and the per-term
+    # sum/window/total-regroup collapse into the same exchange.
+    tf3 = postings.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(q_terms)
+        ],
+    )
+
+    # the tf-part × idf product is widened to DECIMAL(38,0) (HUGEINT on
+    # the oracle side): for a rare term (df≈1) the idf factor is
+    # ~n_docs·6.7e5, so the int64 product would overflow past ~6M
+    # documents — far below target corpus size. A term the doc does not
+    # contain contributes exactly 0, matching its absent row in the old
+    # (doc, term) tf frame.
+    def _term_score(i: int) -> str:
+        return (
+            f"CASE WHEN tf_{i} > 0 THEN "
+            f"CAST(CAST(((tf_{i} * 2200000) * 1000000"
+            f" div (tf_{i} * 1000000 + 300000"
+            "      + (9 * (dl * 1000000000000"
+            "              div (sum_dl * 1000000 div n_docs))) div 10))"
+            " AS DECIMAL(38,0))"
+            f" * ((2 * n_docs - 2 * df_{i} + 1) * 1000000 div (2 * df_{i} + 1))"
+            " div 1000000 AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+
+    score_sum = " + ".join(_term_score(i) for i in range(len(q_terms)))
+    totals = (
+        tf3.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            # the tf-part × idf product is widened to DECIMAL(38,0)
-            # (HUGEINT on the oracle side): for a rare term (df≈1) the
-            # idf factor is ~n_docs·6.7e5, so the int64 product would
-            # overflow past ~6M documents — far below target corpus size
-            F.expr(
-                "CAST(CAST(((tf * 2200000) * 1000000"
-                " div (tf * 1000000 + 300000"
-                "      + (9 * (dl * 1000000000000"
-                "              div (sum_dl * 1000000 div n_docs))) div 10))"
-                " AS DECIMAL(38,0))"
-                " * ((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
-                " div 1000000 AS BIGINT)"
-            ).alias("score_micro"),
+            F.expr(f"CAST({score_sum} AS BIGINT)").alias("score_micro"),
         )
-    )
-    totals = term_scores.groupBy("doc_id").agg(
-        F.sum("score_micro").cast("long").alias("score_micro")
     )
     top = totals.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
     # rank window runs AFTER the limit — 20 rows, one partition, free
@@ -2597,15 +2623,23 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     size() filter)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
-    sized = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    sized = docs.select("doc_id", toks.alias("toks"))
+    # token-less documents are dropped by the off-null filter below, NOT
+    # by an explicit size(toks) > 0 filter: Catalyst substitutes such a
+    # filter back to size(regexp_extract_all(...)) > 0 and pushes it
+    # below the parallelism repartition onto the single-split scan task,
+    # tokenizing the whole corpus single-threaded (r13 plan audit). The
+    # when() guard keeps sequence() off the empty-array error path and
+    # yields NULL, which explode_outer carries through.
     out = sized.select(
         "doc_id",
         "toks",
         F.size("toks").alias("n"),
         F.explode_outer(
-            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+            F.when(
+                F.size("toks") > 0,
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48)),
+            )
         ).alias("off"),
     ).filter(F.col("off").isNotNull())
     # drop a trailing window fully contained in its predecessor (the
