@@ -64,6 +64,63 @@ def _drop_hot_tokens(
     )
 
 
+_PAIR_CHUNK = 256
+
+
+def _chunked_subjects(
+    buckets: DataFrame,
+    members_col: str,
+    directional: bool,
+    extra_cols: tuple[str, ...] = (),
+    chunk: int = _PAIR_CHUNK,
+) -> DataFrame:
+    """One row per SUBJECT position of each bucket (members array riding
+    along) — the streaming replacement for a single
+    ``explode(flatten(transform(members, ...)))`` expansion, whose outer
+    array materializes EVERY pair struct of a bucket as ONE value:
+    O(|bucket|²) bytes in a single allocation. A 5,000-member bucket
+    builds a ~300 MB array before the explode can stream it — observed
+    as a GCLocker retry storm and a near-OOM death spiral on
+    j5_reference_scorer at sf0.1 (293 s for a query whose pair count is
+    ~1.1 B). Here the bucket row explodes into chunk rows (subject
+    positions in strides of ``chunk``), is re-spread, then explodes into
+    per-subject rows; every allocation on the way is O(|bucket|) and the
+    pair structs stream straight into the downstream partial aggregate.
+
+    The re-spread moves chunk rows — a B-member bucket ships
+    ceil(B/chunk) copies of its members array (bounded), and in exchange
+    the quadratic expansion is balanced at chunk granularity: one
+    mega-bucket spreads over ceil(B/chunk) tasks instead of serializing
+    on a single straggler (the 100 TB skew shape the rehearsal gates).
+    Buckets at or below ``chunk`` members emit exactly one chunk row, so
+    the common small-bucket regime shuffles the same rows as before.
+
+    ``directional=False``: subjects iterate positions 0..size-2 (the
+    ordered i < j pair form); ``True``: 0..size-1 (every member is a
+    subject). Output: ``members_col``, ``extra_cols``, and ``_i`` (the
+    0-based subject position)."""
+    size = F.size(members_col)
+    last = size - 1 if directional else size - 2
+    keep = [members_col, *extra_cols]
+    starts = buckets.select(
+        *keep,
+        F.explode(F.sequence(F.lit(0), last, F.lit(chunk))).alias("_start"),
+    )
+    # re-spread the chunk rows (not the bucket rows): AQE sizes the
+    # post-groupBy stage on the tiny pre-explode bytes and would coalesce
+    # the quadratic work onto a handful of tasks
+    starts = starts.repartition(_parallelism(buckets))
+    return starts.select(
+        *keep,
+        F.explode(
+            F.sequence(
+                F.col("_start"),
+                F.least(F.col("_start") + F.lit(chunk - 1), last),
+            )
+        ).alias("_i"),
+    )
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token, n_tokens) rows: lowercase, split on non-alnum, distinct
     within each id. Dedup and the per-id token count are computed ROW-WISE
@@ -107,27 +164,40 @@ def candidate_pairs(
         t.groupBy("token")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .repartition(_parallelism(t))
     )
+    # ordered (i < j) streaming expansion + mirror AFTER the aggregation:
+    # half the quadratic work and half the pre-agg rows of the old
+    # directional form, with identical directional output (shared counts
+    # are symmetric); see _chunked_subjects for the allocation story.
+    subj = _chunked_subjects(buckets, "ids", directional=False)
+    x = F.element_at(F.col("ids"), F.col("_i") + 1)
     pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.filter(F.col("ids"), lambda y: y != x),
-                    lambda y: F.struct(
-                        x.alias("subject_id"), y.alias("candidate_id")
-                    ),
-                ),
-            )
+        F.transform(
+            F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids")),
+            lambda y: F.struct(x.alias("left_id"), y.alias("right_id")),
         )
     )
-    return (
-        buckets.select(pair.alias("p"))
-        .select("p.subject_id", "p.candidate_id")
-        .groupBy("subject_id", "candidate_id")
+    half = (
+        subj.select(pair.alias("p"))
+        .select("p.left_id", "p.right_id")
+        .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("shared"))
     )
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("left_id").alias("subject_id"),
+                F.col("right_id").alias("candidate_id"),
+                F.col("shared").alias("shared"),
+            ),
+            F.struct(
+                F.col("right_id").alias("subject_id"),
+                F.col("left_id").alias("candidate_id"),
+                F.col("shared").alias("shared"),
+            ),
+        )
+    )
+    return half.select(both.alias("p")).select("p.*")
 
 
 def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -> DataFrame:
@@ -167,29 +237,25 @@ def jaccard_scored_pairs(tokens: DataFrame, max_token_freq: int | None = None) -
         )
         .filter(F.size("members") > 1)
     )
-    # Pair expansion multiplies each bucket row by |bucket|² — AQE sizes
-    # the post-groupBy stage on the tiny pre-explode bytes and would
-    # coalesce it onto a handful of tasks. Re-spread the one-row-per-bucket
-    # frame (a near-free shuffle) so the quadratic work runs wide.
-    buckets = buckets.repartition(_parallelism(t))
+    # Streaming ordered expansion (see _chunked_subjects): per-subject
+    # rows, O(|bucket|) allocations, chunk-level balance — replaces the
+    # explode(flatten(...)) whose outer array materialized every pair
+    # struct of a bucket as one O(|bucket|²) value.
+    subj = _chunked_subjects(buckets, "members", directional=False)
+    x = F.element_at(F.col("members"), F.col("_i") + 1)
     pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("members"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                    lambda y: F.struct(
-                        x["id"].alias("left_id"),
-                        y["id"].alias("right_id"),
-                        x["n_tokens"].alias("left_n"),
-                        y["n_tokens"].alias("right_n"),
-                    ),
-                ),
-            )
+        F.transform(
+            F.slice(F.col("members"), F.col("_i") + 2, F.size("members")),
+            lambda y: F.struct(
+                x["id"].alias("left_id"),
+                y["id"].alias("right_id"),
+                x["n_tokens"].alias("left_n"),
+                y["n_tokens"].alias("right_n"),
+            ),
         )
     )
     half = (
-        buckets.select(pair.alias("p"))
+        subj.select(pair.alias("p"))
         .select("p.left_id", "p.right_id", "p.left_n", "p.right_n")
         .groupBy("left_id", "right_id")
         .agg(
@@ -322,27 +388,27 @@ def bipartite_jaccard_pairs(
         )
         .filter((F.size("subjects") > 0) & (F.size("targets") > 0))
     )
-    # re-spread before the |subjects|×|targets| expansion (AQE sizes the
-    # post-agg stage on pre-explode bytes and would under-parallelize it)
-    buckets = buckets.repartition(_parallelism(both))
+    # streaming |subjects|×|targets| expansion (see _chunked_subjects):
+    # one row per subject position, the targets array riding along — the
+    # old explode(flatten(...)) materialized the full cross product of a
+    # bucket as one O(|subjects|·|targets|) array value
+    subj = _chunked_subjects(
+        buckets, "subjects", directional=True, extra_cols=("targets",)
+    )
+    x = F.element_at(F.col("subjects"), F.col("_i") + 1)
     pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("subjects"),
-                lambda x: F.transform(
-                    F.col("targets"),
-                    lambda y: F.struct(
-                        x["id"].alias("subject_id"),
-                        y["id"].alias("candidate_id"),
-                        x["n_tokens"].alias("subject_n"),
-                        y["n_tokens"].alias("candidate_n"),
-                    ),
-                ),
-            )
+        F.transform(
+            F.col("targets"),
+            lambda y: F.struct(
+                x["id"].alias("subject_id"),
+                y["id"].alias("candidate_id"),
+                x["n_tokens"].alias("subject_n"),
+                y["n_tokens"].alias("candidate_n"),
+            ),
         )
     )
     return (
-        buckets.select(pair.alias("p"))
+        subj.select(pair.alias("p"))
         .select("p.subject_id", "p.candidate_id", "p.subject_n", "p.candidate_n")
         .groupBy("subject_id", "candidate_id")
         .agg(
@@ -396,34 +462,24 @@ def top_k_blocked_matches(
         )
         .filter(F.size("members") > 1)
     )
-    buckets = buckets.repartition(_parallelism(t))
+    # streaming DIRECTIONAL expansion (see _chunked_subjects): every
+    # member is a subject, its candidates are the other members — both
+    # directions are emitted pre-shuffle by construction so the single
+    # subject-keyed exchange below still serves the agg AND the window
+    subj = _chunked_subjects(buckets, "members", directional=True)
+    x = F.element_at(F.col("members"), F.col("_i") + 1)
     pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("members"),
-                lambda x, i: F.flatten(
-                    F.transform(
-                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                        lambda y: F.array(
-                            F.struct(
-                                x["id"].alias("subject_id"),
-                                y["id"].alias("candidate_id"),
-                                x["n_tokens"].alias("subject_n"),
-                                y["n_tokens"].alias("candidate_n"),
-                            ),
-                            F.struct(
-                                y["id"].alias("subject_id"),
-                                x["id"].alias("candidate_id"),
-                                y["n_tokens"].alias("subject_n"),
-                                x["n_tokens"].alias("candidate_n"),
-                            ),
-                        ),
-                    )
-                ),
-            )
+        F.transform(
+            F.filter(F.col("members"), lambda y: y["id"] != x["id"]),
+            lambda y: F.struct(
+                x["id"].alias("subject_id"),
+                y["id"].alias("candidate_id"),
+                x["n_tokens"].alias("subject_n"),
+                y["n_tokens"].alias("candidate_n"),
+            ),
         )
     )
-    directional = buckets.select(pair.alias("p")).select(
+    directional = subj.select(pair.alias("p")).select(
         "p.subject_id", "p.candidate_id", "p.subject_n", "p.candidate_n"
     )
     # THE one exchange: subject-keyed, reused by the agg and the window
