@@ -1125,6 +1125,15 @@ def store_view_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
             if prop.name == "positionOccupancies"
         )
         rows.append((ent.id, ent.caption, n))
+    # Arrow-path createDataFrame (pandas in): the result ships as JVM
+    # Arrow batches — the list-of-tuples form pays a 32-task pickled
+    # Python-worker stage for a driver-bounded row set (store.py sync's
+    # mapping fix, same reasoning)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["person_id", "person_name", "n_occupancies"]
+    )
     return spark.createDataFrame(
-        rows, "person_id string, person_name string, n_occupancies long"
+        pdf, "person_id string, person_name string, n_occupancies long"
     )

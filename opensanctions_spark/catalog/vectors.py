@@ -906,16 +906,36 @@ PQ_TOPK = 10
 
 def _pq_dims(emb_df):
     """Quantized (vec_id, dim, sub, q) coordinates — the shared PQ
-    substrate (micro-unit dims + subspace index)."""
-    return _quantized_dims(emb_df).withColumn(
-        "sub", (F.col("dim") / PQ_SUB).cast("int")
+    substrate (micro-unit dims + subspace index).
+
+    Lazily localCheckpoint-ed: every PQ exhibit references this frame
+    from 5+ plan branches (codebook init, Lloyd assignment, codebook
+    update, encode, query LUT, coarse quantizer), and Spark duplicates
+    an un-materialized subtree per reference — the scan + posexplode ran
+    once per branch. The checkpoint materializes the exploded frame on
+    first use and every branch reads its cached blocks (the
+    ``text_tfidf_topk`` tf-table discipline). Lazy, so plan build stays
+    job-free."""
+    return (
+        _quantized_dims(emb_df)
+        .withColumn("sub", (F.col("dim") / PQ_SUB).cast("int"))
+        .localCheckpoint(eager=False)
     )
 
 
 def _argmin_code(frame, codebook, keys, code_col):
-    """Arg-min code per (vec_id[, sub]): one distance aggregation +
-    struct-min (ties break (dist, code)) — no window sort. The codebook
-    broadcasts."""
+    """Arg-min code per (vec_id[, sub]): one distance aggregation + a
+    NUMERIC min (ties break (dist, code)) — no window sort. The codebook
+    broadcasts.
+
+    The (dist, code) pair packs into one long — ``dist * 16 + code`` —
+    because codes are 0..7 (< 16) and dist is bounded by
+    64 dims × (2·10⁶)² = 2.6·10¹⁴ micro-unit² (so ×16 stays far inside
+    int64), and the packing is order-preserving on (dist, code). A
+    struct-min would carry a struct aggregation buffer, which
+    HashAggregate cannot hold in an UnsafeRow — the whole aggregation
+    degraded to Sort + SortAggregate on both sides of its exchange
+    (the minhash band lesson, round-13 entry 1)."""
     grp = ["vec_id"] + (["sub"] if "sub" in keys else [])
     d = (
         frame.join(F.broadcast(codebook), keys)
@@ -928,8 +948,8 @@ def _argmin_code(frame, codebook, keys, code_col):
     )
     return (
         d.groupBy(*grp)
-        .agg(F.min(F.struct("dist", code_col)).alias("m"))
-        .select(*grp, F.col(f"m.{code_col}").alias(code_col))
+        .agg(F.min(F.col("dist") * 16 + F.col(code_col)).alias("m"))
+        .select(*grp, (F.col("m") % 16).alias(code_col))
     )
 
 

@@ -254,22 +254,29 @@ def propagate_risk_topics_converged(
     bound raises rather than silently truncating.
 
     Scale shape: per hop the same join plan as the one-shot operator;
-    the accumulated topic set is ``localCheckpoint``-ed each round so
-    lineage stays flat (the connected-components discipline,
-    ``operators/resolve.py``), and the emitted-count check is the only
-    driver-side state. Returns the distinct (entity_id, topic) patch
-    set relative to the INPUT topics (what a converged patch dataset
-    would publish).
+    the per-hop fresh patch set and the accumulated topic set are
+    ``localCheckpoint``-ed so lineage and the hop plan stay flat (the
+    connected-components discipline, ``operators/resolve.py``), and the
+    emitted-count check is the only driver-side state. The returned
+    patch set is the plain union of the per-hop fresh sets — they are
+    pairwise disjoint by construction (hop k's anti-join excludes
+    everything accumulated through hop k-1) and each is internally
+    distinct (the one-shot operator ends in ``distinct``), so no
+    accumulated-set dedup or per-hop re-materialization of the emitted
+    side is needed. Returns the distinct (entity_id, topic) patch set
+    relative to the INPUT topics (what a converged patch dataset would
+    publish).
     """
-    emitted = None
+    emitted_frames: list[DataFrame] = []
     current = topics.localCheckpoint(eager=True)
     frontier = current
     for _hop in range(max_hops):
-        # frontier seeding: only entities whose topics CHANGED last hop
-        # can produce new emissions (suppression only grows, so anything
-        # an older seed could emit was already emitted the hop after the
-        # seed appeared) — each hop joins the edges against the fresh
-        # topic delta, not the whole accumulated set
+        # frontier seeding: only entities whose topics CHANGED last
+        # hop can produce new emissions (suppression only grows, so
+        # anything an older seed could emit was already emitted the
+        # hop after the seed appeared) — each hop joins the edges
+        # against the fresh topic delta, not the whole accumulated
+        # set
         patch = propagate_risk_topics(
             entities, current, edges, securities, seed_topics=frontier
         )
@@ -277,18 +284,26 @@ def propagate_risk_topics_converged(
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.limit(1).count() == 0:
             break
-        emitted = fresh if emitted is None else emitted.unionByName(fresh).distinct()
-        emitted = emitted.localCheckpoint(eager=True)
+        emitted_frames.append(fresh)
+        # current stays ONE checkpointed frame per hop: the hop plan
+        # references it ~6 times (seed/suppression distincts + the
+        # anti-join), so an un-materialized union of k pieces would
+        # multiply the optimizer's per-hop work by the hop count
+        # (A/B'd: the union-of-checkpoints form measured 12.1 s vs
+        # 9.1 s min-of-5 at sf0.1)
         current = current.unionByName(fresh).localCheckpoint(eager=True)
         frontier = fresh
     else:
         raise ValueError(
             f"risk propagation did not converge within {max_hops} hops"
         )
-    if emitted is None:
+    if not emitted_frames:
         spark = topics.sparkSession
         return spark.createDataFrame([], "entity_id string, topic string")
-    return emitted
+    out = emitted_frames[0]
+    for f in emitted_frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def risk_propagation_statements(

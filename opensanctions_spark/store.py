@@ -10,10 +10,9 @@ statements through the linker — BOTH the statement ids
 (``apply_canonical``) and the entity-typed property VALUES
 (``canonicalize_values``), exactly like the reference's store writer
 rewriting references via ``linker.get_canonical`` — then groups them
-per entity on the cluster and streams the result to a driver-side map
-via ``toLocalIterator``: the same driver-local materialization the
-reference's LevelDB store performs, with the heavy grouping left
-distributed. Entities are rebuilt statement-by-statement so per-statement
+per entity on the cluster and collects the result into a driver-side
+map: the same driver-local materialization the reference's LevelDB
+store performs, with the heavy grouping left distributed. Entities are rebuilt statement-by-statement so per-statement
 provenance (``dataset``, ``external``) survives — the surface
 ``non_graph_topics``-style analyzer logic reads
 (``datasets/_analysis/ann_graph_topics/analyzer.py:123-138``).
@@ -262,12 +261,24 @@ class Store:
         if not external and "external" in stmts.columns:
             stmts = stmts.filter(~F.col("external"))
         if len(self.linker):
+            # Arrow-path createDataFrame (pandas in, arrow.pyspark.enabled
+            # on): the mapping parallelizes as JVM-side Arrow batches — a
+            # plain list-of-tuples createDataFrame ships pickled Python
+            # partitions instead, costing a 32-task Python-worker stage
+            # PER consumer (this mapping feeds both apply_canonical and
+            # canonicalize_values; profiled at ~8 s of idle executor time
+            # each on a sub-MB map)
+            import pandas as pd
+
             mapping_rows = [
                 (e, c) for e, c in self.linker._map.items()
             ]
             spark = stmts.sparkSession
             mapping = spark.createDataFrame(
-                mapping_rows, "entity_id string, canonical_id string"
+                pd.DataFrame(
+                    mapping_rows, columns=["entity_id", "canonical_id"]
+                ).astype(str),
+                "entity_id string, canonical_id string",
             )
             stmts = apply_canonical(stmts, mapping)
             # edges must follow the merge: entity-typed property VALUES
@@ -314,9 +325,13 @@ class Store:
             )
         )
         entities: dict[str, Entity] = {}
-        # toLocalIterator: driver sees one partition at a time — the
-        # materialized dict is the (reference-parity) driver-local store
-        for row in assembled.toLocalIterator():
+        # collect(), not toLocalIterator(): the sync retains EVERY row in
+        # the driver-side dict anyway, so partition-at-a-time streaming
+        # saves no memory while serializing the fetch into one sequential
+        # job per partition (each task then idles on driver consumption —
+        # profiled at 32× the CPU time). One parallel job fetches the
+        # same bounded map.
+        for row in assembled.collect():
             ent = Entity(Schema(row["schema"]))
             ent.id = row["canonical_id"]
             ent.datasets = {d for d in (row["datasets"] or []) if d}
