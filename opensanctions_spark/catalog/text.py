@@ -452,7 +452,9 @@ def minhash_bands_of(shingles: DataFrame) -> DataFrame:
 
 
 def minhash_pairs_of(
-    shingles: DataFrame, max_bucket_size: int | None = None
+    shingles: DataFrame | None,
+    max_bucket_size: int | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """(left_id, right_id, n_bands) MinHash-LSH candidate pairs — see
     dedup_minhash_lsh for the algorithm notes.
@@ -469,9 +471,14 @@ def minhash_pairs_of(
     signal (boilerplate shingles — the LSH analogue of stopwords) and
     would cost |bucket|² pairs; such buckets are dropped entirely,
     bounding worst-case pair cost to O(buckets × cap²). None = exact
-    (the oracle-checked default at test scale)."""
-    spark = shingles.sparkSession
-    mh = minhash_bands_of(shingles)
+    (the oracle-checked default at test scale).
+
+    ``bands`` short-circuits the signature computation with a
+    precomputed (doc_id, k, mh) band frame — for callers that already
+    hold the documents' signatures (the incremental curation path
+    computes them for the vs-corpus probe; re-deriving them from text
+    would tokenize + shingle + hash the wave a second time)."""
+    mh = bands if bands is not None else minhash_bands_of(shingles)
     buckets = (
         mh.groupBy("k", "mh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

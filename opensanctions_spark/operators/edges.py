@@ -254,15 +254,18 @@ def dedupe_edges(
     incompat = pairs.filter(~F.col("compat")).select(
         F.col("left_id").alias("i_l"), F.col("right_id").alias("i_r")
     )
+    # incompat joins FIRST: the as-written s1⋈s2-then-incompat order
+    # materialized every node's full neighbor-pair set (degree-quadratic
+    # per node — the skewed-bucket killer) before the incompat filter;
+    # anchoring on the incompatible pair bounds the intermediate by
+    # |incompat| × degree. Same inner-join chain, same rows out.
     ambiguous = (
-        sym.alias("s1")
+        incompat.join(sym.alias("s1"), F.col("s1.n") == F.col("i_l"))
         .join(
             sym.alias("s2"),
-            (F.col("s1.x") == F.col("s2.x")) & (F.col("s1.n") < F.col("s2.n")),
-        )
-        .join(
-            incompat,
-            (F.col("s1.n") == F.col("i_l")) & (F.col("s2.n") == F.col("i_r")),
+            (F.col("s2.x") == F.col("s1.x"))
+            & (F.col("s2.n") == F.col("i_r"))
+            & (F.col("s1.n") < F.col("s2.n")),
         )
         .select(F.col("s1.x").alias("amb_id"))
         .distinct()

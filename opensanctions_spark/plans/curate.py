@@ -257,13 +257,18 @@ def curate_increment(
     )
     survivors = exact.join(vs_prior, "doc_id", "left_anti")
 
-    # new vs new among the survivors: the batch pair stage on a wave-sized
-    # input
+    # new vs new among the survivors: the batch pair stage on a
+    # wave-sized input. The survivors' band signatures are a doc_id
+    # semi-join of the (persisted) new_bands frame — re-deriving them
+    # from text would tokenize + shingle + hash the wave a SECOND time
+    # (a second full text pass at corpus scale).
     from opensanctions_spark.catalog.text import minhash_pairs_of
 
-    surv_shingles = shingle_arrays_of(survivors)
+    surv_bands = new_bands.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
     edges = minhash_pairs_of(
-        surv_shingles, max_bucket_size=cfg.max_bucket_size
+        None, max_bucket_size=cfg.max_bucket_size, bands=surv_bands
     ).filter(F.col("n_bands") >= cfg.near_dup_bands)
     cc = connected_components(
         edges, src="left_id", dst="right_id", distinct_edges=False
