@@ -324,27 +324,54 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's pair-scoring algorithms): candidate pairs blocked by
     name prefix — never all-pairs — then Levenshtein ≤ 3 keeps typo-level
     variants. Both engines ship the same built-in, so the oracle is
-    exact. At 100 TB the block key bounds each bucket and the distance
-    runs JVM-side inside codegen on only the blocked pairs."""
+    exact.
+
+    Pair generation is the chunked-bucket expansion
+    (``operators/blocking.py _chunked_subjects``), NOT a self-equi-join
+    on the block key: the supplier fixture's names share one 9-char
+    prefix, so the join form put EVERY row in one hash partition — a
+    single task serially computing the full n(n-1)/2 distance matrix
+    (profiled: 1 task, 3.2 s of the query's 3.4 s), the single-giant-key
+    shape AQE's skew splitting cannot touch (guide §2.5). The bucket
+    form spreads each block's quadratic work over ceil(B/chunk) tasks;
+    the pair set is identical (ordered i < j positions in the id-sorted
+    member array ≡ a.id < b.id within the block)."""
+    from opensanctions_spark.operators.blocking import _chunked_subjects
+
     sup = load(spark, sf_dir, "supplier")
     names = sup.select(
         F.col("s_suppkey").alias("id"),
         F.lower(F.col("s_name")).alias("name"),
         F.substring(F.lower(F.col("s_name")), 1, 9).alias("block"),
     )
-    a = names.select(
-        F.col("block"), F.col("id").alias("left_id"), F.col("name").alias("name_a")
+    buckets = (
+        names.groupBy("block")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("name")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
-    b = names.select(
-        F.col("block").alias("block_b"),
-        F.col("id").alias("right_id"),
-        F.col("name").alias("name_b"),
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    subj = _chunked_subjects(buckets, "members", directional=False)
+    x = F.element_at(F.col("members"), F.col("_i") + 1)
     return (
-        a.join(b, (a.block == b.block_b) & (a.left_id < b.right_id))
-        .filter(dist <= 3)
-        .select("left_id", "right_id", dist.cast("long").alias("dist"))
+        subj.select(
+            x.alias("x"),
+            F.explode(
+                F.slice(
+                    F.col("members"), F.col("_i") + 2, F.size(F.col("members"))
+                )
+            ).alias("y"),
+        )
+        .select(
+            F.col("x.id").alias("left_id"),
+            F.col("y.id").alias("right_id"),
+            F.levenshtein(F.col("x.name"), F.col("y.name"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
     )
 
 

@@ -2877,7 +2877,11 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # build the bit array driver-side from the SAME hash the probe uses
-    # (xxhash64, fixed seed 42) — eval sets are small by definition
+    # (xxhash64, fixed seed 42) — eval sets are small by definition.
+    # (A collect-once variant that also pulled the shingle strings and
+    # rebuilt the confirm side as a local relation was A/B'd in round 13
+    # and rejected: the confirm side's recompute touches only the 2%
+    # eval slice, cheaper than the extra driver round-trip.)
     hashes = [
         r[0] for r in eval_sh.select(F.xxhash64("shingle_e").alias("h")).collect()
     ]

@@ -144,7 +144,17 @@ def run_extraction(
         nonlocal fresh, buf
         if not buf:
             return
-        part = spark.createDataFrame(buf, "request_hash STRING, _fresh STRING")
+        # pandas in (the Arrow createDataFrame path): the batch
+        # parallelizes as JVM-side Arrow batches — the list-of-tuples
+        # form sliced every flush into defaultParallelism pickled
+        # partitions, each costing an idle Python-worker task (profiled:
+        # 8 flushes × 32 slices = a 256-task stage doing nothing)
+        import pandas as pd
+
+        part = spark.createDataFrame(
+            pd.DataFrame(buf, columns=["request_hash", "_fresh"]),
+            "request_hash STRING, _fresh STRING",
+        )
         fresh = part if fresh is None else fresh.unionByName(part)
         buf = []
 
