@@ -185,7 +185,8 @@ def curate_increment(
     fingerprints: DataFrame,
     bands: DataFrame,
     config: CurationConfig | None = None,
-) -> DataFrame:
+    with_frames: bool = False,
+):
     """Curate ONE new wave of documents against an existing corpus index —
     the nightly-increment path: cost scales with the wave, never with the
     corpus.
@@ -204,7 +205,14 @@ def curate_increment(
 
     Packing is deliberately snapshot-scoped (pack ids are offsets in a
     frozen stream), so the increment returns unpacked curated rows:
-    (doc_id, lang, source, n_tokens, split)."""
+    (doc_id, lang, source, n_tokens, split).
+
+    ``with_frames=True`` returns ``(curated, exact, new_bands)`` instead
+    — the wave's post-exact-dedup frame (doc_id … text, persisted) and
+    its band signatures (persisted), for callers that extend the corpus
+    index with the kept docs (the streaming sink): deriving the index
+    rows from these persisted frames avoids re-tokenizing the wave's
+    text a second time."""
     cfg = config or CurationConfig()
 
     toks = new_docs.select(
@@ -290,6 +298,9 @@ def curate_increment(
         .when(bucket < cfg.train_pct + cfg.val_pct, "val")
         .otherwise("test")
     )
-    return kept.withColumn("split", split).select(
+    curated = kept.withColumn("split", split).select(
         "doc_id", "lang", "source", "n_tokens", "split"
     )
+    if with_frames:
+        return curated, exact, new_bands
+    return curated

@@ -76,26 +76,39 @@ def curate_document_stream(
     spark = stream.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        from opensanctions_spark.catalog.text import minhash_bands_of, shingle_arrays_of
-
         fps, bands = load_curation_index(spark, index_dir)
-        # localCheckpoint, NOT persist: curated's lineage reads the index
-        # parquet, and the index appends below would invalidate a cache
-        # over that path — a later consumer would then silently RECOMPUTE
-        # curation against the already-mutated index (every survivor
-        # suddenly looks like a duplicate of itself). Cutting lineage
-        # makes the curated wave immutable for the rest of the sink.
-        curated = curate_increment(batch, fps, bands, cfg).localCheckpoint()
-        curated.write.mode("append").parquet(out_dir)
-        kept_docs = batch.join(
-            curated.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint()
-        kept_docs.select(F.md5(F.col("text")).alias("fp")).distinct().write.mode(
-            "append"
-        ).parquet(f"{index_dir}/fingerprints")
-        minhash_bands_of(shingle_arrays_of(kept_docs)).write.mode("append").parquet(
-            f"{index_dir}/bands"
+        # localCheckpoint, NOT persist: every frame's lineage reads the
+        # index parquet, and the index appends below would invalidate a
+        # cache over that path — a later consumer would then silently
+        # RECOMPUTE curation against the already-mutated index (every
+        # survivor suddenly looks like a duplicate of itself). Cutting
+        # lineage BEFORE the first append makes the wave's frames
+        # immutable for the rest of the sink. The index rows derive from
+        # the increment's own post-exact-dedup frame and band signatures
+        # (with_frames — round 13) instead of re-tokenizing the wave's
+        # text a second time.
+        curated, exact, wave_bands = curate_increment(
+            batch, fps, bands, cfg, with_frames=True
         )
+        curated = curated.localCheckpoint()
+        kept_ids = curated.select("doc_id")
+        kept_fps = (
+            exact.join(kept_ids, "doc_id", "left_semi")
+            .select(F.md5(F.col("text")).alias("fp"))
+            .distinct()
+            .localCheckpoint()
+        )
+        kept_bands = wave_bands.join(
+            kept_ids, "doc_id", "left_semi"
+        ).localCheckpoint()
+        curated.write.mode("append").parquet(out_dir)
+        kept_fps.write.mode("append").parquet(f"{index_dir}/fingerprints")
+        kept_bands.write.mode("append").parquet(f"{index_dir}/bands")
+        # the increment's internal persists are per-wave state: release
+        # them so a long-running stream does not accumulate cached
+        # blocks across micro-batches
+        exact.unpersist()
+        wave_bands.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)
