@@ -183,39 +183,39 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is a hash groupBy (never pairwise Hamming over the
     corpus); a production variant adds near-duplicate buckets via
     band-sliced sub-hashes, exactly the MinHash-LSH trick one family
-    over. All column math — zero Python."""
+    over. All column math — zero Python.
+
+    Round 13: the hash is assembled ROW-WISE — the 64-byte frame is one
+    value per row, so the byte explode + per-image sum shuffle + join
+    back + sorted-collect shuffle (three exchanges and a join, run
+    twice because ``bits`` feeds both sides of the bucket join) collapse
+    into two projections over the scan. The byte array is materialized
+    as its own projection first so the mean and the bit map share one
+    computation of it (the shingle_arrays_of codegen discipline)."""
     docs = load(spark, sf_dir, "documents")
     b64 = F.rpad(F.substring(F.col("text"), 1, 64), 64, "\x00")
-    bytes_df = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
-        b64.alias("b64"),
-    ).select(
+    vs = docs.select(F.col("doc_id").alias("media_id"), b64.alias("_b64"))
+    vs = vs.select(
         "media_id",
-        "i",
-        F.ascii(F.substring(F.col("b64"), F.col("i") + 1, 1)).alias("v"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.ascii(F.substring(F.col("_b64"), i + 1, 1)),
+        ).alias("_vs"),
     )
-    stats = bytes_df.groupBy("media_id").agg(
-        F.sum("v").cast("long").alias("sum_v")
+    vs = vs.select(
+        "media_id",
+        "_vs",
+        F.aggregate("_vs", F.lit(0), lambda a, x: a + x).alias("_sum"),
     )
-    # hash = 64-char bitstring, assembled in bit order via a sorted
-    # struct collect (a 64-bit integer would overflow signed long when
-    # bit 63 is set)
-    bit = F.when(F.col("v") * 64 > F.col("sum_v"), "1").otherwise("0")
-    bits = (
-        bytes_df.join(stats, "media_id")
-        .groupBy("media_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), bit.alias("b")))
-                    ),
-                    lambda x: x["b"],
-                ),
-                "",
-            ).alias("ahash")
-        )
+    bits = vs.select(
+        "media_id",
+        F.array_join(
+            F.transform(
+                "_vs",
+                lambda v: F.when(v * 64 > F.col("_sum"), "1").otherwise("0"),
+            ),
+            "",
+        ).alias("ahash"),
     )
     buckets = bits.groupBy("ahash").agg(
         F.count("*").alias("n_members"), F.min("media_id").alias("keeper")

@@ -1235,36 +1235,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the engine computes its own recall instead of assuming it (the
     reference's analogue is the blocking-recall harness,
     ``contrib/bench_pairs.py``)."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select("source", "shingle", F.col("doc_id").alias("left_id"))
-    b = sh.select(
-        F.col("source").alias("source_b"),
-        F.col("shingle").alias("shingle_b"),
-        F.col("doc_id").alias("right_id"),
-    )
-    exact = (
-        a.join(
-            b,
-            (a.source == b.source_b)
-            & (a.shingle == b.shingle_b)
-            & (a.left_id < b.right_id),
-        )
-        .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n").alias("nb"))
-    truth = (
-        exact.join(sa, "left_id")
-        .join(sb, "right_id")
-        .filter(
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
-            >= 0.2
-        )
-        .select("left_id", "right_id")
-    )
+    # The truth set IS dedup_ngram_jaccard's pair set (same shingles,
+    # same source blocking, same ≥0.2 threshold): reuse that pipeline —
+    # one bucket shuffle carrying both Jaccard denominators — instead of
+    # re-deriving it as a shingle self-join + sizes join + two more
+    # joins (which re-tokenized the corpus three times; round 13).
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("left_id", "right_id")
     lsh = _minhash_pairs(spark, sf_dir).select(
         F.col("left_id").alias("m_left"), F.col("right_id").alias("m_right")
     )
@@ -1625,7 +1601,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge via a column-argument replace, so the loop stays fully
     declarative with zero driver round-trips. Real trainers run ~30k
     rounds of exactly this plan with the pair table cached and
-    incrementally updated."""
+    incrementally updated.
+
+    The vocabulary frames are lazily localCheckpoint-ed per round
+    (round 13): round k's sequences are referenced by BOTH the round-k+1
+    pair count and the round-k+1 merge (and each winning pair by both
+    its broadcast and the output row), so the un-cut lineage re-embeds
+    the whole corpus tokenize + every earlier round once per reference —
+    14 parquet scans of the corpus in one plan. Cutting lineage at the
+    vocabulary-sized frames makes the corpus pass run ONCE and each
+    round's pair count run once."""
     docs = load(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
@@ -1635,9 +1620,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
 
     out = None
-    s = seq
+    s = seq.localCheckpoint(eager=False)
     for rnd in (1, 2, 3):
         s, top = _bpe_merge_round(s)
+        s = s.localCheckpoint(eager=False)
+        top = top.localCheckpoint(eager=False)
         row = top.select(
             F.lit(rnd).cast("long").alias("round"),
             "pair",
@@ -1696,9 +1683,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    s = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
+    # per-round lazy checkpoints: same duplicated-lineage cut as
+    # text_bpe_train (each round references the prior one twice)
+    s = wc.select(
+        "w", "c", _bpe_guarded_seq(F.col("w")).alias("seq")
+    ).localCheckpoint(eager=False)
     for _ in (1, 2, 3):
         s, _top = _bpe_merge_round(s)
+        s = s.localCheckpoint(eager=False)
     # token count = separators/2 - 1 (every boundary is double-guarded)
     enc = s.select(
         "w",
@@ -1864,10 +1856,14 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash.
     """
     docs = load(spark, sf_dir, "documents")
+    # lazy checkpoint: wc feeds BOTH the merge-table derivation (whose
+    # collect() below materializes it) and the vocab encode — without the
+    # cut the corpus tokenize + word count runs twice
     wc = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     chars = F.split(F.col("w"), "")
     pairs = (
@@ -2806,12 +2802,20 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores each document against it). The vocabulary is top-k BY
     CONSTRUCTION, so broadcasting it is legal at any corpus size —
     unlike the full-vocabulary joins (tfidf/df) that must stay AQE's
-    call. Integer-ppm rates, exact on both engines."""
+    call. Integer-ppm rates, exact on both engines.
+
+    Round 13: both branches (corpus term frequencies → vocab; per-doc
+    token/OOV counts) derive from ONE (doc_id, term, c) count table, so
+    the corpus is tokenized once instead of twice — the regex tokenize
+    is the dominant CPU at 100 TB, and the extra (doc, term) exchange it
+    buys is partially-aggregated (distinct terms per doc, not token
+    instances)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
-    freq = toks.groupBy("term").agg(F.count("*").alias("n"))
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    freq = doc_term.groupBy("term").agg(F.sum("c").alias("n"))
     w = Window.orderBy(F.col("n").desc(), "term")
     vocab = (
         freq.withColumn("rk", F.row_number().over(w))
@@ -2819,13 +2823,13 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     per_doc = (
-        toks.join(
+        doc_term.join(
             F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
         )
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
         )

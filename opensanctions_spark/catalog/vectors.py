@@ -682,10 +682,19 @@ def ann_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle of the corpus side beyond the one (vec_id, cid) distance
     aggregation), and the centroid update aggregates k·64 cells of
     state. This IS the IVF trainer: the resulting assignment is the
-    bucket map ``ann_ivf_bucketed`` consumes."""
+    bucket map ``ann_ivf_bucketed`` consumes.
+
+    Round 13: ``dims`` is lazily localCheckpoint-ed — it feeds four
+    branches (init centroids, two assignment joins, the centroid
+    update), each of which otherwise re-scans + re-explodes the
+    embeddings (8 parquet scans in one plan). And the per-vector
+    arg-min packs (dist, cid) into ONE long — ``min(dist·16 + cid)``,
+    order-preserving because cid < 16 and dist ≤ 64·(2·10⁶)² ≪ 2⁶³/16 —
+    so the nearest-centroid pick is a HashAggregate instead of a
+    Sort + row_number window over every (vec, centroid) row (the PQ
+    family's entry-7 discipline)."""
     emb = load(spark, sf_dir, "embeddings")
-    dims = _quantized_dims(emb)
-    from pyspark.sql import Window
+    dims = _quantized_dims(emb).localCheckpoint(eager=False)
 
     def assign(cent):
         d = (
@@ -697,11 +706,13 @@ def ann_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("dist")
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "dist")
+        packed = d.groupBy("vec_id").agg(
+            F.min(F.col("dist") * 16 + F.col("cid")).alias("_pk")
+        )
+        return packed.select(
+            "vec_id",
+            (F.col("_pk") % 16).cast("long").alias("cid"),
+            F.expr("_pk div 16").alias("dist"),
         )
 
     c0 = dims.filter(F.col("vec_id") < N_CLUSTERS).select(
