@@ -177,8 +177,14 @@ def k4_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and addressEntity statements exist only there), so both sides use
     # the same 'c-' slice — the filter pushes below the assembly AND the
     # two consumers share one identical subplan (exchange reuse);
-    # adjacency resolves against the address book.
-    cust = entities.filter(F.col("canonical_id").startswith("c-"))
+    # adjacency resolves against the address book. Round 13: the slice is
+    # lazily localCheckpoint-ed — exchange reuse already deduped the
+    # below-exchange work, but the post-shuffle assembly aggregation ran
+    # once per consumer and the duplicated subtree tripled the plan the
+    # driver optimizes; the cut runs the assembly once.
+    cust = entities.filter(
+        F.col("canonical_id").startswith("c-")
+    ).localCheckpoint(eager=False)
     adjacency = adjacent_entities(
         cust, props=["addressEntity"], targets=_address_targets(entities)
     )

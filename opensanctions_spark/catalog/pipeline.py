@@ -353,6 +353,10 @@ def j6_incremental_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "canonical_id"
             ),
         )
+        # the incremental solve consumes the snapshot three times
+        # (touched-component probe, affected slice, untouched anti-join);
+        # cut the base-CC join so it runs once (round 13)
+        .localCheckpoint(eager=False)
     )
     new = cust.filter(F.col("c_custkey") < 50).select(
         F.col("c_custkey").alias("left_id"),

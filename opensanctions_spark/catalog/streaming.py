@@ -22,6 +22,21 @@ from opensanctions_spark.streaming import (
 _MEMSINK_SEQ = [0]
 
 
+def _events_state_partitions(sf_dir: str) -> int:
+    """Input-sized state partitioning for the REAL streaming runs (see
+    ``stream_state_partitions``): streaming state cannot be AQE-coalesced,
+    so size it by the input bytes up front."""
+    import os
+
+    from opensanctions_spark.streaming import stream_state_partitions
+
+    try:
+        n_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        n_bytes = 0
+    return stream_state_partitions(n_bytes)
+
+
 @register(
     "stream_windowed_agg",
     oracle="""
@@ -92,6 +107,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(stream_events(spark, sf_dir)),
         f"stateful_totals_{_MEMSINK_SEQ[0]}",
         output_mode="update",
+        state_partitions=_events_state_partitions(sf_dir),
     )
     return latest_stateful_totals(emitted)
 
@@ -128,6 +144,7 @@ def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             running_user_totals_tws(stream_events(spark, sf_dir)),
             f"stateful_totals_tws_{_MEMSINK_SEQ[0]}",
             output_mode="update",
+            state_partitions=_events_state_partitions(sf_dir),
         )
     finally:
         if prev is None:
