@@ -319,21 +319,30 @@ def mm_decode_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mm_resize`` trick) and pins the header-parsed width/height, so
     encode → binary column → decode round-trip exactness is what the
     hash checks. Map-only like the WAV exhibit: the two mapInPandas
-    stages fuse over the scan partitioning."""
+    stages fuse over the scan partitioning.
+
+    Round 13 (guide §4.1 — pass only what the function needs): the
+    36-byte truncation happens JVM-side (``substring(encode(text), 1,
+    36)`` is byte-exact to ``text.encode('utf-8')[:36]``, verified
+    including multi-byte boundary cuts), so the Python boundary carries
+    36 bytes per document instead of the whole text — at corpus scale
+    the difference between shipping the corpus to Python and shipping a
+    fixed-width raster column."""
     from opensanctions_spark.codecs import decode_ppm, encode_ppm, ppm_info
     from opensanctions_spark.multimodal import MEDIA_SCHEMA, decode_media
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     W, H = 4, 3
     n = W * H * 3
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.encode("text", "utf-8"), 1, n).alias("raw"),
+    )
 
     def ingest(batches):
         import pandas as pd
 
         for pdf in batches:
-            rasters = [
-                t.encode("utf-8")[:n].ljust(n, b"\x00") for t in pdf["text"]
-            ]
+            rasters = [bytes(t).ljust(n, b"\x00") for t in pdf["raw"]]
             ppms = [encode_ppm(r, W, H) for r in rasters]
             infos = [ppm_info(p) for p in ppms]
             yield pd.DataFrame(
@@ -381,21 +390,25 @@ def mm_decode_bmp_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-up BGR rows padded to 4 bytes — so the decode has to undo a
     genuinely different byte layout (channel swap + row flip + padding)
     to reach the identical digest. Same map-only plan; the shared
-    oracle string is the point: three containers, one decoded truth."""
+    oracle string is the point: three containers, one decoded truth.
+    Round 13: the 36-byte truncation happens JVM-side (see
+    ``mm_decode_ppm_real``) so Python receives the raster bytes, not
+    the document text."""
     from opensanctions_spark.codecs import bmp_info, decode_bmp, encode_bmp
     from opensanctions_spark.multimodal import MEDIA_SCHEMA, decode_media
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     W, H = 4, 3
     n = W * H * 3
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.encode("text", "utf-8"), 1, n).alias("raw"),
+    )
 
     def ingest(batches):
         import pandas as pd
 
         for pdf in batches:
-            rasters = [
-                t.encode("utf-8")[:n].ljust(n, b"\x00") for t in pdf["text"]
-            ]
+            rasters = [bytes(t).ljust(n, b"\x00") for t in pdf["raw"]]
             bmps = [encode_bmp(r, W, H) for r in rasters]
             infos = [bmp_info(b) for b in bmps]
             yield pd.DataFrame(
