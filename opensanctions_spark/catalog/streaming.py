@@ -22,7 +22,7 @@ from opensanctions_spark.streaming import (
 _MEMSINK_SEQ = [0]
 
 
-def _events_state_partitions(sf_dir: str) -> int:
+def _events_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     """Input-sized state partitioning for the REAL streaming runs (see
     ``stream_state_partitions``): streaming state cannot be AQE-coalesced,
     so size it by the input bytes up front."""
@@ -34,7 +34,7 @@ def _events_state_partitions(sf_dir: str) -> int:
         n_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     except OSError:
         n_bytes = 0
-    return stream_state_partitions(n_bytes)
+    return stream_state_partitions(spark, n_bytes)
 
 
 @register(
@@ -107,7 +107,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(stream_events(spark, sf_dir)),
         f"stateful_totals_{_MEMSINK_SEQ[0]}",
         output_mode="update",
-        state_partitions=_events_state_partitions(sf_dir),
+        state_partitions=_events_state_partitions(spark, sf_dir),
     )
     return latest_stateful_totals(emitted)
 
@@ -144,7 +144,7 @@ def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             running_user_totals_tws(stream_events(spark, sf_dir)),
             f"stateful_totals_tws_{_MEMSINK_SEQ[0]}",
             output_mode="update",
-            state_partitions=_events_state_partitions(sf_dir),
+            state_partitions=_events_state_partitions(spark, sf_dir),
         )
     finally:
         if prev is None:

@@ -231,7 +231,7 @@ def latest_stateful_totals(emitted: DataFrame) -> DataFrame:
     )
 
 
-def stream_state_partitions(input_bytes: int) -> int:
+def stream_state_partitions(spark: SparkSession, input_bytes: int) -> int:
     """State-store partition count for a REAL stateful streaming run.
 
     Batch shuffles self-size through AQE coalescing, but a streaming
@@ -239,22 +239,30 @@ def stream_state_partitions(input_bytes: int) -> int:
     at first start and can never be re-coalesced — and every state
     partition carries a fixed per-micro-batch cost (state-store dir +
     snapshot/commit + a Python state worker for applyInPandasWithState).
-    Measured on this exhibit's 15k-event input: ~0.35 s per partition per
-    run — 32 partitions 15.6 s vs 8 partitions 4.6 s, identical output.
+    Measured on the 15k-event sf0.1 input: ~0.35 s per partition per
+    run — 32 partitions 15.6 s vs 4–8 partitions 4.3–4.6 s, identical
+    output.
 
-    So size state partitions like AQE would size a batch shuffle: by
-    input bytes at a 64 MB advisory target, with a small floor so the
-    Python per-group work still spreads (1 partition measured ~1.8 s
-    slower than 4 on the same input). ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``
-    overrides for production, where the right value is the expected
-    STATE size over the advisory target."""
+    Sizing rule: by input bytes, like AQE sizes a batch shuffle — but a
+    Python stateful stage costs ~two orders of magnitude more per byte
+    than a JVM shuffle (per-group pandas slicing + state round-trips),
+    so the work-balanced byte target is the 64 MB advisory divided by
+    that multiplier (512 KB), capped by the session's parallelism and
+    floored so tiny inputs don't serialize. Interleaved A/B at both
+    scales: sf0.1 (2 MB → 4 partitions) 4.3 s vs 4.6 s at 8 and 15.6 s
+    at 32; sf1 (20 MB → parallelism cap) 3.9 s at 32 vs 6.8 s at 8 —
+    the formula picks the measured optimum at both ends.
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for production,
+    where the right value is the expected STATE size over the target
+    and the cap is the planned cluster parallelism, not this session's."""
     import math
     import os
 
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
         return max(1, int(env))
-    return max(8, math.ceil(input_bytes / (64 << 20)))
+    cap = spark.sparkContext.defaultParallelism
+    return max(4, min(cap, math.ceil(input_bytes / (512 << 10))))
 
 
 def run_available_now(stream_df: DataFrame, table_name: str,
