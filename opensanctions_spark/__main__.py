@@ -95,7 +95,7 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
         canonicalize_values,
     )
     from opensanctions_spark.plans.run import crawl_dataset
-    from opensanctions_spark.session import get_session
+    from opensanctions_spark.session import get_session, materialize
     from opensanctions_spark.sources.archive import StatementArchive
 
     if args.max_hops < 1:
@@ -142,7 +142,7 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
                     file=sys.stderr,
                 )
             break
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(materialize, eager=True, sever=True)
         if fresh.limit(1).count() == 0:
             converged = True
             if emitted is None:
@@ -150,7 +150,7 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
             break
         hops += 1
         emitted = fresh if emitted is None else emitted.unionByName(fresh)
-        emitted = emitted.localCheckpoint(eager=True)
+        emitted = emitted.transform(materialize, eager=True, sever=True)
         # next hop seeds ONLY from this hop's fresh topics (the frontier
         # bound of propagate_risk_topics_converged — suppression derives
         # from other-dataset statements and never grows with own emits,
@@ -163,8 +163,8 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
             )
             .distinct()
         )
-        stmts = stmts.unionByName(fresh.select(*stmts.columns)).localCheckpoint(
-            eager=True
+        stmts = stmts.unionByName(fresh.select(*stmts.columns)).transform(
+            materialize, eager=True, sever=True
         )
     n = emitted.count()
     version = crawl_dataset(
@@ -376,7 +376,7 @@ def _cmd_wikidata_reconcile(args: argparse.Namespace) -> int:
         serialize,
     )
     from opensanctions_spark.plans.xref import apply_judgements
-    from opensanctions_spark.session import get_session
+    from opensanctions_spark.session import get_session, materialize
     from opensanctions_spark.shed.wikidata.client import (
         create_wikidata_client,
     )
@@ -417,7 +417,7 @@ def _cmd_wikidata_reconcile(args: argparse.Namespace) -> int:
     if args.decisions and (
         os.path.abspath(args.out) == os.path.abspath(args.decisions)
     ):
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.transform(materialize, eager=True, sever=True)
     updated.write.mode("overwrite").parquet(args.out)
     text = serialize(commands)
     with open(args.qs, "w") as fh:
@@ -559,7 +559,7 @@ def _cmd_dedupe_judge(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from opensanctions_spark.plans.xref import apply_judgement
-    from opensanctions_spark.session import get_session
+    from opensanctions_spark.session import get_session, materialize
 
     spark = get_session("osp-dedupe-judge")
     spark.sparkContext.setLogLevel("ERROR")
@@ -569,7 +569,7 @@ def _cmd_dedupe_judge(args: argparse.Namespace) -> int:
         # in-place update (the natural repeated-judging loop): cut the
         # lineage off the source path before overwriting it, or Spark
         # refuses ("cannot overwrite a path that is also being read from")
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.transform(materialize, eager=True, sever=True)
     updated.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     n_unsure = back.filter(F.col("judgement") == "UNSURE").count()
@@ -591,7 +591,7 @@ def _cmd_dedupe(args: argparse.Namespace) -> int:
     import sys as _sys
 
     from opensanctions_spark.plans.dedupe_ui import dedupe_review_loop
-    from opensanctions_spark.session import get_session
+    from opensanctions_spark.session import get_session, materialize
 
     spark = get_session("osp-dedupe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -603,7 +603,7 @@ def _cmd_dedupe(args: argparse.Namespace) -> int:
         decisions, entities, _sys.stdin, _sys.stdout, limit=args.limit
     )
     if os.path.abspath(args.out) == os.path.abspath(args.decisions):
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.transform(materialize, eager=True, sever=True)
     updated.write.mode("overwrite").parquet(args.out)
     print(json.dumps({
         "decisions": args.out,

@@ -27,6 +27,7 @@ from opensanctions_spark.exporters import (
 )
 from opensanctions_spark.model.melt import finish_statements
 from opensanctions_spark.operators.assembly import assemble_entities
+from opensanctions_spark.session import materialize
 
 # topic synthesized from the market segment (same rule as p1_target_filter)
 _TOPIC_SQL = """CASE c_mktsegment WHEN 'BUILDING' THEN 'sanction'
@@ -184,7 +185,7 @@ def k4_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver optimizes; the cut runs the assembly once.
     cust = entities.filter(
         F.col("canonical_id").startswith("c-")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     adjacency = adjacent_entities(
         cust, props=["addressEntity"], targets=_address_targets(entities)
     )

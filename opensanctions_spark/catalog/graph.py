@@ -15,6 +15,7 @@ from opensanctions_spark.operators.consolidate import (
 )
 from opensanctions_spark.operators.graph import expand_subgraph, self_reference_cycles
 from opensanctions_spark.operators.match_rules import apply_match_rules
+from opensanctions_spark.session import materialize
 
 
 @register(
@@ -434,7 +435,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("rank_ppm"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(materialize, eager=False, sever=True)
     return ranks
 
 

@@ -20,6 +20,7 @@ from opensanctions_spark.operators.consolidate import drop_prefix_values
 from opensanctions_spark.operators.delta import entity_hash, version_diff
 from opensanctions_spark.operators.resolve import canonical_map
 from opensanctions_spark.operators.timestamps import propagate_first_seen
+from opensanctions_spark.session import materialize
 
 RUN_TIME = "2026-08-13T00:00:00"
 PREV_TIME = "2026-08-01T00:00:00"
@@ -356,7 +357,7 @@ def j6_incremental_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the incremental solve consumes the snapshot three times
         # (touched-component probe, affected slice, untouched anti-join);
         # cut the base-CC join so it runs once (round 13)
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     new = cust.filter(F.col("c_custkey") < 50).select(
         F.col("c_custkey").alias("left_id"),

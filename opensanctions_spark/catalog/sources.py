@@ -21,6 +21,7 @@ from opensanctions_spark.sources import (
     parse_xml_column,
     strip_xml_namespaces,
 )
+from opensanctions_spark.session import materialize
 
 
 @register(
@@ -776,7 +777,7 @@ def s10_archive_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = frames[0].unionByName(frames[1])
         # the tempdir dies with this function — cut lineage into executor
         # block storage (stays distributed; no driver round-trip)
-        return out.localCheckpoint(eager=True)
+        return out.transform(materialize, eager=True, sever=True)
 
 
 @register(

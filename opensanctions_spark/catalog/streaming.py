@@ -18,6 +18,7 @@ from opensanctions_spark.streaming import (
     stream_events,
     windowed_event_counts,
 )
+from opensanctions_spark.session import materialize
 
 _MEMSINK_SEQ = [0]
 
@@ -363,4 +364,4 @@ def stream_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{tmp}/corpus").orderBy("doc_id")
         # the tempdir dies with this function — cut lineage into executor
         # block storage (stays distributed; no driver round-trip)
-        return out.localCheckpoint(eager=True)
+        return out.transform(materialize, eager=True, sever=True)

@@ -20,6 +20,7 @@ from opensanctions_spark.functions.text import (
     squash_spaces,
     token_count,
 )
+from opensanctions_spark.session import materialize
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -801,7 +802,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint(eager=False)
+    tf = tf.transform(materialize, eager=False)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -1620,11 +1621,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = wc.select("w", "c", _bpe_guarded_seq(F.col("w")).alias("seq"))
 
     out = None
-    s = seq.localCheckpoint(eager=False)
+    s = seq.transform(materialize, eager=False, sever=True)
     for rnd in (1, 2, 3):
         s, top = _bpe_merge_round(s)
-        s = s.localCheckpoint(eager=False)
-        top = top.localCheckpoint(eager=False)
+        s = s.transform(materialize, eager=False, sever=True)
+        top = top.transform(materialize, eager=False, sever=True)
         row = top.select(
             F.lit(rnd).cast("long").alias("round"),
             "pair",
@@ -1687,10 +1688,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_bpe_train (each round references the prior one twice)
     s = wc.select(
         "w", "c", _bpe_guarded_seq(F.col("w")).alias("seq")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False, sever=True)
     for _ in (1, 2, 3):
         s, _top = _bpe_merge_round(s)
-        s = s.localCheckpoint(eager=False)
+        s = s.transform(materialize, eager=False, sever=True)
     # token count = separators/2 - 1 (every boundary is double-guarded)
     enc = s.select(
         "w",
@@ -1863,7 +1864,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     chars = F.split(F.col("w"), "")
     pairs = (

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog import QUERIES, load, register
+from opensanctions_spark.session import materialize
 
 N_QUERIES = 10  # vec_id < 10 are the query set
 TOP_K = 5
@@ -694,7 +695,7 @@ def ann_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sort + row_number window over every (vec, centroid) row (the PQ
     family's entry-7 discipline)."""
     emb = load(spark, sf_dir, "embeddings")
-    dims = _quantized_dims(emb).localCheckpoint(eager=False)
+    dims = _quantized_dims(emb).transform(materialize, eager=False)
 
     def assign(cent):
         d = (
@@ -930,7 +931,7 @@ def _pq_dims(emb_df):
     return (
         _quantized_dims(emb_df)
         .withColumn("sub", (F.col("dim") / PQ_SUB).cast("int"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
 
 

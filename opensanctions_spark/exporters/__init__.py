@@ -34,6 +34,7 @@ from opensanctions_spark.model.registry import (
     RISK_TOPICS,
     common_schema_rank_column,
 )
+from opensanctions_spark.session import materialize
 
 MATCHABLE_SCHEMATA = ["Person", "Company", "Organization", "LegalEntity", "Vessel", "PublicBody"]
 
@@ -461,7 +462,7 @@ def statistics_facets(entities: DataFrame) -> DataFrame:
         .otherwise(F.array())
         .alias("countries"),
         target_flag(props).alias("target"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     by_schema = base.groupBy(F.col("schema").alias("value")).agg(
         F.count("*").alias("n")
     ).select(F.lit("schema").alias("facet"), "value", "n")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from opensanctions_spark.session import materialize
 
 
 def expand_subgraph(edges: DataFrame, seeds: DataFrame, depth: int) -> DataFrame:
@@ -42,9 +43,9 @@ def expand_subgraph(edges: DataFrame, seeds: DataFrame, depth: int) -> DataFrame
     writes + two reads of the same exchange in
     pipeline_enrich_expand)."""
     if depth > 1:
-        edges = edges.localCheckpoint(eager=False)
-    visited = seeds.select(F.col("node"), F.lit(0).alias("depth")).localCheckpoint(
-        eager=False
+        edges = edges.transform(materialize, eager=False)
+    visited = seeds.select(F.col("node"), F.lit(0).alias("depth")).transform(
+        materialize, eager=False, sever=True
     )
     frontier = visited
     for d in range(1, depth + 1):
@@ -56,7 +57,7 @@ def expand_subgraph(edges: DataFrame, seeds: DataFrame, depth: int) -> DataFrame
         fresh = (
             nxt.join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False, sever=True)
         )
         visited = visited.unionByName(fresh)
         frontier = fresh
@@ -290,7 +291,7 @@ def propagate_risk_topics_converged(
     publish).
     """
     emitted_frames: list[DataFrame] = []
-    current = topics.localCheckpoint(eager=True)
+    current = topics.transform(materialize, eager=True, sever=True)
     frontier = current
     for _hop in range(max_hops):
         # frontier seeding: only entities whose topics CHANGED last
@@ -303,7 +304,7 @@ def propagate_risk_topics_converged(
             entities, current, edges, securities, seed_topics=frontier
         )
         fresh = patch.join(current, ["entity_id", "topic"], "left_anti")
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(materialize, eager=True, sever=True)
         if fresh.limit(1).count() == 0:
             break
         emitted_frames.append(fresh)
@@ -313,7 +314,7 @@ def propagate_risk_topics_converged(
         # multiply the optimizer's per-hop work by the hop count
         # (A/B'd: the union-of-checkpoints form measured 12.1 s vs
         # 9.1 s min-of-5 at sf0.1)
-        current = current.unionByName(fresh).localCheckpoint(eager=True)
+        current = current.unionByName(fresh).transform(materialize, eager=True, sever=True)
         frontier = fresh
     else:
         raise ValueError(

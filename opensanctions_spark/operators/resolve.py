@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from opensanctions_spark.session import materialize
 
 
 #: Edge-count cutoff below which the component solve runs on the driver.
@@ -134,7 +135,7 @@ def connected_components(
             F.least(F.col("a"), F.col("min_nbr")).alias("component"),
         )
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(materialize, eager=True, sever=True)
 
     for _ in range(max_iter):
         # propagate: candidate label for each node = min over neighbor labels
@@ -187,7 +188,7 @@ def connected_components(
             ).alias("component"),
             "old_component",
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = jumped.transform(materialize, eager=True, sever=True)
         changed = (
             jumped.filter(F.col("component") != F.col("old_component"))
             .limit(1)

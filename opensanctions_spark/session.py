@@ -69,3 +69,53 @@ def get_session(app_name: str = "opensanctions-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     return configure(builder).getOrCreate()
+
+
+def materialize(df, eager: bool = True, sever: bool = False):
+    """Cut a DataFrame's lineage in the deployment-appropriate way.
+
+    The engine's iterative and fan-out plans (BPE merge rounds, connected
+    components, the exporter facet base, the PQ dims frame) need an
+    intermediate whose plan is truncated — otherwise plan size grows
+    per round and shared subtrees recompute per consumer.
+
+    - **local mode** (the bench harness): ``localCheckpoint`` — blocks on
+      the driver-cum-executor's own storage; cheapest cut, and executor
+      loss cannot happen (one process).
+    - **cluster, sever=False** (fan-out reuse: one frame, many
+      consumers): ``localCheckpoint`` stores blocks on executors with NO
+      replication and severed lineage, so one lost executor fails the
+      whole job — a local-mode assumption that must not ship to a 100 TB
+      run. ``persist(MEMORY_AND_DISK)`` keeps lineage (recompute on
+      loss) while still deduplicating execution through the cache
+      manager; ``eager`` forces population with a count so downstream
+      fan-out never races the first materialization.
+    - **cluster, sever=True**: the call site NEEDS the logical plan cut,
+      not just execution reuse — iterative loops whose plan otherwise
+      deepens every round (connected components, PageRank, BPE merges),
+      frames whose source stops existing (a tempdir, an in-place
+      overwritten path: Spark refuses "cannot overwrite a path that is
+      also being read from" on an un-severed plan), and the streaming
+      curation index, where an append to the source path would recache
+      — i.e. silently recompute — any plan still referencing it.
+      Reliable ``checkpoint`` (replicated, lineage-free, recoverable)
+      when a checkpoint dir is configured; else ``localCheckpoint`` as
+      the best available cut (accepting the executor-loss caveat).
+
+    Returned frames are not explicitly unpersisted by most call sites;
+    the ContextCleaner reclaims blocks when the frame is GC'd (the bench
+    rebuilds lineage per rep, so nothing accumulates across reps).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint(eager=eager)
+    if sever:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    return out

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opensanctions_spark.plans.curate import CurationConfig, curate_increment
+from opensanctions_spark.session import materialize
 
 _FP_SCHEMA = "fp string"
 _BANDS_SCHEMA = "doc_id long, k long, mh long"
@@ -77,7 +78,7 @@ def curate_document_stream(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         fps, bands = load_curation_index(spark, index_dir)
-        # localCheckpoint, NOT persist: every frame's lineage reads the
+        # sever=True, NOT a cache: every frame's lineage reads the
         # index parquet, and the index appends below would invalidate a
         # cache over that path — a later consumer would then silently
         # RECOMPUTE curation against the already-mutated index (every
@@ -90,17 +91,17 @@ def curate_document_stream(
         curated, exact, wave_bands = curate_increment(
             batch, fps, bands, cfg, with_frames=True
         )
-        curated = curated.localCheckpoint()
+        curated = curated.transform(materialize, sever=True)
         kept_ids = curated.select("doc_id")
         kept_fps = (
             exact.join(kept_ids, "doc_id", "left_semi")
             .select(F.md5(F.col("text")).alias("fp"))
             .distinct()
-            .localCheckpoint()
+            .transform(materialize, sever=True)
         )
         kept_bands = wave_bands.join(
             kept_ids, "doc_id", "left_semi"
-        ).localCheckpoint()
+        ).transform(materialize, sever=True)
         curated.write.mode("append").parquet(out_dir)
         kept_fps.write.mode("append").parquet(f"{index_dir}/fingerprints")
         kept_bands.write.mode("append").parquet(f"{index_dir}/bands")
