@@ -18,6 +18,10 @@ from types import SimpleNamespace
 import pytest
 from pyspark.sql import functions as F
 
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
+
 
 # --------------------------------------------------------------------------
 # archive paths

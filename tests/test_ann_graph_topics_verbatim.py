@@ -33,6 +33,11 @@ from opensanctions_spark.model import registry
 from opensanctions_spark.store import PropName as Property
 from opensanctions_spark.store import View as BaseView
 from opensanctions_spark.store import get_store
+import pytest
+
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
 
 View = BaseView[Dataset, Entity]
 

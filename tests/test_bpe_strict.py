@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from opensanctions_spark.catalog.text import bpe_apply_merges
+import pytest
+
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
 
 
 def _encode(spark, words, merges):

@@ -8,6 +8,10 @@ import pytest
 import __spark_entry__ as entrymod
 from opensanctions_spark.testing import compare_frames, duckdb_with_views
 
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 

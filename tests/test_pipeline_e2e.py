@@ -17,6 +17,10 @@ from opensanctions_spark.plans import Assertion, DatasetConfig, run_dataset
 from opensanctions_spark.sources import read_csv_source
 from opensanctions_spark.sources.archive import StatementArchive
 
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
+
 # 12 entities: 8 persons, 4 orgs; 6 carry risk topics (targets)
 FIXTURE_V1 = """id,type,name,topics,country,associate
 p1,person,Alice Adams,sanction,de,o1

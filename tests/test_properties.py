@@ -21,6 +21,11 @@ from opensanctions_spark.functions.dates import (
     truncate_day_precision,
 )
 from opensanctions_spark.functions.text import multi_split, squash_spaces, token_count
+import pytest
+
+# heavyweight suite: deselected from the default driver gate (pytest.ini),
+# run builder-side per round close via `pytest tests/ -m slow`
+pytestmark = pytest.mark.slow
 
 ASCII = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
