@@ -613,16 +613,38 @@ def ann_centroid_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CLUSTERS = 8  # k for the trained-loop query
 
 
+#: |q| bound for the packed arg-min trick (``_argmin_code``,
+#: ``ann_kmeans_loop``): with |q| ≤ 2·10⁶ the squared distance over 64
+#: dims is ≤ 64·(2·2·10⁶)² ≈ 10¹⁵, so ``dist·16 + code`` stays far
+#: inside int64 and the packing is exactly order-preserving. Inputs
+#: outside ±2.0 would silently wrap — fail loudly instead.
+_Q_BOUND = 2_000_000
+
+
 def _quantized_dims(emb_df, id_col: str = "vec_id"):
     """(id, dim, q) integer micro-unit coordinates — the exact-arithmetic
-    substrate every cross-engine vector query shares."""
+    substrate every cross-engine vector query shares. Coordinates beyond
+    the packed-argmin domain (|embedding value| > 2.0) raise instead of
+    silently overflowing downstream ``min(dist*16+code)`` packings."""
+    q = F.floor(F.col("x").cast("double") * 1000000).cast("long")
+    guarded = F.when(F.abs(q) <= F.lit(_Q_BOUND), q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding coordinate outside the exact packed-argmin"
+                    " domain (|value| > 2.0): q="
+                ),
+                q.cast("string"),
+            )
+        )
+    )
     return emb_df.select(
         id_col,
         F.posexplode(F.col("embedding")).alias("dim", "x"),
     ).select(
         id_col,
         "dim",
-        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+        guarded.alias("q"),
     )
 
 

@@ -101,3 +101,24 @@ def test_ivfpq_recall_row_semantics(spark, sf_dir):
         assert 0 < n_topk <= 10, nprobe
         assert 0 <= n_recalled <= n_topk, nprobe
     assert rows[1][0] <= rows[2][0] <= rows[4][0]
+
+
+def test_quantized_dims_guards_packed_argmin_domain(spark):
+    """Coordinates beyond |2.0| would overflow the exact min(dist*16+code)
+    packing downstream — the guard must fail loudly, not wrap silently."""
+    from opensanctions_spark.catalog.vectors import _quantized_dims
+
+    ok = spark.createDataFrame(
+        [(0, [1.9, -2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = _quantized_dims(ok).collect()
+    assert sorted(r["q"] for r in rows) == [-2000000, 0, 1900000]
+
+    bad = spark.createDataFrame(
+        [(1, [0.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(Exception) as exc:
+        _quantized_dims(bad).collect()
+    assert "packed-argmin" in str(exc.value)
