@@ -34,8 +34,12 @@ from pyspark.sql import functions as F
 from opensanctions_spark.plans.curate import CurationConfig, curate_increment
 from opensanctions_spark.session import materialize
 
-_FP_SCHEMA = "fp string"
-_BANDS_SCHEMA = "doc_id long, k long, mh long"
+#: one on-disk relation holds BOTH index kinds (fingerprint rows carry a
+#: non-null ``fp``; band rows a non-null ``doc_id``), so each micro-batch
+#: extends the index with ONE append job instead of two — per-wave sink
+#: cost is job-count-bound, not byte-bound (round 14; the null cells are
+#: free in parquet)
+_ENTRIES_SCHEMA = "fp string, doc_id long, k long, mh long"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -53,8 +57,13 @@ def load_curation_index(
     Band rows are re-distincted: (doc_id, k, mh) is naturally unique, so
     a retried micro-batch's double-append cannot inflate the
     agreeing-band counts of the near-dup probe."""
-    fps = _read_or_empty(spark, f"{index_dir}/fingerprints", _FP_SCHEMA).distinct()
-    bands = _read_or_empty(spark, f"{index_dir}/bands", _BANDS_SCHEMA).distinct()
+    entries = _read_or_empty(spark, f"{index_dir}/entries", _ENTRIES_SCHEMA)
+    fps = entries.filter(F.col("fp").isNotNull()).select("fp").distinct()
+    bands = (
+        entries.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "k", "mh")
+        .distinct()
+    )
     return fps, bands
 
 
@@ -97,14 +106,21 @@ def curate_document_stream(
             exact.join(kept_ids, "doc_id", "left_semi")
             .select(F.md5(F.col("text")).alias("fp"))
             .distinct()
-            .transform(materialize, sever=True)
         )
-        kept_bands = wave_bands.join(
-            kept_ids, "doc_id", "left_semi"
+        kept_bands = wave_bands.join(kept_ids, "doc_id", "left_semi")
+        null_l = F.lit(None).cast("long")
+        entries = kept_fps.select(
+            "fp",
+            null_l.alias("doc_id"),
+            null_l.alias("k"),
+            null_l.alias("mh"),
+        ).unionByName(
+            kept_bands.select(
+                F.lit(None).cast("string").alias("fp"), "doc_id", "k", "mh"
+            )
         ).transform(materialize, sever=True)
         curated.write.mode("append").parquet(out_dir)
-        kept_fps.write.mode("append").parquet(f"{index_dir}/fingerprints")
-        kept_bands.write.mode("append").parquet(f"{index_dir}/bands")
+        entries.write.mode("append").parquet(f"{index_dir}/entries")
         # the increment's internal persists are per-wave state: release
         # them so a long-running stream does not accumulate cached
         # blocks across micro-batches
