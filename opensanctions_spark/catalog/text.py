@@ -480,21 +480,29 @@ def minhash_pairs_of(
     computes them for the vs-corpus probe; re-deriving them from text
     would tokenize + shingle + hash the wave a second time)."""
     mh = bands if bands is not None else minhash_bands_of(shingles)
+    # The bucket exchange gets an EXPLICIT width (round 14): the in-bucket
+    # pair expansion runs in the SAME stage as the bucket aggregation, and
+    # AQE sizes that stage on the tiny pre-explode band-row bytes — on a
+    # duplicate-dense corpus (sf1: every doc is a 10-way duplicate group)
+    # it coalesced the quadratic expansion onto 2 tasks (10.4 s CPU
+    # serialized, 78 MB of pair rows written from a 2.4 MB input; wall
+    # 8.5 s, half the query). A keyed repartition with a fixed partition
+    # count is one AQE will not coalesce, and the groupBy reuses the
+    # exchange (same keys — no second shuffle, no extra stage; the r13
+    # note here rejected a POST-agg re-spread, which did add one).
+    # collect_list partials don't shrink data, so losing map-side partial
+    # aggregation below the exchange costs nothing.
+    n_spread = int(
+        mh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     buckets = (
-        mh.groupBy("k", "mh")
+        mh.repartition(n_spread, "k", "mh")
+        .groupBy("k", "mh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # NO re-spread exchange here, unlike the token-blocking expansion
-    # (operators/blocking.py): LSH band buckets are hash-random and
-    # collision-sized — expansion work grows WITH the bucket-frame bytes,
-    # so AQE's byte-based stage sizing is a faithful proxy and an extra
-    # exchange only adds a stage (measured +0.36 s at sf0.1 for zero
-    # width gain). Token blocking is the opposite regime: few rows,
-    # quadratic members² work invisible to byte sizing — it keeps the
-    # explicit re-spread (measured 2× there WITHOUT it).
     pair = F.explode(
         F.flatten(
             F.transform(
